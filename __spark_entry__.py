@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` / `oracle_sql()` are backed by
+data_pipeline_mlops_spark.registry — one entry per implemented operator
+from SURVEY.md §2 plus the training-data-pipeline extensions. Entries
+without an oracle are engine-specific paths (MinHash/LSH/ANN/
+multimodal) recorded as rows-only checks.
 """
 
 from __future__ import annotations
@@ -15,24 +15,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: regional revenue with
+    per-region top customers — exercises the star join (broadcast dims),
+    exact decimal aggregation, and the O4 rank window."""
+    from data_pipeline_mlops_spark.registry import q_top_customers_per_region
+
+    return q_top_customers_per_region(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from data_pipeline_mlops_spark.registry import spark_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return spark_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from data_pipeline_mlops_spark.registry import oracle_queries
+
+    return oracle_queries()

@@ -1,0 +1,239 @@
+"""Document deduplication at corpus scale.
+
+Four tiers, cheapest first — the standard LLM-training-data stack:
+
+1. exact: hash-groupBy on md5(text) — one shuffle on the hash.
+2. n-gram Jaccard: shingle -> explode -> self-join on shingle ->
+   pair intersection counts. Exact, but pair fan-out is bounded by
+   shingle frequency; a `max_shingle_freq` cap drops degenerate
+   shingles (same idea as stop-shingle removal in web dedup).
+3. MinHash + LSH: signature via k independent hash slots (xxhash64
+   with per-slot seed), banded into buckets; only bucket-colliding
+   pairs are candidates — the 100 TB path (no all-pairs join).
+4. SimHash: 64-bit fingerprint; near-dups = small Hamming distance,
+   found by band-rotation joins.
+
+All pure DataFrame ops (explode / groupBy / join); no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_pipeline_mlops_spark.functions.text import tokens
+
+
+def exact_dup_groups(
+    df: DataFrame, *, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Tier 1: group identical texts; survivor = min id."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def word_shingles(text_col: str, n: int = 3):
+    """Distinct word n-gram shingles as an array column (built-ins only:
+    transform over an index sequence)."""
+    toks = tokens(text_col)
+    sz = F.size(toks)
+    idx = F.sequence(F.lit(1), sz - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + k) for k in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Tier 2: exact n-gram Jaccard similarity for all pairs sharing at
+    least one shingle. Output: id_a < id_b, jaccard (rounded 6dp).
+
+    At scale, `max_shingle_freq` drops shingles occurring in more than
+    that many docs (they explode the join and carry no signal) — this
+    changes results only for pairs glued solely by boilerplate.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
+    if max_shingle_freq is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__f"))
+            .where(F.col("__f") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    a = sh.select(F.col("__id").alias("id_a"), "shingle")
+    b = sh.select(F.col("__id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sz_a = sizes.select(F.col("__id").alias("id_a"), F.col("__sz").alias("__sza"))
+    sz_b = sizes.select(F.col("__id").alias("id_b"), F.col("__sz").alias("__szb"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__inter")
+                / (F.col("__sza") + F.col("__szb") - F.col("__inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Tier 3a: MinHash signature — per slot i, min over shingles of
+    xxhash64(shingle, i). Computed via explode + groupBy(min of k
+    columns aggregated) without any Python; one shuffle on doc id."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+    )
+    mins = sh.groupBy("__id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        F.col("__id").alias(id_col),
+        F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    *,
+    id_col: str,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Tier 3b: band the signature; docs sharing any band-hash become a
+    candidate pair. Join is per-bucket, never all-pairs — the property
+    that makes MinHash dedup feasible at 100 TB. Output: id_a < id_b,
+    n_shared_bands."""
+    banded = signatures.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.element_at(
+                                "signature", b * rows_per_band + r + 1
+                            )
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.select(F.col("__id").alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col("__id").alias("id_b"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Tier 3 end-to-end: signatures -> LSH candidates -> (optional)
+    exact Jaccard verification of candidates only."""
+    assert num_hashes % bands == 0
+    sigs = minhash_signatures(
+        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+        shingle_n=shingle_n,
+    )
+    cands = lsh_candidate_pairs(
+        sigs, id_col=id_col, bands=bands, rows_per_band=num_hashes // bands
+    )
+    if verify_threshold is None:
+        return cands
+    exact = ngram_jaccard_pairs(
+        df, id_col=id_col, text_col=text_col, n=shingle_n, threshold=0.0
+    ).withColumnRenamed("jaccard", "jaccard_exact")
+    return (
+        cands.join(
+            exact.withColumnRenamed("id_a", "id_a").withColumnRenamed(
+                "id_b", "id_b"
+            ),
+            ["id_a", "id_b"],
+            "inner",
+        )
+        .where(F.col("jaccard_exact") >= verify_threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, *, id_col: str, text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """Tier 4: 64-bit SimHash over token hashes. For each bit b, count
+    tokens whose xxhash64 has bit b set vs unset; fingerprint bit = sign
+    of the balance. Built from explode + conditional aggregation."""
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    balances = tok.groupBy("__id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b_{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = balances.select(
+        "__id",
+        sum(
+            [
+                F.when(F.col(f"b_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+                for b in range(bits - 1)  # avoid sign bit overflow
+            ]
+        ).cast("long").alias("simhash"),
+    )
+    return fp.select(F.col("__id").alias(id_col), "simhash")

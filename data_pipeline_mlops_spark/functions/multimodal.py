@@ -1,0 +1,110 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque `binary` columns with typed metadata structs. The
+Spark-side machinery — schema, batch shape, partition sizing, Arrow
+transfer through mapInPandas — is real and tested; the actual codecs
+(PIL/librosa/ffmpeg) are NOT in this container, so the decode kernels
+are STUBBED: a deterministic fake feature extractor stands in, and the
+real hook raises NotImplementedError where a codec would be called.
+Swapping in a real decoder changes only the inner function body.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                    T.StructField("mime", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def decode_media(content: bytes, media_type: str):
+    """Real decode hook — requires PIL/librosa/ffmpeg, not present here."""
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "extract_features uses the deterministic fake path"
+    )
+
+
+def _fake_features(content: bytes) -> list[float]:
+    """Deterministic stand-in for an embedding model: fold the bytes
+    into FEATURE_DIM accumulators. Stable across runs/partitionings."""
+    acc = [0] * FEATURE_DIM
+    for i, byt in enumerate(content or b""):
+        acc[i % FEATURE_DIM] = (acc[i % FEATURE_DIM] * 31 + byt) % 1_000_003
+    return [a / 1_000_003.0 for a in acc]
+
+
+def extract_features(df: DataFrame, *, use_fake: bool = True) -> DataFrame:
+    """mapInPandas feature extraction over binary media columns.
+
+    Arrow-batched: each pandas batch holds whole media blobs; batch size
+    is bounded by spark.sql.execution.arrow.maxRecordsPerBatch, and
+    media-heavy tables should be repartitioned so a batch fits executor
+    memory (blobs are NOT splittable). Output keeps ids + metadata and
+    appends a fixed-dim feature vector.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("media_type", T.StringType(), False),
+            T.StructField(
+                "features", T.ArrayType(T.DoubleType()), False
+            ),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                _fake_features(c)
+                if use_fake
+                else decode_media(c, t)
+                for c, t in zip(pdf["content"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "features": feats,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: computes per-row frame timestamps
+    from metadata (pure column math). The decode of each frame is the
+    stubbed kernel above."""
+    return df.withColumn(
+        "frame_ts_ms",
+        F.sequence(
+            F.lit(0),
+            F.coalesce(F.col("meta.duration_ms"), F.lit(0)),
+            F.lit(every_ms),
+        ),
+    )

@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline: queries × corpus
+cross-join with the small side broadcast, dot products via zip_with /
+aggregate (JVM-side higher-order functions — no Python in the loop),
+TakeOrdered per query. The scale path is LSH bucketing (random
+hyperplane signs), which turns the cross-join into a bucket join —
+same shape as MinHash dedup.
+
+Float arrays are cast element-wise to double BEFORE any arithmetic and
+dot products fold left-to-right, so results are bit-identical to a
+sequential oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+COS_SCALE = 4  # rank on rounded cosine + id tiebreak => deterministic
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right double dot product (deterministic fold order)."""
+    return F.aggregate(
+        F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(_to_double(a), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k per query (self-match excluded).
+
+    Broadcast the query side — at scale the corpus streams past a small
+    broadcast query set, one pass, no shuffle of the corpus.
+    Output: query_id, neighbor_id, cosine_sim, rank.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), COS_SCALE).alias(
+            "cosine_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    num_planes: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Scale path: random-hyperplane LSH — bucket = sign bits of
+    `num_planes` pseudo-random projections. Hyperplane components are
+    derived deterministically from xxhash64(plane, dim_index, seed), so
+    every executor generates identical planes with no broadcast state.
+    Near vectors collide with high probability; ANN search joins query
+    buckets to corpus buckets instead of cross-joining."""
+    v = _to_double(F.col(vec_col))
+    n = F.size(F.col(vec_col)) if dim is None else F.lit(dim)
+
+    def plane_component(p: int, i: Column) -> Column:
+        h = F.xxhash64(F.lit(p), i, F.lit(seed))
+        return (h % 2001 - 1000).cast("double") / 1000.0
+
+    def projection(p: int) -> Column:
+        idx = F.sequence(F.lit(0), n - 1)
+        prods = F.zip_with(
+            v,
+            F.transform(idx, lambda i: plane_component(p, i)),
+            lambda x, w: x * w,
+        )
+        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+    bucket = sum(
+        [
+            F.when(projection(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            for p in range(num_planes)
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.col(vec_col), bucket.cast("long").alias("bucket")
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    num_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: bucket both sides, join on bucket, exact-rescore the
+    candidates. Recall < 1.0 by construction; multiplying bucket tables
+    (multi-probe) trades compute for recall."""
+    from pyspark.sql import Window
+
+    qb = hyperplane_lsh_buckets(
+        queries, id_col=id_col, vec_col=vec_col, num_planes=num_planes,
+        seed=seed,
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        "bucket",
+    )
+    cb = hyperplane_lsh_buckets(
+        corpus, id_col=id_col, vec_col=vec_col, num_planes=num_planes,
+        seed=seed,
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        "bucket",
+    )
+    cands = cb.join(F.broadcast(qb), "bucket").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), COS_SCALE).alias(
+            "cosine_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

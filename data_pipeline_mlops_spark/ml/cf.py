@@ -1,0 +1,154 @@
+"""Sparse item-item collaborative filtering (SURVEY.md §2.10 M4-M8).
+
+The reference densifies a user×item binary matrix and runs sklearn
+cosine_similarity over it (reference dags/daily_pipeline.py:361-398) —
+O(users·items) memory, impossible at scale. For BINARY interactions,
+cosine(item_i, item_j) = cooc(i,j) / sqrt(cnt(i)·cnt(j)) exactly
+(provable: dot product of 0/1 vectors = co-occurrence count; vector
+norm = sqrt(interaction count)). So the whole similarity model is a
+pure DataFrame computation:
+
+    interactions --self-join on user--> pair co-occurrence counts
+                 --join item counts--> cosine
+
+The self-join shuffles on user_id once; per-user pair fan-out is
+bounded by basket size (salting / AQE skew join handles power users).
+No densification anywhere; output is the sparse upper triangle.
+
+Scores are rounded then summed as exact decimals so recommendation
+ranking is deterministic across any parallelism (see operators.exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SIM_SCALE = 6  # similarity rounding — stable ranking + compact storage
+SIM_DECIMAL = "decimal(18,6)"
+
+
+def item_counts(interactions: DataFrame, *, item_col: str) -> DataFrame:
+    return interactions.groupBy(item_col).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def item_similarity(
+    interactions: DataFrame,
+    *,
+    user_col: str,
+    item_col: str,
+    min_cooccurrence: int = 1,
+) -> DataFrame:
+    """M5+M6: upper-triangle item-item cosine similarity.
+
+    Output: item_a < item_b, cooccurrence, cosine_sim (double, rounded
+    to 6 dp). Equivalent to the reference's dense
+    cosine_similarity + fill_diagonal(0) — the diagonal simply never
+    appears (a < b), matching the reference's zeroed self-similarity.
+    """
+    a = interactions.select(
+        F.col(user_col).alias("__u"), F.col(item_col).alias("item_a")
+    )
+    b = interactions.select(
+        F.col(user_col).alias("__u"), F.col(item_col).alias("item_b")
+    )
+    cooc = (
+        a.join(b, "__u")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("cooccurrence"))
+        .where(F.col("cooccurrence") >= min_cooccurrence)
+    )
+    cnt = item_counts(interactions, item_col=item_col)
+    cnt_a = cnt.select(F.col(item_col).alias("item_a"), F.col("cnt").alias("cnt_a"))
+    cnt_b = cnt.select(F.col(item_col).alias("item_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        cooc.join(cnt_a, "item_a")
+        .join(cnt_b, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "cooccurrence",
+            F.round(
+                F.col("cooccurrence")
+                / F.sqrt(F.col("cnt_a") * F.col("cnt_b")),
+                SIM_SCALE,
+            ).alias("cosine_sim"),
+        )
+    )
+
+
+def symmetrize(sim_upper: DataFrame) -> DataFrame:
+    """Expand the upper triangle to both directions for scoring joins."""
+    return sim_upper.select("item_a", "item_b", "cosine_sim").unionByName(
+        sim_upper.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "cosine_sim",
+        )
+    )
+
+
+def recommend(
+    purchases: DataFrame,
+    sim_upper: DataFrame,
+    *,
+    user_col: str,
+    item_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """M7: score(user, candidate) = Σ sim(candidate, purchased) over the
+    user's purchases; mask already-purchased (anti-join — the
+    reference's scores[idx] = -999, dags/daily_pipeline.py:519-520);
+    keep positive scores; per-user top-n (O4 window).
+
+    Output: user_col, item_col (candidate), score, rank.
+    """
+    sim = symmetrize(sim_upper)
+    scored = (
+        purchases.select(
+            F.col(user_col).alias("__user"), F.col(item_col).alias("item_a")
+        )
+        .join(sim, "item_a")
+        .groupBy(F.col("__user"), F.col("item_b").alias("__cand"))
+        .agg(
+            F.sum(F.col("cosine_sim").cast(SIM_DECIMAL)).alias("__score_dec")
+        )
+    )
+    owned = purchases.select(
+        F.col(user_col).alias("__user"), F.col(item_col).alias("__cand")
+    )
+    w = Window.partitionBy("__user").orderBy(
+        F.col("__score_dec").desc(), F.col("__cand").asc()
+    )
+    return (
+        scored.join(owned, ["__user", "__cand"], "left_anti")
+        .where(F.col("__score_dec") > 0)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select(
+            F.col("__user").alias(user_col),
+            F.col("__cand").alias(item_col),
+            F.col("__score_dec").cast("double").alias("score"),
+            "rank",
+        )
+    )
+
+
+def similar_items(
+    sim_upper: DataFrame, *, item: int | str, top_n: int = 10
+) -> DataFrame:
+    """M8: top-n most similar items to one item
+    (reference recommendation/main.py:193-221)."""
+    return (
+        symmetrize(sim_upper)
+        .where(F.col("item_a") == F.lit(item))
+        .where(F.col("cosine_sim") > 0)
+        .orderBy(F.col("cosine_sim").desc(), F.col("item_b").asc())
+        .limit(top_n)
+        .select(
+            F.col("item_a").alias("item"),
+            F.col("item_b").alias("similar_item"),
+            "cosine_sim",
+        )
+    )

@@ -1,0 +1,91 @@
+"""Gold-layer aggregation family (SURVEY.md §2.5 A1-A11).
+
+Every aggregation the reference computes — daily summaries
+(dags/daily_pipeline.py:149-163), the five dashboard metric tables
+(dags/micro_batch_dashboard.py:95-133), data-quality counts
+(scripts/setup_source_db.py:305-314) — as parameterized groupBy/agg
+operators. Catalyst compiles each to partial (map-side) + final hash
+aggregation automatically; money sums go through exact decimals
+(operators.exact) so results are order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_pipeline_mlops_spark.operators.exact import (
+    cond_count,
+    long_count,
+    money_avg,
+    money_sum,
+)
+
+
+def daily_summary(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    amount_col: str,
+    customer_col: str,
+) -> DataFrame:
+    """A1: per-day order count / revenue / distinct customers
+    (reference dags/daily_pipeline.py:149-156)."""
+    return df.groupBy(F.to_date(ts_col).alias("order_date")).agg(
+        long_count("total_orders"),
+        money_sum(amount_col, "total_revenue"),
+        F.countDistinct(customer_col).alias("unique_customers"),
+    )
+
+
+def group_performance(
+    df: DataFrame,
+    *,
+    group_col: str,
+    order_col: str,
+    amount: Column,
+) -> DataFrame:
+    """A2/A5: per-group order count + revenue
+    (reference dags/daily_pipeline.py:158-163)."""
+    return df.groupBy(F.col(group_col)).agg(
+        F.countDistinct(order_col).alias("order_count"),
+        money_sum(amount, "revenue"),
+    )
+
+
+def overall_metrics(
+    df: DataFrame, *, amount_col: str, customer_col: str
+) -> DataFrame:
+    """A3: ungrouped dashboard headline metrics, div-by-zero-safe via
+    coalesce (reference dags/micro_batch_dashboard.py:95-101)."""
+    return df.agg(
+        long_count("total_orders"),
+        F.coalesce(money_sum(amount_col, "total_revenue"), F.lit(0.0)).alias(
+            "total_revenue"
+        ),
+        F.coalesce(money_avg(amount_col, "avg_order_value"), F.lit(0.0)).alias(
+            "avg_order_value"
+        ),
+        F.countDistinct(customer_col).alias("unique_customers"),
+    )
+
+
+def hourly_stats(
+    df: DataFrame, *, ts_col: str, amount_col: str
+) -> DataFrame:
+    """A7: per-hour counts + value
+    (reference dags/micro_batch_dashboard.py:127-133)."""
+    return df.groupBy(F.hour(ts_col).cast("long").alias("hour")).agg(
+        long_count("event_count"),
+        money_sum(amount_col, "total_value"),
+    )
+
+
+def quality_counts(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """A10: one-row conditional-aggregation data-quality report
+    (reference scripts/setup_source_db.py:305-314). `rules` maps output
+    column name -> boolean Column."""
+    return df.agg(
+        long_count("total_rows"),
+        *[cond_count(cond, name) for name, cond in rules.items()],
+    )

@@ -1,0 +1,1149 @@
+"""Query registry: every implemented operator bound to the driver
+testdata, each with a DuckDB oracle (None => rows-only check).
+
+Names map to SURVEY.md §2 inventory ids (noted per entry). The Spark
+side and the oracle SQL alias every computed column identically — the
+driver's compare sorts columns by name before hashing.
+
+Determinism rules used throughout (see operators/exact.py):
+- money/float sums go through DECIMAL(38,6) casts (order-independent);
+- ROUND is only applied to exact decimals or to division results whose
+  operands are integers (identical IEEE doubles in both engines);
+- every top-k / row_number has a unique tiebreaker column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_mlops_spark.functions import dedup_text, similarity, text
+from data_pipeline_mlops_spark.ml import cf
+from data_pipeline_mlops_spark.ml.interactions import extract_interactions
+from data_pipeline_mlops_spark.operators import (
+    aggregate,
+    alerts,
+    clean,
+    dedup,
+    joins,
+    setops,
+    topk,
+)
+from data_pipeline_mlops_spark.operators.exact import (
+    money_avg,
+    money_sum,
+)
+from data_pipeline_mlops_spark.sources.tables import load_table
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    spark: SparkQuery
+    oracle: str | None  # DuckDB SQL, None => rows-only check
+
+
+# --------------------------------------------------------------------------
+# shared fragments
+# --------------------------------------------------------------------------
+
+# exact decimal-routed money aggregates (oracle side)
+def _osum(expr: str, alias: str, scale: int = 2) -> str:
+    return (
+        f"CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(38,6))), {scale}) AS DOUBLE)"
+        f" AS {alias}"
+    )
+
+
+def _oavg(expr: str, alias: str, scale: int = 2) -> str:
+    return (
+        f"CAST(ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
+        f" / COUNT(*), {scale}) AS DOUBLE) AS {alias}"
+    )
+
+
+ORACLE_INTERACTIONS = (
+    "SELECT DISTINCT o_custkey AS customer_id, l_partkey AS product_id "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+)
+
+
+def _interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 interactions: distinct (customer, product) pairs from the
+    lineitem fact (reference dags/daily_pipeline.py:200-210)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return extract_interactions(
+        li.join(o, li.l_orderkey == o.o_orderkey).select(
+            F.col("o_custkey").alias("customer_id"),
+            F.col("l_partkey").alias("product_id"),
+        ),
+        user_col="customer_id",
+        item_col="product_id",
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --------------------------------------------------------------------------
+# relational / ETL queries (SURVEY §2.3, §2.5-2.8)
+# --------------------------------------------------------------------------
+
+
+def q_silver_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2-P6 silver cleaning chain on the lineitem fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cleaned = clean.clean_fact(
+        li,
+        id_col="l_orderkey",
+        qty_col="l_quantity",
+        price_col="l_extendedprice",
+        status_col="l_returnflag",
+        total_col="__gross_raw",
+    )
+    return cleaned.select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_number"),
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_returnflag").alias("return_flag"),
+        F.round(
+            (F.col("l_extendedprice") * F.col("l_quantity")).cast(
+                "decimal(38,6)"
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("gross_value"),
+    )
+
+
+ORACLE_SILVER_CLEAN = """
+SELECT l_orderkey AS order_key,
+       l_linenumber AS line_number,
+       l_quantity AS quantity,
+       ABS(l_extendedprice) AS price,
+       l_returnflag AS return_flag,
+       CAST(ROUND(CAST(ABS(l_extendedprice) * l_quantity AS DECIMAL(38,6)), 2)
+            AS DOUBLE) AS gross_value
+FROM lineitem
+WHERE l_orderkey IS NOT NULL
+  AND l_quantity > 0
+  AND l_returnflag IS NOT NULL AND l_returnflag <> ''
+"""
+
+
+def q_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 daily summary (reference dags/daily_pipeline.py:149-156)."""
+    o = load_table(spark, sf_dir, "orders")
+    return aggregate.daily_summary(
+        o,
+        ts_col="o_orderdate",
+        amount_col="o_totalprice",
+        customer_col="o_custkey",
+    )
+
+
+ORACLE_DAILY_SUMMARY = f"""
+SELECT CAST(o_orderdate AS DATE) AS order_date,
+       COUNT(*) AS total_orders,
+       {_osum('o_totalprice', 'total_revenue')},
+       COUNT(DISTINCT o_custkey) AS unique_customers
+FROM orders GROUP BY 1
+"""
+
+
+def q_overall_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 dashboard headline metrics
+    (reference dags/micro_batch_dashboard.py:95-101)."""
+    o = load_table(spark, sf_dir, "orders")
+    return aggregate.overall_metrics(
+        o, amount_col="o_totalprice", customer_col="o_custkey"
+    )
+
+
+ORACLE_OVERALL_METRICS = f"""
+SELECT COUNT(*) AS total_orders,
+       {_osum('o_totalprice', 'total_revenue')},
+       {_oavg('o_totalprice', 'avg_order_value')},
+       COUNT(DISTINCT o_custkey) AS unique_customers
+FROM orders
+"""
+
+
+def q_category_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 per-category aggregation, via the part dimension (broadcast
+    lookup join J4). Reference dags/daily_pipeline.py:158-163."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = joins.lookup_join(li, p, "l_partkey")
+    return joined.groupBy("p_brand").agg(
+        F.countDistinct("l_orderkey").alias("order_count"),
+        money_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+        ),
+        money_avg("l_extendedprice", "avg_price"),
+    )
+
+
+ORACLE_CATEGORY_PERFORMANCE = f"""
+SELECT p_brand,
+       COUNT(DISTINCT l_orderkey) AS order_count,
+       {_osum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       {_oavg('l_extendedprice', 'avg_price')}
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+def q_top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 + O3: top-10 products by revenue
+    (reference dags/micro_batch_dashboard.py:104-110)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_name"
+    )
+    per_product = joins.lookup_join(li, p, "l_partkey").groupBy(
+        F.col("p_name").alias("product_name")
+    ).agg(
+        F.countDistinct("l_orderkey").alias("order_count"),
+        F.sum("l_quantity").alias("quantity_sold"),
+        money_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+        ),
+    )
+    return topk.top_k(
+        per_product,
+        [F.col("revenue").desc(), F.col("product_name").asc()],
+        10,
+    )
+
+
+ORACLE_TOP_PRODUCTS = f"""
+SELECT p_name AS product_name,
+       COUNT(DISTINCT l_orderkey) AS order_count,
+       SUM(l_quantity) AS quantity_sold,
+       {_osum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+ORDER BY revenue DESC, product_name ASC
+LIMIT 10
+"""
+
+
+def q_regional_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 regional stats via the star join the reference only gets
+    through Trino (reference dags/micro_batch_dashboard.py:121-125)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("n_regionkey"), "r_name"
+    )
+    joined = joins.star_join(
+        o,
+        [(c, "o_custkey", False), (n, "c_nationkey", True), (r, "n_regionkey", True)],
+    )
+    return joined.groupBy(F.col("r_name").alias("region")).agg(
+        F.count(F.lit(1)).alias("order_count"),
+        money_sum("o_totalprice", "revenue"),
+        F.countDistinct("o_custkey").alias("unique_customers"),
+    )
+
+
+ORACLE_REGIONAL_STATS = f"""
+SELECT r_name AS region,
+       COUNT(*) AS order_count,
+       {_osum('o_totalprice', 'revenue')},
+       COUNT(DISTINCT o_custkey) AS unique_customers
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+"""
+
+
+def q_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 hourly stats on the event stream table
+    (reference dags/micro_batch_dashboard.py:127-133)."""
+    ev = load_table(spark, sf_dir, "events")
+    return aggregate.hourly_stats(ev, ts_col="ts", amount_col="value")
+
+
+ORACLE_HOURLY_EVENTS = f"""
+SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+       COUNT(*) AS event_count,
+       {_osum('value', 'total_value')}
+FROM events GROUP BY 1
+"""
+
+
+def q_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A5-style multi-key groupBy: status × priority."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        money_sum("o_totalprice", "revenue"),
+        money_avg("o_totalprice", "avg_value"),
+    )
+
+
+ORACLE_STATUS_MATRIX = f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS order_count,
+       {_osum('o_totalprice', 'revenue')},
+       {_oavg('o_totalprice', 'avg_value')}
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 conditional-aggregation data-quality report
+    (reference scripts/setup_source_db.py:305-314)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return aggregate.quality_counts(
+        li,
+        {
+            "zero_discount": F.col("l_discount") == 0,
+            "high_quantity": F.col("l_quantity") > 45,
+            "heavy_tax": F.col("l_tax") > 0.07,
+            "returned_rows": F.col("l_returnflag") == "R",
+        },
+    )
+
+
+ORACLE_DATA_QUALITY = """
+SELECT COUNT(*) AS total_rows,
+       CAST(SUM(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_discount,
+       CAST(SUM(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT) AS high_quantity,
+       CAST(SUM(CASE WHEN l_tax > 0.07 THEN 1 ELSE 0 END) AS BIGINT) AS heavy_tax,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_rows
+FROM lineitem
+"""
+
+
+def q_interactions_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/M1: distinct (customer, product) pairs."""
+    return _interactions(spark, sf_dir)
+
+
+def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: keep-latest keyed dedup with explicit deterministic ordering
+    (reference dags/daily_pipeline.py:264-270; SURVEY §7 hard part 2)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    rows = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("l_partkey").alias("product_id"),
+        F.col("o_orderdate").alias("last_order_date"),
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_number"),
+    )
+    return dedup.dedup_keep_latest(
+        rows,
+        ["customer_id", "product_id"],
+        [
+            F.col("last_order_date").desc(),
+            F.col("order_key").desc(),
+            F.col("line_number").desc(),
+        ],
+    )
+
+
+ORACLE_DEDUP_KEEP_LATEST = """
+SELECT o_custkey AS customer_id,
+       l_partkey AS product_id,
+       o_orderdate AS last_order_date,
+       l_orderkey AS order_key,
+       l_linenumber AS line_number
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY o_custkey, l_partkey
+  ORDER BY o_orderdate DESC, l_orderkey DESC, l_linenumber DESC) = 1
+"""
+
+
+def q_top_customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: per-group top-k window (the recommender's argsort-head shape,
+    reference dags/daily_pipeline.py:522-524)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("n_regionkey"), "r_name"
+    )
+    per_cust = (
+        joins.star_join(
+            o,
+            [
+                (c, "o_custkey", False),
+                (n, "c_nationkey", True),
+                (r, "n_regionkey", True),
+            ],
+        )
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("o_custkey").alias("customer_id"),
+        )
+        .agg(money_sum("o_totalprice", "revenue"))
+    )
+    return topk.top_k_per_group(
+        per_cust,
+        ["region"],
+        [F.col("revenue").desc(), F.col("customer_id").asc()],
+        3,
+    )
+
+
+ORACLE_TOP_CUSTOMERS_PER_REGION = f"""
+WITH per_cust AS (
+  SELECT r_name AS region, o_custkey AS customer_id,
+         {_osum('o_totalprice', 'revenue')}
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, customer_id, revenue,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY region ORDER BY revenue DESC, customer_id ASC)
+         AS INTEGER) AS "rank"
+FROM per_cust
+QUALIFY "rank" <= 3
+"""
+
+
+def q_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 semi-join: customers with ≥1 order in 1995
+    (reference dags/daily_pipeline.py:483-492)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.year("o_orderdate") == 1995
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return joins.semi_join(c, o, "c_custkey").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+ORACLE_ACTIVE_CUSTOMERS = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND EXTRACT(year FROM o_orderdate) = 1995)
+"""
+
+
+def q_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 anti-join: customers with no orders at all
+    (the reference's purchased-item masking shape,
+    dags/daily_pipeline.py:519-520)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return joins.anti_join(c, o, "c_custkey").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+ORACLE_INACTIVE_CUSTOMERS = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_eval_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 + D2 (M3): union of two period eval sets, keep latest per key
+    (reference dags/daily_pipeline.py:248-284)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    base = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("l_partkey").alias("product_id"),
+        F.col("o_orderdate").alias("last_order_date"),
+    )
+    slices = [
+        extract_interactions(
+            base.where(F.year("last_order_date") == y),
+            user_col="customer_id",
+            item_col="product_id",
+            ts_col="last_order_date",
+        )
+        for y in (1995, 1996)
+    ]
+    unioned = setops.union_all(slices)
+    return dedup.dedup_keep_latest(
+        unioned,
+        ["customer_id", "product_id"],
+        [F.col("last_order_date").desc()],
+    )
+
+
+ORACLE_EVAL_ACCUMULATE = """
+WITH sliced AS (
+  SELECT o_custkey AS customer_id, l_partkey AS product_id,
+         MAX(o_orderdate) AS last_order_date
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE EXTRACT(year FROM o_orderdate) = 1995
+  GROUP BY 1, 2
+  UNION ALL
+  SELECT o_custkey, l_partkey, MAX(o_orderdate)
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE EXTRACT(year FROM o_orderdate) = 1996
+  GROUP BY 1, 2
+)
+SELECT customer_id, product_id, last_order_date
+FROM sliced
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY customer_id, product_id ORDER BY last_order_date DESC) = 1
+"""
+
+
+def q_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 intersect: customers active in both 1995 and 1996
+    (reference dags/daily_pipeline.py:527)."""
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.where(F.year("o_orderdate") == 1995).select(
+        F.col("o_custkey").alias("customer_id")
+    )
+    y96 = o.where(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("customer_id")
+    )
+    return setops.intersect(y95, y96)
+
+
+ORACLE_REPEAT_CUSTOMERS = """
+SELECT DISTINCT o_custkey AS customer_id FROM orders
+WHERE EXTRACT(year FROM o_orderdate) = 1995
+INTERSECT
+SELECT DISTINCT o_custkey AS customer_id FROM orders
+WHERE EXTRACT(year FROM o_orderdate) = 1996
+"""
+
+
+def q_event_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/P11/P12: rule-driven first-match-wins alert classification
+    (reference flink_job_alert_detection_simple.py:62-82), batch analog
+    on the events table with thresholds re-parameterized to its value
+    range (FIXTURES.md §7)."""
+    ev = load_table(spark, sf_dir, "events")
+    rules = [
+        alerts.AlertRule("HIGH_VALUE", F.col("value") > 300),
+        alerts.AlertRule(
+            "BIG_PURCHASE",
+            (F.col("event_type") == "purchase") & (F.col("value") > 200),
+        ),
+        alerts.AlertRule(
+            "ERROR_SPIKE",
+            (F.col("event_type") == "error") & (F.col("value") > 250),
+        ),
+        alerts.AlertRule("TINY_VALUE", F.col("value") < 0.05),
+    ]
+    return alerts.classify_alerts(
+        ev,
+        rules,
+        keep_cols=["event_id", "user_id", "event_type", "value"],
+    )
+
+
+ORACLE_EVENT_ALERTS = """
+SELECT CASE
+         WHEN value > 300 THEN 'HIGH_VALUE'
+         WHEN event_type = 'purchase' AND value > 200 THEN 'BIG_PURCHASE'
+         WHEN event_type = 'error' AND value > 250 THEN 'ERROR_SPIKE'
+         WHEN value < 0.05 THEN 'TINY_VALUE'
+       END AS alert_type,
+       event_id, user_id, event_type, value
+FROM events
+WHERE value > 300
+   OR (event_type = 'purchase' AND value > 200)
+   OR (event_type = 'error' AND value > 250)
+   OR value < 0.05
+"""
+
+
+# --------------------------------------------------------------------------
+# ML / collaborative filtering (SURVEY §2.10)
+# --------------------------------------------------------------------------
+
+
+def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: sparse item-item cosine similarity via co-occurrence (exactly
+    equal to dense cosine on binary vectors — SURVEY §7 hard part 3;
+    reference dags/daily_pipeline.py:391-398). min_cooccurrence=3 keeps
+    the surfaced pairs meaningful (full tail used internally by M7)."""
+    inter = _interactions(spark, sf_dir)
+    return cf.item_similarity(
+        inter,
+        user_col="customer_id",
+        item_col="product_id",
+        min_cooccurrence=3,
+    ).select(
+        F.col("item_a"),
+        F.col("item_b"),
+        F.col("cooccurrence"),
+        F.col("cosine_sim"),
+    )
+
+
+ORACLE_ITEM_SIMILARITY = f"""
+WITH i AS ({ORACLE_INTERACTIONS}),
+cnt AS (SELECT product_id, COUNT(*) AS c FROM i GROUP BY 1),
+cooc AS (
+  SELECT a.product_id AS item_a, b.product_id AS item_b, COUNT(*) AS co
+  FROM i a JOIN i b ON a.customer_id = b.customer_id
+  WHERE a.product_id < b.product_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+)
+SELECT item_a, item_b, co AS cooccurrence,
+       ROUND(co / SQRT(ca.c * cb.c), 6) AS cosine_sim
+FROM cooc
+JOIN cnt ca ON ca.product_id = item_a
+JOIN cnt cb ON cb.product_id = item_b
+"""
+
+
+def q_similar_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8: top-10 most similar items to one anchor item
+    (reference recommendation/main.py:193-221)."""
+    inter = _interactions(spark, sf_dir)
+    sim = cf.item_similarity(
+        inter, user_col="customer_id", item_col="product_id",
+        min_cooccurrence=1,
+    )
+    return cf.similar_items(sim, item=1, top_n=10)
+
+
+ORACLE_SIMILAR_ITEMS = f"""
+WITH i AS ({ORACLE_INTERACTIONS}),
+cnt AS (SELECT product_id, COUNT(*) AS c FROM i GROUP BY 1),
+cooc AS (
+  SELECT a.product_id AS item_a, b.product_id AS item_b, COUNT(*) AS co
+  FROM i a JOIN i b ON a.customer_id = b.customer_id
+  WHERE a.product_id < b.product_id
+  GROUP BY 1, 2
+),
+sim AS (
+  SELECT item_a, item_b, ROUND(co / SQRT(ca.c * cb.c), 6) AS cosine_sim
+  FROM cooc
+  JOIN cnt ca ON ca.product_id = item_a
+  JOIN cnt cb ON cb.product_id = item_b
+),
+sym AS (
+  SELECT item_a, item_b, cosine_sim FROM sim
+  UNION ALL
+  SELECT item_b, item_a, cosine_sim FROM sim
+)
+SELECT item_a AS item, item_b AS similar_item, cosine_sim
+FROM sym
+WHERE item_a = 1 AND cosine_sim > 0
+ORDER BY cosine_sim DESC, item_b ASC
+LIMIT 10
+"""
+
+
+def q_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7: item-based CF recommendations, decimal-exact score
+    accumulation, purchased masked via anti-join, per-user top-5
+    (reference dags/daily_pipeline.py:506-524). Scored for customers
+    with key <= 50 to bound the surfaced output."""
+    inter = _interactions(spark, sf_dir)
+    sim = cf.item_similarity(
+        inter, user_col="customer_id", item_col="product_id",
+        min_cooccurrence=1,
+    )
+    purchases = inter.where(F.col("customer_id") <= 50)
+    recs = cf.recommend(
+        purchases, sim, user_col="customer_id", item_col="product_id",
+        top_n=5,
+    )
+    return recs.select(
+        "customer_id",
+        F.col("product_id"),
+        "score",
+        F.col("rank"),
+    )
+
+
+ORACLE_RECOMMENDATIONS = f"""
+WITH i AS ({ORACLE_INTERACTIONS}),
+cnt AS (SELECT product_id, COUNT(*) AS c FROM i GROUP BY 1),
+cooc AS (
+  SELECT a.product_id AS item_a, b.product_id AS item_b, COUNT(*) AS co
+  FROM i a JOIN i b ON a.customer_id = b.customer_id
+  WHERE a.product_id < b.product_id
+  GROUP BY 1, 2
+),
+sim AS (
+  SELECT item_a, item_b,
+         CAST(ROUND(co / SQRT(ca.c * cb.c), 6) AS DECIMAL(18,6)) AS s
+  FROM cooc
+  JOIN cnt ca ON ca.product_id = item_a
+  JOIN cnt cb ON cb.product_id = item_b
+),
+sym AS (
+  SELECT item_a, item_b, s FROM sim
+  UNION ALL
+  SELECT item_b AS item_a, item_a AS item_b, s FROM sim
+),
+scored AS (
+  SELECT i.customer_id, sym.item_b AS product_id, SUM(sym.s) AS score_dec
+  FROM i JOIN sym ON i.product_id = sym.item_a
+  WHERE i.customer_id <= 50
+  GROUP BY 1, 2
+),
+masked AS (
+  SELECT s.customer_id, s.product_id, s.score_dec
+  FROM scored s
+  LEFT JOIN i ON i.customer_id = s.customer_id
+             AND i.product_id = s.product_id
+  WHERE i.customer_id IS NULL AND s.score_dec > 0
+),
+ranked AS (
+  SELECT customer_id, product_id,
+         CAST(score_dec AS DOUBLE) AS score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY customer_id
+           ORDER BY score_dec DESC, product_id ASC) AS INTEGER) AS "rank"
+  FROM masked
+)
+SELECT customer_id, product_id, score, "rank" FROM ranked WHERE "rank" <= 5
+"""
+
+
+def q_cf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9: train/eval coverage metrics with a date-based split
+    (reference dags/daily_pipeline.py:483-488). Train = interactions
+    before 1998-01-01; eval = on/after."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    base = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("l_partkey").alias("product_id"),
+        F.col("o_orderdate").alias("od"),
+    )
+    cut = "1998-01-01"
+    train = base.where(F.col("od") < cut).select(
+        "customer_id", "product_id"
+    ).distinct()
+    ev = base.where(F.col("od") >= cut).select(
+        "customer_id", "product_id"
+    ).distinct()
+    tu = train.select("customer_id").distinct().withColumn("__u", F.lit(1))
+    ti = train.select("product_id").distinct().withColumn("__i", F.lit(1))
+    flagged = (
+        ev.join(tu, "customer_id", "left").join(ti, "product_id", "left")
+        .select(
+            F.coalesce(F.col("__u"), F.lit(0)).alias("u_in"),
+            F.coalesce(F.col("__i"), F.lit(0)).alias("i_in"),
+        )
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("eval_rows"),
+        F.round(F.sum("u_in") / F.count(F.lit(1)), 6).alias("user_coverage"),
+        F.round(F.sum("i_in") / F.count(F.lit(1)), 6).alias("item_coverage"),
+        F.round(
+            F.sum(F.col("u_in") * F.col("i_in")) / F.count(F.lit(1)), 6
+        ).alias("overall_coverage"),
+    )
+
+
+ORACLE_CF_COVERAGE = """
+WITH base AS (
+  SELECT o_custkey AS customer_id, l_partkey AS product_id, o_orderdate AS od
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+train AS (
+  SELECT DISTINCT customer_id, product_id FROM base
+  WHERE od < TIMESTAMP '1998-01-01'
+),
+ev AS (
+  SELECT DISTINCT customer_id, product_id FROM base
+  WHERE od >= TIMESTAMP '1998-01-01'
+),
+flagged AS (
+  SELECT CASE WHEN customer_id IN (SELECT customer_id FROM train)
+              THEN 1 ELSE 0 END AS u_in,
+         CASE WHEN product_id IN (SELECT product_id FROM train)
+              THEN 1 ELSE 0 END AS i_in
+  FROM ev
+)
+SELECT COUNT(*) AS eval_rows,
+       ROUND(SUM(u_in) / COUNT(*), 6) AS user_coverage,
+       ROUND(SUM(i_in) / COUNT(*), 6) AS item_coverage,
+       ROUND(SUM(u_in * i_in) / COUNT(*), 6) AS overall_coverage
+FROM flagged
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline: text analysis / dedup / similarity search
+# --------------------------------------------------------------------------
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup tier: hash-groupBy on md5(text)."""
+    return dedup_text.exact_dup_groups(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text"
+    )
+
+
+ORACLE_DOC_EXACT_DEDUP = """
+SELECT md5(text) AS fingerprint,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + length stats (text-analysis op)."""
+    return text.with_token_stats(_docs(spark, sf_dir), "text").select(
+        "doc_id", "n_tokens", "n_chars_actual", "avg_token_len"
+    )
+
+
+ORACLE_DOC_TOKEN_STATS = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       length(text) AS n_chars_actual,
+       ROUND(length(regexp_replace(text, '\s', '', 'g')) / len(toks), 4)
+         AS avg_token_len
+FROM t
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: type-token ratio, stopword ratio, composite."""
+    return text.with_quality_score(_docs(spark, sf_dir), "text").select(
+        "doc_id", "type_token_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in text.STOPWORDS_EN)
+
+ORACLE_DOC_QUALITY = rf"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         len(toks) AS n,
+         len(list_distinct(toks)) AS d,
+         len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS s
+  FROM t
+)
+SELECT doc_id,
+       ROUND(d / n, 6) AS type_token_ratio,
+       ROUND(s / n, 6) AS stopword_ratio,
+       ROUND((d / n) * CAST(0.6 AS DOUBLE)
+             + (s / n) * CAST(0.2 AS DOUBLE)
+             + LEAST(n / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+               * CAST(0.2 AS DOUBLE), 6) AS quality_score
+FROM c
+"""
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID heuristic."""
+    return text.with_lang_id(_docs(spark, sf_dir), "text").select(
+        "doc_id",
+        "hits_en",
+        "hits_de",
+        "hits_es",
+        "hits_fr",
+        "hits_zh",
+        "predicted_lang",
+    )
+
+
+def _marker_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in text.LANG_MARKERS[lang])
+    return f"len(list_filter(toks, x -> x IN ({words})))"
+
+
+ORACLE_DOC_LANG_ID = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         {_marker_sql('en')} AS hits_en,
+         {_marker_sql('de')} AS hits_de,
+         {_marker_sql('es')} AS hits_es,
+         {_marker_sql('fr')} AS hits_fr,
+         {_marker_sql('zh')} AS hits_zh
+  FROM t
+)
+SELECT doc_id, hits_en, hits_de, hits_es, hits_fr, hits_zh,
+       CASE
+         WHEN GREATEST(hits_en, hits_de, hits_es, hits_fr, hits_zh) = 0
+           THEN 'unknown'
+         WHEN hits_en = GREATEST(hits_en, hits_de, hits_es, hits_fr, hits_zh)
+           THEN 'en'
+         WHEN hits_de = GREATEST(hits_en, hits_de, hits_es, hits_fr, hits_zh)
+           THEN 'de'
+         WHEN hits_es = GREATEST(hits_en, hits_de, hits_es, hits_fr, hits_zh)
+           THEN 'es'
+         WHEN hits_fr = GREATEST(hits_en, hits_de, hits_es, hits_fr, hits_zh)
+           THEN 'fr'
+         ELSE 'zh'
+       END AS predicted_lang
+FROM h
+"""
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact md5 + order-insensitive bag md5."""
+    return text.with_fingerprints(_docs(spark, sf_dir), "text").select(
+        "doc_id", "exact_fingerprint", "bag_fingerprint"
+    )
+
+
+ORACLE_DOC_FINGERPRINTS = r"""
+SELECT doc_id,
+       md5(text) AS exact_fingerprint,
+       md5(array_to_string(
+         list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))),
+         ' ')) AS bag_fingerprint
+FROM documents
+"""
+
+
+def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (word trigram shingles)."""
+    return dedup_text.ngram_jaccard_pairs(
+        _docs(spark, sf_dir),
+        id_col="doc_id",
+        text_col="text",
+        n=3,
+        threshold=0.05,
+    )
+
+
+ORACLE_NGRAM_JACCARD = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, UNNEST(list_distinct(
+    list_transform(range(1, len(toks) - 1),
+      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM t
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(i / (sa.sz + sb.sz - i), 6) >= 0.05
+"""
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding column sanity stats: dim + L2 norm per vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(similarity.l2_norm(F.col("embedding")), 4).alias("l2_norm"),
+    )
+
+
+ORACLE_EMBEDDING_NORMS = """
+SELECT vec_id, label,
+       len(embedding) AS dim,
+       ROUND(SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))), 4)
+         AS l2_norm
+FROM embeddings
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search baseline: exact brute-force cosine top-5 for
+    query vectors vec_id < 10 (broadcast queries × corpus scan)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(
+        queries, emb, id_col="vec_id", vec_col="embedding", k=5
+    ).select(
+        "query_id", "neighbor_id", "cosine_sim", F.col("rank")
+    )
+
+
+ORACLE_ANN_COSINE_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(
+           list_dot_product(CAST(c.embedding AS DOUBLE[]), q.qv)
+           / (SQRT(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])))
+              * SQRT(list_dot_product(q.qv, q.qv))), 4) AS cosine_sim
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id
+         ORDER BY cosine_sim DESC, neighbor_id ASC) AS INTEGER) AS "rank"
+FROM pairs
+QUALIFY "rank" <= 5
+"""
+
+
+# ----- rows-only checks (non-SQL-expressible / engine-specific paths) -----
+
+
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates — the 100 TB dedup path (bucket
+    join instead of all-pairs). xxhash64-based, deterministic; no SQL
+    oracle (DuckDB lacks xxhash64) => rows-only check."""
+    return dedup_text.minhash_dedup(
+        _docs(spark, sf_dir),
+        id_col="doc_id",
+        text_col="text",
+        num_hashes=64,
+        bands=16,
+        shingle_n=3,
+        verify_threshold=0.05,
+    )
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints per document (rows-only check)."""
+    return dedup_text.simhash(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text"
+    )
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via random-hyperplane LSH bucketing (recall<1 by
+    construction => rows-only check; exact baseline is
+    ann_cosine_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.lsh_topk(
+        queries, emb, id_col="vec_id", vec_col="embedding", k=5,
+        num_planes=8,
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary media column -> mapInPandas feature
+    extraction (deterministic fake kernel; real codecs stubbed — see
+    functions/multimodal.py). Rows-only check."""
+    from data_pipeline_mlops_spark.functions import multimodal
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    return multimodal.extract_features(media, use_fake=True)
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, QuerySpec] = {
+    "silver_clean": QuerySpec(q_silver_clean, ORACLE_SILVER_CLEAN),
+    "daily_summary": QuerySpec(q_daily_summary, ORACLE_DAILY_SUMMARY),
+    "overall_metrics": QuerySpec(q_overall_metrics, ORACLE_OVERALL_METRICS),
+    "category_performance": QuerySpec(
+        q_category_performance, ORACLE_CATEGORY_PERFORMANCE
+    ),
+    "top_products": QuerySpec(q_top_products, ORACLE_TOP_PRODUCTS),
+    "regional_stats": QuerySpec(q_regional_stats, ORACLE_REGIONAL_STATS),
+    "hourly_events": QuerySpec(q_hourly_events, ORACLE_HOURLY_EVENTS),
+    "status_matrix": QuerySpec(q_status_matrix, ORACLE_STATUS_MATRIX),
+    "data_quality": QuerySpec(q_data_quality, ORACLE_DATA_QUALITY),
+    "interactions_distinct": QuerySpec(
+        q_interactions_distinct, ORACLE_INTERACTIONS
+    ),
+    "dedup_keep_latest": QuerySpec(
+        q_dedup_keep_latest, ORACLE_DEDUP_KEEP_LATEST
+    ),
+    "top_customers_per_region": QuerySpec(
+        q_top_customers_per_region, ORACLE_TOP_CUSTOMERS_PER_REGION
+    ),
+    "active_customers": QuerySpec(q_active_customers, ORACLE_ACTIVE_CUSTOMERS),
+    "inactive_customers": QuerySpec(
+        q_inactive_customers, ORACLE_INACTIVE_CUSTOMERS
+    ),
+    "eval_accumulate": QuerySpec(q_eval_accumulate, ORACLE_EVAL_ACCUMULATE),
+    "repeat_customers": QuerySpec(q_repeat_customers, ORACLE_REPEAT_CUSTOMERS),
+    "event_alerts": QuerySpec(q_event_alerts, ORACLE_EVENT_ALERTS),
+    "item_similarity": QuerySpec(q_item_similarity, ORACLE_ITEM_SIMILARITY),
+    "similar_items": QuerySpec(q_similar_items, ORACLE_SIMILAR_ITEMS),
+    "recommendations": QuerySpec(q_recommendations, ORACLE_RECOMMENDATIONS),
+    "cf_coverage": QuerySpec(q_cf_coverage, ORACLE_CF_COVERAGE),
+    "doc_exact_dedup": QuerySpec(q_doc_exact_dedup, ORACLE_DOC_EXACT_DEDUP),
+    "doc_token_stats": QuerySpec(q_doc_token_stats, ORACLE_DOC_TOKEN_STATS),
+    "doc_quality": QuerySpec(q_doc_quality, ORACLE_DOC_QUALITY),
+    "doc_lang_id": QuerySpec(q_doc_lang_id, ORACLE_DOC_LANG_ID),
+    "doc_fingerprints": QuerySpec(
+        q_doc_fingerprints, ORACLE_DOC_FINGERPRINTS
+    ),
+    "ngram_jaccard_dups": QuerySpec(q_ngram_jaccard_dups, ORACLE_NGRAM_JACCARD),
+    "embedding_norms": QuerySpec(q_embedding_norms, ORACLE_EMBEDDING_NORMS),
+    "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
+    "minhash_lsh_candidates": QuerySpec(q_minhash_lsh_candidates, None),
+    "simhash_fingerprints": QuerySpec(q_simhash_fingerprints, None),
+    "lsh_ann_topk": QuerySpec(q_lsh_ann_topk, None),
+    "multimodal_features": QuerySpec(q_multimodal_features, None),
+}
+
+
+def spark_queries() -> dict[str, SparkQuery]:
+    return {name: spec.spark for name, spec in QUERIES.items()}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {
+        name: spec.oracle
+        for name, spec in QUERIES.items()
+        if spec.oracle is not None
+    }

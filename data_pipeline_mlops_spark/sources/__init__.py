@@ -1,0 +1,6 @@
+from data_pipeline_mlops_spark.sources.tables import (  # noqa: F401
+    TABLES,
+    load_table,
+    load_all,
+    register_views,
+)
