@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Execution is forced with the `noop` datasource (full computation, no
+materialization cost), so timings measure the real plan — scan,
+shuffle, agg — not driver collect overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "silver_clean",
+    "daily_summary",
+    "category_performance",
+    "top_products",
+    "regional_stats",
+    "dedup_keep_latest",
+    "item_similarity",
+    "recommendations",
+    "doc_quality",
+    "ngram_jaccard_dups",
+    "minhash_lsh_candidates",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+
+    from data_pipeline_mlops_spark.registry import QUERIES
+    from data_pipeline_mlops_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cpus=cpus)
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None
+
+    # warm the JVM + parquet footers once so per-query times measure the
+    # plan, not first-touch classloading
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name].spark
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
