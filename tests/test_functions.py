@@ -1,0 +1,158 @@
+"""Text analysis, dedup tiers, similarity search, multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_mlops_spark.functions import (
+    dedup_text,
+    multimodal,
+    similarity,
+    text,
+)
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the cat sat on the mat"),  # exact dup of 1
+    (3, "the cat sat on the red mat"),  # near dup of 1
+    (4, "completely different words entirely here now"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    groups = dedup_text.exact_dup_groups(
+        _docs(spark), id_col="doc_id"
+    ).collect()
+    by_n = sorted((g["n_docs"], g["keep_id"]) for g in groups)
+    assert by_n == [(1, 3), (1, 4), (2, 1)]  # dup group keeps min id
+
+
+def test_ngram_jaccard_near_dups(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup_text.ngram_jaccard_pairs(
+            _docs(spark), id_col="doc_id", n=3, threshold=0.1
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical docs
+    assert (1, 3) in pairs and 0.1 <= pairs[(1, 3)] < 1.0  # near dup
+    assert not any(4 in p for p in pairs)  # unrelated doc pairs with none
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(spark):
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_text.minhash_dedup(
+            _docs(spark), id_col="doc_id", verify_threshold=0.1
+        ).collect()
+    }
+    assert (1, 2) in cands  # identical must collide in every band
+    assert not any(4 in p for p in cands)
+
+
+def test_simhash_identical_docs_equal_fingerprints(spark):
+    fp = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup_text.simhash(_docs(spark), id_col="doc_id").collect()
+    }
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[4]
+
+
+def test_token_stats_and_quality(spark):
+    stats = {
+        r["doc_id"]: r
+        for r in text.with_token_stats(_docs(spark)).collect()
+    }
+    assert stats[1]["n_tokens"] == 6
+    assert stats[4]["n_tokens"] == 6
+    q = {
+        r["doc_id"]: r for r in text.with_quality_score(_docs(spark)).collect()
+    }
+    # doc4 has 6 distinct tokens/6 -> ttr 1.0 > doc1 (the repeats)
+    assert q[4]["type_token_ratio"] == 1.0
+    assert q[1]["type_token_ratio"] < 1.0
+    assert q[1]["stopword_ratio"] > q[4]["stopword_ratio"]
+
+
+def test_lang_id_predicts_en_on_stopworded_text(spark):
+    out = {
+        r["doc_id"]: r["predicted_lang"]
+        for r in text.with_lang_id(_docs(spark)).collect()
+    }
+    assert out[1] == "en"  # 'the' marker hits
+    assert out[4] == "unknown"  # no markers at all
+
+
+def test_fingerprints_bag_vs_exact(spark):
+    rows = {
+        r["doc_id"]: r for r in text.with_fingerprints(_docs(spark)).collect()
+    }
+    assert rows[1]["exact_fingerprint"] == rows[2]["exact_fingerprint"]
+    assert rows[1]["bag_fingerprint"] == rows[2]["bag_fingerprint"]
+    assert rows[1]["exact_fingerprint"] != rows[3]["exact_fingerprint"]
+
+
+VECS = [
+    (1, [1.0, 0.0, 0.0]),
+    (2, [0.9, 0.1, 0.0]),  # near v1
+    (3, [0.0, 1.0, 0.0]),  # orthogonal to v1
+    (4, [-1.0, 0.0, 0.0]),  # opposite of v1
+]
+
+
+def _vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_ordering(spark):
+    emb = _vecs(spark)
+    out = similarity.brute_force_topk(
+        emb.where(F.col("vec_id") == 1), emb, id_col="vec_id",
+        vec_col="embedding", k=3,
+    ).collect()
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order == [2, 3, 4]  # by cosine: 0.993, 0.0, -1.0
+    assert out[0]["query_id"] == 1
+
+
+def test_lsh_buckets_group_similar_vectors(spark):
+    b = {
+        r["vec_id"]: r["bucket"]
+        for r in similarity.hyperplane_lsh_buckets(
+            _vecs(spark), id_col="vec_id", vec_col="embedding",
+            num_planes=8,
+        ).collect()
+    }
+    assert b[1] == b[2]  # near vectors share all sign bits w.h.p.
+    assert b[1] != b[4]  # opposite vectors flip every plane
+
+
+def test_multimodal_feature_extraction_deterministic(spark):
+    media = spark.createDataFrame(
+        [(1, "image", b"abc"), (2, "audio", b"abc"), (3, "image", b"xyz")],
+        "media_id long, media_type string, content binary",
+    )
+    f1 = {
+        r["media_id"]: r["features"]
+        for r in multimodal.extract_features(media).collect()
+    }
+    f2 = {
+        r["media_id"]: r["features"]
+        for r in multimodal.extract_features(media.repartition(3)).collect()
+    }
+    assert f1 == f2  # partitioning-invariant
+    assert f1[1] == f1[2]  # same bytes -> same features
+    assert f1[1] != f1[3]
+    assert all(len(v) == multimodal.FEATURE_DIM for v in f1.values())
+
+
+def test_real_decode_path_is_stubbed():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"...", "image")

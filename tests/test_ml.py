@@ -1,0 +1,179 @@
+"""CF correctness on a hand-checked fixture (FIXTURES.md §5) +
+split/dedup invariants (SURVEY.md §7 hard parts 1-3)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_pipeline_mlops_spark.ml import cf, evaluate, interactions
+
+# 4 users × 4 items with known co-purchase structure:
+#   u1: A B      u2: A B C     u3: B C     u4: C D
+# counts: A=2 B=3 C=3 D=1
+# cooc:  (A,B)=2 (A,C)=1 (B,C)=2 (C,D)=1
+FIXTURE = [
+    ("u1", "A"), ("u1", "B"),
+    ("u2", "A"), ("u2", "B"), ("u2", "C"),
+    ("u3", "B"), ("u3", "C"),
+    ("u4", "C"), ("u4", "D"),
+]
+
+
+def _inter(spark):
+    return spark.createDataFrame(FIXTURE, "user string, item string")
+
+
+def test_item_similarity_matches_hand_computation(spark):
+    sim = {
+        (r["item_a"], r["item_b"]): (r["cooccurrence"], r["cosine_sim"])
+        for r in cf.item_similarity(
+            _inter(spark), user_col="user", item_col="item"
+        ).collect()
+    }
+    expect = {
+        ("A", "B"): (2, 2 / math.sqrt(2 * 3)),
+        ("A", "C"): (1, 1 / math.sqrt(2 * 3)),
+        ("B", "C"): (2, 2 / math.sqrt(3 * 3)),
+        ("C", "D"): (1, 1 / math.sqrt(3 * 1)),
+    }
+    assert set(sim) == set(expect)
+    for k, (co, s) in expect.items():
+        assert sim[k][0] == co
+        assert abs(sim[k][1] - round(s, 6)) < 1e-9
+
+
+def test_similarity_equals_dense_cosine(spark):
+    """The co-occurrence formula IS cosine on binary vectors — verify
+    against a numpy dense computation (the reference's method,
+    dags/daily_pipeline.py:391-398)."""
+    import numpy as np
+
+    users = sorted({u for u, _ in FIXTURE})
+    items = sorted({i for _, i in FIXTURE})
+    m = np.zeros((len(users), len(items)))
+    for u, i in FIXTURE:
+        m[users.index(u), items.index(i)] = 1.0
+    norms = np.linalg.norm(m, axis=0)
+    dense = (m.T @ m) / np.outer(norms, norms)
+    got = cf.item_similarity(
+        _inter(spark), user_col="user", item_col="item"
+    ).collect()
+    for r in got:
+        ia, ib = items.index(r["item_a"]), items.index(r["item_b"])
+        assert abs(r["cosine_sim"] - dense[ia, ib]) < 1e-6
+
+
+def test_recommend_masks_purchases_and_ranks(spark):
+    inter = _inter(spark)
+    sim = cf.item_similarity(inter, user_col="user", item_col="item")
+    recs = cf.recommend(
+        inter, sim, user_col="user", item_col="item", top_n=10
+    ).collect()
+    by_user = {}
+    for r in recs:
+        by_user.setdefault(r["user"], []).append(r)
+    owned = {}
+    for u, i in FIXTURE:
+        owned.setdefault(u, set()).add(i)
+    for u, rows in by_user.items():
+        cands = [r["item"] for r in rows]
+        assert not (set(cands) & owned[u])  # purchased items masked
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)  # ranked desc
+    # u1 owns {A,B}: candidates C (sim B-C + sim A-C) and nothing else >0
+    u1 = {r["item"]: r["score"] for r in by_user["u1"]}
+    expect_c = round(1 / math.sqrt(6), 6) + round(2 / 3, 6)
+    assert set(u1) == {"C"}
+    assert abs(u1["C"] - expect_c) < 1e-9
+
+
+def test_split_deterministic_and_partition_invariant(spark):
+    inter = _interactions_large(spark)
+    t1, e1 = interactions.split_train_eval(
+        inter, user_col="user", item_col="item", seed=42
+    )
+    t2, e2 = interactions.split_train_eval(
+        inter.repartition(7), user_col="user", item_col="item", seed=42
+    )
+    # same membership regardless of partitioning
+    assert sorted(map(tuple, t1.collect())) == sorted(map(tuple, t2.collect()))
+    # partition: union == all, intersection == empty
+    n_all = inter.count()
+    assert t1.count() + e1.count() == n_all
+    assert t1.intersect(e1).count() == 0
+    # fraction roughly respected
+    frac = e1.count() / n_all
+    assert 0.1 < frac < 0.3
+
+
+def _interactions_large(spark):
+    rows = [(f"u{i % 50}", f"i{(i * 7) % 200}") for i in range(1000)]
+    return spark.createDataFrame(
+        rows, "user string, item string"
+    ).dropDuplicates()
+
+
+def test_accumulate_eval_keeps_latest(spark):
+    day1 = spark.createDataFrame(
+        [("u1", "A", "2024-01-01"), ("u2", "B", "2024-01-01")],
+        "user string, item string, d string",
+    )
+    day2 = spark.createDataFrame(
+        [("u1", "A", "2024-01-02"), ("u3", "C", "2024-01-02")],
+        "user string, item string, d string",
+    )
+    out = interactions.accumulate_eval(
+        [day1, day2], user_col="user", item_col="item", order_col="d"
+    ).collect()
+    got = {(r["user"], r["item"]): r["d"] for r in out}
+    assert got == {
+        ("u1", "A"): "2024-01-02",  # latest wins
+        ("u2", "B"): "2024-01-01",
+        ("u3", "C"): "2024-01-02",
+    }
+
+
+def test_coverage_and_precision(spark):
+    train = spark.createDataFrame(
+        [("u1", "A"), ("u2", "B")], "user string, item string"
+    )
+    ev = spark.createDataFrame(
+        [("u1", "B"), ("u2", "C"), ("u9", "A"), ("u9", "Z")],
+        "user string, item string",
+    )
+    cov = evaluate.coverage(
+        train, ev, user_col="user", item_col="item"
+    ).collect()[0]
+    assert cov["eval_rows"] == 4
+    assert cov["user_coverage"] == 0.5  # u1,u2 rows in train users
+    # items in train: {A, B}; eval items B, C, A, Z -> covered rows 2/4
+    assert cov["item_coverage"] == 0.5
+    recs = spark.createDataFrame(
+        [("u1", "B", 1), ("u1", "C", 2), ("u2", "C", 1), ("u2", "A", 2)],
+        "user string, item string, rank int",
+    )
+    prec = evaluate.precision_at_k(
+        recs, ev, user_col="user", item_col="item", k=2
+    ).collect()[0]
+    # u1: hits {B} -> 1/2 ; u2: hits {C} -> 1/2 ; avg = 0.5
+    assert prec["evaluated_users"] == 2
+    assert abs(prec["precision_at_k"] - 0.5) < 1e-9
+
+
+def test_best_model_cas():
+    new = {"overall_coverage": 0.8, "precision_at_k": 0.2}
+    assert evaluate.is_better_model(new, None)
+    assert evaluate.is_better_model(
+        new, {"overall_coverage": 0.7, "precision_at_k": 0.9}
+    )
+    assert evaluate.is_better_model(
+        new, {"overall_coverage": 0.795, "precision_at_k": 0.1}
+    )
+    assert not evaluate.is_better_model(
+        new, {"overall_coverage": 0.795, "precision_at_k": 0.3}
+    )
+    assert not evaluate.is_better_model(
+        new, {"overall_coverage": 0.9, "precision_at_k": 0.1}
+    )

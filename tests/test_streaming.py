@@ -1,0 +1,178 @@
+"""Streaming alert engine tests: replay the reference's canonical
+6-row CDC corpus (FIXTURES.md §4; reference scripts/test_cdc_alerts.py:34-50)
+through the Structured Streaming pipeline — expect exactly 4 alerts
+with first-match-wins types."""
+
+from __future__ import annotations
+
+import tempfile
+
+from data_pipeline_mlops_spark.streaming import alert_stream, microbatch
+
+# (order_id, total, quantity, price, expected alert type or None)
+CORPUS = [
+    ("O1001", 200.0, 2, 100.0, None),
+    ("O1002", 450.0, 3, 150.0, None),
+    ("O2001", 15000.0, 5, 3000.0, "HIGH_VALUE_ORDER"),
+    ("O2002", 5000.0, 60, 83.0, "SUSPICIOUS_QUANTITY"),
+    ("O2003", -500.0, 5, -100.0, "NEGATIVE_PRICE"),
+    ("O2004", 999.0, 0, 999.0, "INVALID_QUANTITY"),
+]
+
+
+def _corpus_rows():
+    return [
+        {
+            "order_id": oid,
+            "total": total,
+            "quantity": qty,
+            "price": price,
+            "customer_id": f"CUST{i:04d}",
+            "product_name": f"Product {i}",
+        }
+        for i, (oid, total, qty, price, _) in enumerate(CORPUS, 1)
+    ]
+
+
+def test_streaming_alert_corpus(spark):
+    with tempfile.TemporaryDirectory() as d:
+        alert_stream.write_corpus(d, _corpus_rows())
+        src = alert_stream.file_json_source(spark, d)
+        assert src.isStreaming
+        alerts = alert_stream.alert_pipeline(src)
+        alert_stream.run_to_memory(alerts, query_name="alerts_corpus")
+        got = {
+            r["order_id"]: r["alert_type"]
+            for r in spark.sql("SELECT * FROM alerts_corpus").collect()
+        }
+    expected = {oid: t for oid, _, _, _, t in CORPUS if t is not None}
+    assert got == expected  # exactly 4 alerts, correct types, no extras
+
+
+def test_batch_and_stream_rules_agree(spark):
+    """The same rule objects drive batch and streaming (stateless
+    expressions) — classify the corpus as a batch frame and compare."""
+    batch = spark.createDataFrame(
+        _corpus_rows(),
+        schema=alert_stream.CDC_ORDER_SCHEMA,
+    )
+    out = alert_stream.alert_pipeline(batch).collect()
+    got = {r["order_id"]: r["alert_type"] for r in out}
+    expected = {oid: t for oid, _, _, _, t in CORPUS if t is not None}
+    assert got == expected
+
+
+def test_multi_rule_row_takes_first_match(spark):
+    """CASE order matters (FIXTURES.md): a row matching every rule gets
+    HIGH_VALUE_ORDER."""
+    row = [
+        {
+            "order_id": "OALL",
+            "total": 99999.0,
+            "quantity": -5,
+            "price": -1.0,
+            "customer_id": "C1",
+            "product_name": "P",
+        }
+    ]
+    batch = spark.createDataFrame(row, schema=alert_stream.CDC_ORDER_SCHEMA)
+    out = alert_stream.alert_pipeline(batch).collect()
+    assert len(out) == 1 and out[0]["alert_type"] == "HIGH_VALUE_ORDER"
+
+
+def test_malformed_json_rows_become_nulls_not_errors(spark):
+    """Lenient JSON parity: garbage records parse to nulls (PERMISSIVE),
+    they don't kill the stream."""
+    from pyspark.sql import functions as F
+
+    raw = spark.createDataFrame(
+        [("not json at all",), ('{"order_id": "OK1", "total": 20000.0}',)],
+        "value string",
+    )
+    parsed = alert_stream.parse_cdc_json(raw)
+    rows = {r["order_id"] for r in parsed.collect()}
+    assert rows == {None, "OK1"}
+    alerts = alert_stream.alert_pipeline(parsed).collect()
+    assert [r["order_id"] for r in alerts] == ["OK1"]
+
+
+def test_format_alert_message():
+    msg = alert_stream.format_alert_message(
+        {
+            "alert_type": "HIGH_VALUE_ORDER",
+            "order_id": "O1",
+            "total": 15000.0,
+            "quantity": 5,
+        }
+    )
+    assert "O1" in msg and "$15,000.00" in msg
+
+
+def test_windowed_rapid_orders(spark):
+    """T4 windowed rule (beyond-parity): 3 orders in 5 minutes fire."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("C1", base + dt.timedelta(minutes=m)) for m in (0, 1, 2)
+    ] + [("C2", base), ("C2", base + dt.timedelta(minutes=30))]
+    df = spark.createDataFrame(rows, "customer_id string, event_ts timestamp")
+    out = alert_stream.windowed_rapid_orders(df, threshold=3).collect()
+    assert len(out) == 1
+    assert out[0]["customer_id"] == "C1" and out[0]["order_count"] == 3
+
+
+def test_dashboard_microbatch_snapshots(spark, tmp_path):
+    """§3.2 parity: five metric tables snapshot + notify callback."""
+    import datetime as dt
+
+    rows = [
+        (
+            f"O{i}",
+            dt.datetime(2024, 1, 1, 10 + (i % 3)),
+            f"C{i % 4}",
+            f"P{i % 5}",
+            "Electronics" if i % 2 else "Books",
+            ["North", "South"][i % 2],
+            float(100 * (i + 1)),
+            i + 1,
+            "completed",
+        )
+        for i in range(12)
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "order_id string, order_date timestamp, customer_id string,"
+        "product_name string, category string, region string,"
+        "total double, quantity int, status string",
+    )
+    notifications = []
+    body = microbatch.refresh_dashboard(
+        base_path=str(tmp_path),
+        notify=notifications.append,
+        metric_kwargs=dict(
+            ts_col="order_date",
+            amount_col="total",
+            customer_col="customer_id",
+            product_col="product_name",
+            category_col="category",
+            region_col="region",
+            qty_col="quantity",
+            statuses=["completed", "processing"],
+            status_col="status",
+        ),
+    )
+    body(orders, batch_id=7)
+    for name in (
+        "overall_metrics",
+        "top_products",
+        "category_stats",
+        "regional_stats",
+        "hourly_stats",
+    ):
+        snap = spark.read.parquet(f"{tmp_path}/{name}")
+        assert snap.count() > 0, name
+    overall = spark.read.parquet(f"{tmp_path}/overall_metrics").collect()[0]
+    assert overall["total_orders"] == 12
+    assert notifications and notifications[0]["batch_id"] == 7
+    assert notifications[0]["overall"]["total_orders"] == 12
