@@ -1,0 +1,99 @@
+"""Serving functions over model tables (SURVEY.md §2.10 M7/M8/M13;
+reference recommendation/main.py minus HTTP).
+
+The reference serves from pickled numpy matrices + Redis cache; here
+the model is the sparse similarity parquet table and serving is the
+same DataFrame computation as training-time scoring. The cache is a
+pluggable get/set pair (M13 is adapter territory, not engine)."""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_pipeline_mlops_spark.ml import cf
+
+
+class Recommender:
+    """Loads the model tables once, answers recommend/similar/stats.
+
+    reference parity: recommendation/main.py:145-221 (scoring, similar
+    items) and :403-434 (stats)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        *,
+        similarity_path: str,
+        interactions_path: str,
+        user_col: str = "customer_id",
+        item_col: str = "product_id",
+        cache_get: Callable[[str], str | None] | None = None,
+        cache_set: Callable[[str, str], None] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.user_col = user_col
+        self.item_col = item_col
+        self.sim = spark.read.parquet(similarity_path).cache()
+        self.interactions = spark.read.parquet(interactions_path).cache()
+        self._cache_get = cache_get
+        self._cache_set = cache_set
+
+    def recommend(self, user, top_n: int = 10) -> list[dict]:
+        """Top-n for one user; cached when a cache adapter is wired
+        (reference 86400s Redis TTL, recommendation/main.py:294-330)."""
+        key = f"rec:user:{user}:top{top_n}"
+        if self._cache_get is not None:
+            hit = self._cache_get(key)
+            if hit is not None:
+                return json.loads(hit)
+        from pyspark.sql import functions as F
+
+        purchases = self.interactions.where(F.col(self.user_col) == user)
+        recs = cf.recommend(
+            purchases, self.sim,
+            user_col=self.user_col, item_col=self.item_col, top_n=top_n,
+        )
+        out = [
+            {"item": r[self.item_col], "score": r["score"], "rank": r["rank"]}
+            for r in recs.collect()
+        ]
+        if self._cache_set is not None:
+            self._cache_set(key, json.dumps(out))
+        return out
+
+    def similar(self, item, top_n: int = 10) -> list[dict]:
+        rows = cf.similar_items(self.sim, item=item, top_n=top_n).collect()
+        return [
+            {"item": r["similar_item"], "similarity": r["cosine_sim"]}
+            for r in rows
+        ]
+
+    def stats(self) -> dict:
+        """M11/A11-style model stats (reference recommendation/main.py:403-434)."""
+        from pyspark.sql import functions as F
+
+        n_users = (
+            self.interactions.select(self.user_col).distinct().count()
+        )
+        n_items = (
+            self.interactions.select(self.item_col).distinct().count()
+        )
+        n_inter = self.interactions.count()
+        sim_stats = self.sim.agg(
+            F.count(F.lit(1)).alias("pairs"),
+            F.avg("cosine_sim").alias("mean_sim"),
+        ).collect()[0]
+        dense_cells = n_users * n_items
+        return {
+            "n_users": n_users,
+            "n_items": n_items,
+            "n_interactions": n_inter,
+            "sparsity": round(1 - n_inter / dense_cells, 6)
+            if dense_cells
+            else 0.0,
+            "similarity_pairs": sim_stats["pairs"],
+            "mean_similarity": round(sim_stats["mean_sim"] or 0.0, 6),
+        }
