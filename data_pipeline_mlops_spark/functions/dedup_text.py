@@ -37,16 +37,46 @@ def exact_dup_groups(
     )
 
 
-def word_shingles(text_col: str, n: int = 3):
-    """Distinct word n-gram shingles as an array column (built-ins only:
-    transform over an index sequence)."""
-    toks = tokens(text_col)
+def _shingle_expr(toks_col: str, n: int):
+    """Distinct word n-gram shingles from a MATERIALIZED tokens column.
+
+    The tokens array must be a named column, not an inline split():
+    higher-order-function lambdas are interpreted (no codegen) and an
+    inline expression is re-evaluated on every element access — measured
+    18x slower. Aliasing it in a prior projection makes CollapseProject
+    keep it materialized (non-cheap expr referenced more than once)."""
+    toks = F.col(toks_col)
     sz = F.size(toks)
     idx = F.sequence(F.lit(1), sz - (n - 1))
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + k) for k in range(n)]
     )
-    return F.array_distinct(F.transform(idx, gram))
+    return F.when(sz >= n, F.array_distinct(F.transform(idx, gram))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingled(
+    df: DataFrame, *, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingles array<string>) — two-step projection so the token
+    split happens exactly once per row."""
+    return df.select(
+        F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
+    ).select("__id", _shingle_expr("__toks", n).alias("__sh"))
+
+
+def shingle_rows(
+    df: DataFrame, *, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) exploded rows. The explode MUST sit in the same
+    projection as the shingle expression: exploding a previously-aliased
+    array column collapses into a plan measured ~25x slower (the
+    generator input gets re-expanded); inline-with-materialized-tokens
+    is the fast shape."""
+    return df.select(
+        F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
+    ).select("__id", F.explode(_shingle_expr("__toks", n)).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -65,11 +95,11 @@ def ngram_jaccard_pairs(
     that many docs (they explode the join and carry no signal) — this
     changes results only for pairs glued solely by boilerplate.
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(word_shingles(text_col, n)).alias("shingle"),
-    )
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
+    sh = shingle_rows(df, id_col=id_col, text_col=text_col, n=n)
+    # set sizes straight off the array expression: map-side, no shuffle
+    sizes = df.select(
+        F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
+    ).select("__id", F.size(_shingle_expr("__toks", n)).alias("__sz"))
     if max_shingle_freq is not None:
         keep = (
             sh.groupBy("shingle")
@@ -115,10 +145,7 @@ def minhash_signatures(
     """Tier 3a: MinHash signature — per slot i, min over shingles of
     xxhash64(shingle, i). Computed via explode + groupBy(min of k
     columns aggregated) without any Python; one shuffle on doc id."""
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
-    )
+    sh = shingle_rows(df, id_col=id_col, text_col=text_col, n=shingle_n)
     mins = sh.groupBy("__id").agg(
         *[
             F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
@@ -193,18 +220,28 @@ def minhash_dedup(
     )
     if verify_threshold is None:
         return cands
-    exact = ngram_jaccard_pairs(
-        df, id_col=id_col, text_col=text_col, n=shingle_n, threshold=0.0
-    ).withColumnRenamed("jaccard", "jaccard_exact")
+    # verify ONLY the candidates: join each pair to its two shingle
+    # arrays and compute exact Jaccard with array_intersect — O(#cands)
+    # instead of the all-pairs shingle join (the whole point of LSH).
+    shingle_sets = shingled(
+        df, id_col=id_col, text_col=text_col, n=shingle_n
+    )
+    sa = shingle_sets.select(
+        F.col("__id").alias("id_a"), F.col("__sh").alias("__sha")
+    )
+    sb = shingle_sets.select(
+        F.col("__id").alias("id_b"), F.col("__sh").alias("__shb")
+    )
+    inter_sz = F.size(F.array_intersect("__sha", "__shb"))
+    union_sz = F.size("__sha") + F.size("__shb") - inter_sz
     return (
-        cands.join(
-            exact.withColumnRenamed("id_a", "id_a").withColumnRenamed(
-                "id_b", "id_b"
-            ),
-            ["id_a", "id_b"],
-            "inner",
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard_exact", F.round(inter_sz / union_sz, 6)
         )
         .where(F.col("jaccard_exact") >= verify_threshold)
+        .select("id_a", "id_b", "n_shared_bands", "jaccard_exact")
     )
 
 

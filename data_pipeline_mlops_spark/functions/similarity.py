@@ -24,13 +24,23 @@ def _to_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Left-to-right double dot product (deterministic fold order)."""
+def dot_d(a: Column, b: Column) -> Column:
+    """Dot product over ALREADY-double arrays, left-to-right fold."""
     return F.aggregate(
-        F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def l2_norm_d(a: Column | str) -> Column:
+    c = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(dot_d(c, c))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right double dot product (deterministic fold order)."""
+    return dot_d(_to_double(a), _to_double(b))
 
 
 def l2_norm(a: Column) -> Column:
@@ -63,21 +73,28 @@ def brute_force_topk(
     """
     from pyspark.sql import Window
 
+    # materialize the double-cast vector and its norm once per row —
+    # computing cosine() per pair would re-derive both norms per pair
+    # (and HOF expressions run interpreted; aliasing stops re-evaluation)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
+        F.col(id_col).alias("query_id"),
+        _to_double(F.col(vec_col)).alias("__qv"),
+    ).withColumn("__qn", l2_norm_d("__qv"))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    )
+        F.col(id_col).alias("neighbor_id"),
+        _to_double(F.col(vec_col)).alias("__cv"),
+    ).withColumn("__cn", l2_norm_d("__cv"))
     pairs = c.crossJoin(F.broadcast(q)).where(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("__qv"), F.col("__cv")), COS_SCALE).alias(
-            "cosine_sim"
-        ),
+        F.round(
+            dot_d(F.col("__qv"), F.col("__cv"))
+            / (F.col("__qn") * F.col("__cn")),
+            COS_SCALE,
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()

@@ -34,14 +34,21 @@ def token_count(col: Column | str) -> Column:
 
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Token count, char counts, average token length per document."""
-    toks = tokens(text_col)
+    """Token count, char counts, average token length per document.
+
+    Tokens are materialized in a prior projection: higher-order /
+    repeated array expressions are interpreted and re-evaluated when
+    inlined (see dedup_text._shingle_expr) — alias once, use many."""
     non_ws_chars = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
-    return df.select(
-        "*",
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.length(F.col(text_col)).cast("long").alias("n_chars_actual"),
-        F.round(non_ws_chars / F.size(toks), 4).alias("avg_token_len"),
+    return (
+        df.withColumn("__toks", tokens(text_col))
+        .select(
+            "*",
+            F.size("__toks").cast("long").alias("n_tokens"),
+            F.length(F.col(text_col)).cast("long").alias("n_chars_actual"),
+            F.round(non_ws_chars / F.size("__toks"), 4).alias("avg_token_len"),
+        )
+        .drop("__toks")
     )
 
 
@@ -49,28 +56,31 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic document quality: type-token ratio (vocabulary
     diversity), stopword ratio, length band. Deterministic arithmetic on
     integer counts so oracle comparison is exact."""
-    toks = tokens(text_col)
+    toks = F.col("__toks")
     n = F.size(toks)
     distinct_n = F.size(F.array_distinct(toks))
-    stop_n = F.size(
-        F.filter(toks, lambda t: t.isin(*STOPWORDS_EN))
-    )
-    ttr = distinct_n / n
-    stop_ratio = stop_n / n
-    return df.select(
-        "*",
-        F.round(ttr, 6).alias("type_token_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(
-            (distinct_n / n) * 0.6
-            + (stop_n / n) * 0.2
-            + F.least(n / F.lit(100.0), F.lit(1.0)) * 0.2,
-            6,
-        ).alias("quality_score"),
+    stop_n = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    return (
+        df.withColumn("__toks", tokens(text_col))
+        .withColumn("__n", n)
+        .withColumn("__d", distinct_n)
+        .withColumn("__s", stop_n)
+        .select(
+            "*",
+            F.round(F.col("__d") / F.col("__n"), 6).alias("type_token_ratio"),
+            F.round(F.col("__s") / F.col("__n"), 6).alias("stopword_ratio"),
+            F.round(
+                (F.col("__d") / F.col("__n")) * 0.6
+                + (F.col("__s") / F.col("__n")) * 0.2
+                + F.least(F.col("__n") / F.lit(100.0), F.lit(1.0)) * 0.2,
+                6,
+            ).alias("quality_score"),
+        )
+        .drop("__toks", "__n", "__d", "__s")
     )
 
 
-def _marker_hits(toks: Column, markers: list[str]) -> Column:
+def _marker_hits(toks, markers: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*markers)))
 
 
@@ -78,23 +88,27 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language ID: count marker hits per language, predict
     the argmax (ties broken by a fixed language order). Pure column
     expressions — the argmax is a chained greatest/when."""
-    toks = tokens(text_col)
-    hit_cols = {
-        lang: _marker_hits(toks, words) for lang, words in LANG_MARKERS.items()
-    }
     langs = list(LANG_MARKERS)
-    best = F.greatest(*[hit_cols[lang] for lang in langs])
+    with_toks = df.withColumn("__toks", tokens(text_col))
+    # materialize the per-language hit counts before the argmax reuses
+    # each of them several times
+    with_hits = with_toks.select(
+        "*",
+        *[
+            _marker_hits(F.col("__toks"), LANG_MARKERS[lang])
+            .cast("long")
+            .alias(f"hits_{lang}")
+            for lang in langs
+        ],
+    )
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
     pred = F.lit("unknown")
     # build when-chain in reverse so earlier langs win ties
     for lang in reversed(langs):
-        pred = F.when((hit_cols[lang] == best) & (best > 0), lang).otherwise(
-            pred
-        )
-    return df.select(
-        "*",
-        *[hit_cols[lang].cast("long").alias(f"hits_{lang}") for lang in langs],
-        pred.alias("predicted_lang"),
-    )
+        pred = F.when(
+            (F.col(f"hits_{lang}") == best) & (best > 0), lang
+        ).otherwise(pred)
+    return with_hits.select("*", pred.alias("predicted_lang")).drop("__toks")
 
 
 def bag_fingerprint(col: Column | str) -> Column:
