@@ -1147,3 +1147,170 @@ def oracle_queries() -> dict[str, str]:
         for name, spec in QUERIES.items()
         if spec.oracle is not None
     }
+
+
+# --------------------------------------------------------------------------
+# scalar-function / advanced-aggregation surface (SURVEY §2.3 P13-P14,
+# §2.5 extensions the reference gets for free from Catalyst)
+# --------------------------------------------------------------------------
+
+
+def q_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13 JSON parse + P14 string formatting: extract the `k` field
+    from the events props JSON payload, format a label, aggregate
+    (reference flink lenient-JSON parse + Telegram templating)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.format_string("user-%d|%s", F.col("user_id"), F.col("event_type"))
+        .alias("label"),
+        "value",
+    )
+    return parsed.groupBy((F.col("k") % 10).alias("k_bucket")).agg(
+        F.count(F.lit(1)).alias("event_count"),
+        money_sum("value", "total_value"),
+        F.countDistinct("label").alias("unique_labels"),
+    )
+
+
+ORACLE_EVENT_PROPS_JSON = f"""
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS event_count,
+       {_osum('value', 'total_value')},
+       COUNT(DISTINCT printf('user-%d|%s', user_id, event_type))
+         AS unique_labels
+FROM events GROUP BY 1
+"""
+
+
+def q_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: quantity matrix returnflag x linestatus. Spark `pivot`
+    compiles to the same conditional aggregation the oracle spells out."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+        .select(
+            "l_returnflag",
+            F.col("O").alias("qty_open"),
+            F.col("F").alias("qty_filled"),
+        )
+    )
+
+
+ORACLE_STATUS_PIVOT = """
+SELECT l_returnflag,
+       SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_open,
+       SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_filled
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: revenue by (year, status) with subtotal and
+    grand-total rows — hierarchy totals in one pass (a Catalyst freebie
+    the reference could never express in pandas groupby)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_year", F.year("o_orderdate"))
+        .rollup("order_year", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            money_sum("o_totalprice", "revenue"),
+        )
+    )
+
+
+ORACLE_ROLLUP_REVENUE = f"""
+SELECT EXTRACT(year FROM o_orderdate) AS order_year, o_orderstatus,
+       COUNT(*) AS order_count,
+       {_osum('o_totalprice', 'revenue')}
+FROM orders
+GROUP BY ROLLUP (1, 2)
+"""
+
+
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame aggregation: per-customer cumulative revenue over
+    their order sequence. The running SUM goes through exact decimals —
+    a running double sum would be order-of-addition dependent."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderkey").alias("order_key"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w), 2
+        )
+        .cast("double")
+        .alias("running_revenue"),
+    )
+
+
+ORACLE_RUNNING_REVENUE = """
+SELECT o_custkey AS customer_id,
+       o_orderkey AS order_key,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+         PARTITION BY o_custkey
+         ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+         AS running_revenue
+FROM orders WHERE o_custkey <= 100
+"""
+
+
+# ----- additional rows-only engine paths -----
+
+
+def q_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: deterministic hash-based stratified-ish split — returns
+    per-side counts (split membership is xxhash64-based, not
+    SQL-expressible in DuckDB => rows-only; invariants are pytest-
+    checked: partition, determinism under repartitioning)."""
+    from data_pipeline_mlops_spark.ml.interactions import split_train_eval
+
+    inter = _interactions(spark, sf_dir)
+    train, ev = split_train_eval(
+        inter, user_col="customer_id", item_col="product_id", seed=42
+    )
+    return (
+        train.withColumn("side", F.lit("train"))
+        .unionByName(ev.withColumn("side", F.lit("eval")))
+        .groupBy("side")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — the opt-in sketch path for
+    100 TB cardinalities (SURVEY §2.5 note). Sketch internals differ
+    from DuckDB's => rows-only; exactness is bounded by rsd."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+QUERIES.update(
+    {
+        "event_props_json": QuerySpec(
+            q_event_props_json, ORACLE_EVENT_PROPS_JSON
+        ),
+        "status_pivot": QuerySpec(q_status_pivot, ORACLE_STATUS_PIVOT),
+        "rollup_revenue": QuerySpec(q_rollup_revenue, ORACLE_ROLLUP_REVENUE),
+        "running_revenue": QuerySpec(
+            q_running_revenue, ORACLE_RUNNING_REVENUE
+        ),
+        "train_eval_split": QuerySpec(q_train_eval_split, None),
+        "approx_distinct": QuerySpec(q_approx_distinct, None),
+    }
+)
