@@ -126,3 +126,26 @@ def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(F.col(text_col)).alias("exact_fingerprint"),
         bag_fingerprint(text_col).alias("bag_fingerprint"),
     )
+
+
+def rolling_hash(toks_col: str, *, base: int = 31, mod: int = 2147483647) -> Column:
+    """Order-SENSITIVE document fingerprint: polynomial rolling hash
+    over per-token crc32 codes, folded left-to-right with modular
+    arithmetic kept under 2^36 (no overflow in either long or int64
+    semantics). Complements bag_fingerprint (order-insensitive): equal
+    bags with different word order get different rolling hashes."""
+    return F.aggregate(
+        F.col(toks_col),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * base + F.crc32(t.cast("binary"))) % mod,
+    )
+
+
+def with_rolling_fingerprint(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    return (
+        df.withColumn("__toks", tokens(text_col))
+        .withColumn("rolling_hash", rolling_hash("__toks"))
+        .drop("__toks")
+    )

@@ -6,5 +6,6 @@ from data_pipeline_mlops_spark.operators import (  # noqa: F401
     exact,
     joins,
     setops,
+    skew,
     topk,
 )

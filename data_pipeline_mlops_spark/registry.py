@@ -1314,3 +1314,154 @@ QUERIES.update(
         "approx_distinct": QuerySpec(q_approx_distinct, None),
     }
 )
+
+
+def q_cf_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 precision@5 computed exhaustively (reference samples 100
+    users unseeded, dags/daily_pipeline.py:490-535 — we evaluate every
+    scored user deterministically). Train = interactions before
+    1998-01-01, eval = on/after; recommendations from train only, for
+    customers <= 50. The average is SUM(hits)/(k*users) — one integer
+    division, no order-dependent double accumulation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    base = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("l_partkey").alias("product_id"),
+        F.col("o_orderdate").alias("od"),
+    )
+    cut = "1998-01-01"
+    train = base.where(F.col("od") < cut).select(
+        "customer_id", "product_id"
+    ).distinct()
+    ev = base.where(F.col("od") >= cut).select(
+        "customer_id", "product_id"
+    ).distinct()
+    sim = cf.item_similarity(
+        train, user_col="customer_id", item_col="product_id",
+        min_cooccurrence=1,
+    )
+    recs = cf.recommend(
+        train.where(F.col("customer_id") <= 50),
+        sim,
+        user_col="customer_id",
+        item_col="product_id",
+        top_n=5,
+    )
+    hits = recs.join(ev, ["customer_id", "product_id"]).groupBy(
+        "customer_id"
+    ).agg(F.count(F.lit(1)).alias("__h"))
+    per_user = (
+        recs.select("customer_id")
+        .distinct()
+        .join(hits, "customer_id", "left")
+        .select(
+            "customer_id",
+            F.coalesce(F.col("__h"), F.lit(0)).alias("__hits"),
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("evaluated_users"),
+        F.sum("__hits").alias("total_hits"),
+        F.round(
+            F.sum("__hits") / (F.lit(5) * F.count(F.lit(1))), 6
+        ).alias("precision_at_5"),
+    )
+
+
+ORACLE_CF_PRECISION = """
+WITH base AS (
+  SELECT o_custkey AS customer_id, l_partkey AS product_id, o_orderdate AS od
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+train AS (
+  SELECT DISTINCT customer_id, product_id FROM base
+  WHERE od < TIMESTAMP '1998-01-01'
+),
+ev AS (
+  SELECT DISTINCT customer_id, product_id FROM base
+  WHERE od >= TIMESTAMP '1998-01-01'
+),
+cnt AS (SELECT product_id, COUNT(*) AS c FROM train GROUP BY 1),
+cooc AS (
+  SELECT a.product_id AS item_a, b.product_id AS item_b, COUNT(*) AS co
+  FROM train a JOIN train b ON a.customer_id = b.customer_id
+  WHERE a.product_id < b.product_id
+  GROUP BY 1, 2
+),
+sim AS (
+  SELECT item_a, item_b,
+         CAST(ROUND(co / SQRT(ca.c * cb.c), 6) AS DECIMAL(18,6)) AS s
+  FROM cooc
+  JOIN cnt ca ON ca.product_id = item_a
+  JOIN cnt cb ON cb.product_id = item_b
+),
+sym AS (
+  SELECT item_a, item_b, s FROM sim
+  UNION ALL
+  SELECT item_b AS item_a, item_a AS item_b, s FROM sim
+),
+scored AS (
+  SELECT t.customer_id, sym.item_b AS product_id, SUM(sym.s) AS score_dec
+  FROM train t JOIN sym ON t.product_id = sym.item_a
+  WHERE t.customer_id <= 50
+  GROUP BY 1, 2
+),
+masked AS (
+  SELECT s.customer_id, s.product_id, s.score_dec
+  FROM scored s
+  LEFT JOIN train t ON t.customer_id = s.customer_id
+                   AND t.product_id = s.product_id
+  WHERE t.customer_id IS NULL AND s.score_dec > 0
+),
+ranked AS (
+  SELECT customer_id, product_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY customer_id
+           ORDER BY score_dec DESC, product_id ASC) AS rn
+  FROM masked
+),
+recs AS (SELECT customer_id, product_id FROM ranked WHERE rn <= 5),
+hits AS (
+  SELECT r.customer_id, COUNT(ev.product_id) AS h
+  FROM recs r
+  LEFT JOIN ev ON ev.customer_id = r.customer_id
+              AND ev.product_id = r.product_id
+  GROUP BY 1
+)
+SELECT COUNT(*) AS evaluated_users,
+       CAST(SUM(h) AS BIGINT) AS total_hits,
+       ROUND(SUM(h) / (5 * COUNT(*)), 6) AS precision_at_5
+FROM hits
+"""
+
+QUERIES["cf_precision"] = QuerySpec(q_cf_precision, ORACLE_CF_PRECISION)
+
+
+def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint per document (crc32 not
+    available in DuckDB => rows-only; determinism is pytest-checked)."""
+    return text.with_rolling_fingerprint(_docs(spark, sf_dir), "text").select(
+        "doc_id", "rolling_hash"
+    )
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: KMeans coarse quantizer + n_probe cell search
+    (ml/ivf.py). Approximate by construction => rows-only; the exact
+    baseline is ann_cosine_topk."""
+    from data_pipeline_mlops_spark.ml.ivf import build_ivf_index, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, assigned = build_ivf_index(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=8
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    return ivf_topk(
+        queries, centroids, assigned,
+        id_col="vec_id", vec_col="embedding", k=5, n_probe=3,
+    )
+
+
+QUERIES["doc_rolling_hash"] = QuerySpec(q_doc_rolling_hash, None)
+QUERIES["ivf_ann_topk"] = QuerySpec(q_ivf_ann_topk, None)

@@ -156,3 +156,71 @@ def test_real_decode_path_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"...", "image")
+
+
+def test_rolling_hash_order_sensitive(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    fp = {
+        r["doc_id"]: r["rolling_hash"]
+        for r in text.with_rolling_fingerprint(docs).collect()
+    }
+    assert fp[1] == fp[3]  # identical order -> identical hash
+    assert fp[1] != fp[2]  # same bag, different order -> different hash
+    # but bag fingerprints collide for 1 and 2
+    bag = {
+        r["doc_id"]: r["bag_fingerprint"]
+        for r in text.with_fingerprints(docs).collect()
+    }
+    assert bag[1] == bag[2]
+
+
+def test_ivf_ann_recall_against_exact(spark):
+    """IVF with enough probes must recover most exact neighbors."""
+    from data_pipeline_mlops_spark.ml.ivf import build_ivf_index, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(
+        queries, emb, id_col="vec_id", vec_col="embedding", k=5
+    )
+    centroids, assigned = build_ivf_index(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=4
+    )
+    approx = ivf_topk(
+        queries, centroids, assigned,
+        id_col="vec_id", vec_col="embedding", k=5, n_probe=4,
+    )
+    # n_probe == n_clusters => searches everything => equals exact
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert e == a
+
+
+def test_salted_sum_matches_plain(spark):
+    from data_pipeline_mlops_spark.operators.skew import salted_join, salted_sum
+
+    df = spark.createDataFrame(
+        [("hot", float(i), i) for i in range(500)]
+        + [("cold", 1.0, 1), ("cold", 2.0, 2)],
+        "k string, v double, n int",
+    )
+    plain = {
+        r["k"]: (r["s"], r["c"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["s"], r["c"])
+        for r in salted_sum(
+            df, ["k"], {"s": F.sum("v"), "c": F.count(F.lit(1))}, n_salts=8
+        ).collect()
+    }
+    assert plain == salted
+    dim = spark.createDataFrame([("hot", "H"), ("cold", "C")], "k string, label string")
+    joined = salted_join(df, dim, "k", n_salts=4)
+    assert joined.count() == df.count()
+    assert joined.where(F.col("label").isNull()).count() == 0
