@@ -1,1 +1,7 @@
-from data_pipeline_mlops_spark.ml import cf, evaluate, interactions  # noqa: F401
+from data_pipeline_mlops_spark.ml import (  # noqa: F401
+    cf,
+    evaluate,
+    interactions,
+    ivf,
+    model_registry,
+)

@@ -177,3 +177,41 @@ def test_best_model_cas():
     assert not evaluate.is_better_model(
         new, {"overall_coverage": 0.9, "precision_at_k": 0.1}
     )
+
+
+def test_model_registry_promote_and_load(spark, tmp_path):
+    from data_pipeline_mlops_spark.ml import model_registry as reg
+
+    path = str(tmp_path / "registry")
+    sim_v1 = spark.createDataFrame(
+        [("A", "B", 2, 0.5)], "item_a string, item_b string, cooccurrence long, cosine_sim double"
+    )
+    m1 = {"overall_coverage": 0.5, "precision_at_k": 0.1}
+    assert reg.save_version(
+        spark, registry_path=path, version="v1", tables={"item_similarity": sim_v1},
+        metrics=m1, now=1.0,
+    )  # first model always promotes
+    assert reg.production_version(spark, path) == "v1"
+
+    # worse model: stored but NOT promoted
+    m2 = {"overall_coverage": 0.3, "precision_at_k": 0.05}
+    assert not reg.save_version(
+        spark, registry_path=path, version="v2", tables={"item_similarity": sim_v1},
+        metrics=m2, now=2.0,
+    )
+    assert reg.production_version(spark, path) == "v1"
+
+    # better model: promoted, production pointer moves
+    sim_v3 = spark.createDataFrame(
+        [("A", "C", 3, 0.9)], "item_a string, item_b string, cooccurrence long, cosine_sim double"
+    )
+    m3 = {"overall_coverage": 0.8, "precision_at_k": 0.2}
+    assert reg.save_version(
+        spark, registry_path=path, version="v3", tables={"item_similarity": sim_v3},
+        metrics=m3, now=3.0,
+    )
+    assert reg.production_version(spark, path) == "v3"
+    loaded = reg.load_production(
+        spark, registry_path=path, name="item_similarity"
+    ).collect()
+    assert loaded[0]["item_b"] == "C"

@@ -176,3 +176,116 @@ def test_dashboard_microbatch_snapshots(spark, tmp_path):
     assert overall["total_orders"] == 12
     assert notifications and notifications[0]["batch_id"] == 7
     assert notifications[0]["overall"]["total_orders"] == 12
+
+
+def test_checkpoint_resume_processes_only_new_rows(spark, tmp_path):
+    """T3: checkpointed restart — rerunning after new files arrive must
+    process only the unseen input (exactly-once source accounting)."""
+    import json
+    import os
+
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(src_dir)
+
+    def write_file(name, rows):
+        with open(os.path.join(src_dir, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def run_once():
+        src = alert_stream.file_json_source(spark, src_dir)
+        alerts = alert_stream.alert_pipeline(src)
+        q = (
+            alerts.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_file(
+        "batch1.json",
+        [{"order_id": "A1", "total": 20000.0, "quantity": 1, "price": 1.0,
+          "customer_id": "C", "product_name": "P"}],
+    )
+    run_once()
+    first = spark.read.parquet(out).count()
+    assert first == 1
+
+    write_file(
+        "batch2.json",
+        [{"order_id": "A2", "total": 30000.0, "quantity": 1, "price": 1.0,
+          "customer_id": "C", "product_name": "P"}],
+    )
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2  # A1 not reprocessed, A2 appended
+    assert {r["order_id"] for r in rows} == {"A1", "A2"}
+
+
+def test_streaming_dashboard_foreachbatch(spark, tmp_path):
+    """§3.2 as a real stream: file source -> foreachBatch dashboard
+    refresh (the structured-streaming form of the 1-min cron)."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import types as T
+
+    src_dir = str(tmp_path / "orders_src")
+    os.makedirs(src_dir)
+    schema = (
+        "order_id string, order_date timestamp, customer_id string,"
+        "product_name string, category string, region string,"
+        "total double, quantity int, status string"
+    )
+    rows = [
+        (
+            f"O{i}",
+            dt.datetime(2024, 1, 1, 9 + (i % 2)),
+            f"C{i % 3}",
+            f"P{i % 2}",
+            "Books",
+            "North",
+            50.0 * (i + 1),
+            1,
+            "completed",
+        )
+        for i in range(6)
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).json(src_dir)
+
+    base = str(tmp_path / "dash")
+    seen = []
+    body = microbatch.refresh_dashboard(
+        base_path=base,
+        notify=seen.append,
+        metric_kwargs=dict(
+            ts_col="order_date",
+            amount_col="total",
+            customer_col="customer_id",
+            product_col="product_name",
+            category_col="category",
+            region_col="region",
+            qty_col="quantity",
+        ),
+    )
+    stream = (
+        spark.readStream.schema(T._parse_datatype_string(schema))
+        .json(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(body)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "dash_ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    overall = spark.read.parquet(f"{base}/overall_metrics").collect()[0]
+    assert overall["total_orders"] == 6
+    assert seen and seen[0]["overall"]["total_orders"] == 6
