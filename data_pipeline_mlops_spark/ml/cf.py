@@ -96,15 +96,30 @@ def recommend(
     user_col: str,
     item_col: str,
     top_n: int = 10,
+    max_neighbors: int | None = None,
 ) -> DataFrame:
     """M7: score(user, candidate) = Σ sim(candidate, purchased) over the
     user's purchases; mask already-purchased (anti-join — the
     reference's scores[idx] = -999, dags/daily_pipeline.py:519-520);
     keep positive scores; per-user top-n (O4 window).
 
+    `max_neighbors` (opt-in, changes results) keeps only the top-M
+    similarity neighbors per item before scoring — the standard
+    item-kNN pruning that bounds the scoring join's fan-out at corpus
+    scale (full fan-out is |purchases| × avg item degree).
+
     Output: user_col, item_col (candidate), score, rank.
     """
     sim = symmetrize(sim_upper)
+    if max_neighbors is not None:
+        wn = Window.partitionBy("item_a").orderBy(
+            F.col("cosine_sim").desc(), F.col("item_b").asc()
+        )
+        sim = (
+            sim.withColumn("__nr", F.row_number().over(wn))
+            .where(F.col("__nr") <= max_neighbors)
+            .drop("__nr")
+        )
     scored = (
         purchases.select(
             F.col(user_col).alias("__user"), F.col(item_col).alias("item_a")

@@ -1465,3 +1465,24 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["doc_rolling_hash"] = QuerySpec(q_doc_rolling_hash, None)
 QUERIES["ivf_ann_topk"] = QuerySpec(q_ivf_ann_topk, None)
+
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation: revenue over every (status, priority) subset
+    combination — all four grouping sets in one shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        money_sum("o_totalprice", "revenue"),
+    )
+
+
+ORACLE_CUBE_REVENUE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS order_count,
+       {_osum('o_totalprice', 'revenue')}
+FROM orders
+GROUP BY CUBE (1, 2)
+"""
+
+QUERIES["cube_revenue"] = QuerySpec(q_cube_revenue, ORACLE_CUBE_REVENUE)

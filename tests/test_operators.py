@@ -1,0 +1,82 @@
+"""Operator-level tests: bucketed joins, CF pruning knob."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key join without any Exchange
+    (the co-location contract that matters at 100 TB)."""
+    from data_pipeline_mlops_spark.sources.bucketed import (
+        bucketed_join,
+        plan_has_shuffle,
+        write_bucketed,
+    )
+
+    orders = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    items = spark.range(0, 3000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("b")
+    )
+    write_bucketed(
+        orders, table="t_orders_b", bucket_col="k", n_buckets=8,
+        path=str(tmp_path / "t_orders_b"),
+    )
+    write_bucketed(
+        items, table="t_items_b", bucket_col="k", n_buckets=8,
+        path=str(tmp_path / "t_items_b"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the bucket co-location (not a broadcast)
+        # is what eliminates the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "t_orders_b", "t_items_b", "k")
+        assert not plan_has_shuffle(joined)
+        assert joined.count() == 3000
+        # sanity: the same join on plain parquet DOES shuffle
+        plain_l = str(tmp_path / "pl")
+        plain_r = str(tmp_path / "pr")
+        orders.write.mode("overwrite").parquet(plain_l)
+        items.write.mode("overwrite").parquet(plain_r)
+        plain = spark.read.parquet(plain_l).join(
+            spark.read.parquet(plain_r), "k"
+        )
+        assert plan_has_shuffle(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_items_b")
+
+
+def test_recommend_max_neighbors_prunes(spark):
+    from data_pipeline_mlops_spark.ml import cf
+
+    fixture = [
+        ("u1", "A"), ("u1", "B"),
+        ("u2", "A"), ("u2", "B"), ("u2", "C"),
+        ("u3", "B"), ("u3", "C"),
+        ("u4", "C"), ("u4", "D"),
+    ]
+    inter = spark.createDataFrame(fixture, "user string, item string")
+    sim = cf.item_similarity(inter, user_col="user", item_col="item")
+    full = cf.recommend(
+        inter, sim, user_col="user", item_col="item", top_n=10
+    ).collect()
+    pruned = cf.recommend(
+        inter, sim, user_col="user", item_col="item", top_n=10,
+        max_neighbors=1,
+    ).collect()
+    # pruning can only remove contributions -> scores never increase
+    full_scores = {(r["user"], r["item"]): r["score"] for r in full}
+    for r in pruned:
+        assert r["score"] <= full_scores[(r["user"], r["item"])] + 1e-9
+    # with max_neighbors=1, item D keeps only its single neighbor C
+    # u1 (owns A,B): reachable candidates shrink but stay valid
+    owned = {}
+    for u, i in fixture:
+        owned.setdefault(u, set()).add(i)
+    for r in pruned:
+        assert r["item"] not in owned[r["user"]]

@@ -289,3 +289,66 @@ def test_streaming_dashboard_foreachbatch(spark, tmp_path):
     overall = spark.read.parquet(f"{base}/overall_metrics").collect()[0]
     assert overall["total_orders"] == 6
     assert seen and seen[0]["overall"]["total_orders"] == 6
+
+
+def test_sessionize_stateful_operator(spark, tmp_path):
+    """applyInPandasWithState session windows: a gap larger than
+    gap_seconds splits sessions; idle state flushes via the
+    processing-time timeout. The query never self-terminates (timeout
+    batches keep it alive) — poll the sink, then stop."""
+    import datetime as dt
+    import os
+    import time
+
+    from pyspark.sql import types as T
+
+    from data_pipeline_mlops_spark.streaming.sessionize import sessionize
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 7: burst of 3 events, a 2-hour gap, then 1 event
+        (7, base, 10.0),
+        (7, base + dt.timedelta(minutes=5), 20.0),
+        (7, base + dt.timedelta(minutes=10), 30.0),
+        (7, base + dt.timedelta(hours=2), 40.0),
+        # user 8: single burst
+        (8, base, 5.0),
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    ).coalesce(1).write.mode("overwrite").json(src)
+
+    stream = spark.readStream.schema(
+        T._parse_datatype_string("user_id long, ts timestamp, value double")
+    ).json(src)
+    sessions = sessionize(stream, gap_seconds=1800, timeout_ms=2000)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        got = []
+        while time.time() < deadline:
+            got = spark.sql("SELECT * FROM sessions_out").collect()
+            if len(got) >= 3:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    by_key = {
+        (r["user_id"], r["session_start"]): r for r in got
+    }
+    assert len(by_key) == 3  # u7 burst, u7 late event, u8 burst
+    s1 = by_key[(7, base)]
+    assert s1["n_events"] == 3 and s1["sum_value"] == 60.0
+    assert s1["session_end"] == base + dt.timedelta(minutes=10)
+    s2 = by_key[(7, base + dt.timedelta(hours=2))]
+    assert s2["n_events"] == 1 and s2["sum_value"] == 40.0
+    s3 = by_key[(8, base)]
+    assert s3["n_events"] == 1 and s3["sum_value"] == 5.0
