@@ -1486,3 +1486,86 @@ GROUP BY CUBE (1, 2)
 """
 
 QUERIES["cube_revenue"] = QuerySpec(q_cube_revenue, ORACLE_CUBE_REVENUE)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the dedup tier for semantic
+    duplicates): exact all-pairs baseline with cosine >= 0.35. The
+    100 TB path buckets via hyperplane LSH / IVF first (lsh_ann_topk,
+    ivf_ann_topk) — this exact variant doubles as their oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        similarity._to_double(F.col("embedding")).alias("__va"),
+    ).withColumn("__na", similarity.l2_norm_d("__va"))
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        similarity._to_double(F.col("embedding")).alias("__vb"),
+    ).withColumn("__nb", similarity.l2_norm_d("__vb"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(
+                similarity.dot_d(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                4,
+            ).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= 0.35)
+    )
+
+
+ORACLE_EMBEDDING_NEAR_DUPS = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(a.v, b.v)
+               / (SQRT(list_dot_product(a.v, a.v))
+                  * SQRT(list_dot_product(b.v, b.v))), 4) AS cosine_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= 0.35
+"""
+
+
+def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family window functions: percent_rank + ntile quartiles of
+    event values within each event type (unique ordering => both
+    deterministic)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+ORACLE_EVENT_PERCENTILES = """
+SELECT event_id, event_type, value,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+"""
+
+QUERIES.update(
+    {
+        "embedding_near_dups": QuerySpec(
+            q_embedding_near_dups, ORACLE_EMBEDDING_NEAR_DUPS
+        ),
+        "event_percentiles": QuerySpec(
+            q_event_percentiles, ORACLE_EVENT_PERCENTILES
+        ),
+    }
+)
