@@ -1569,3 +1569,94 @@ QUERIES.update(
         ),
     }
 )
+
+
+def q_customer_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-customer sorted distinct item basket
+    (collect_set + sort_array — the set-valued shape the reference
+    builds as python dicts, dags/daily_pipeline.py:506-514)."""
+    inter = _interactions(spark, sf_dir).where(F.col("customer_id") <= 200)
+    return inter.groupBy("customer_id").agg(
+        F.sort_array(F.collect_set("product_id")).alias("basket"),
+        F.countDistinct("product_id").alias("basket_size"),
+    )
+
+
+ORACLE_CUSTOMER_BASKETS = f"""
+WITH i AS ({ORACLE_INTERACTIONS})
+SELECT customer_id,
+       list_sort(list(DISTINCT product_id)) AS basket,
+       COUNT(DISTINCT product_id) AS basket_size
+FROM i WHERE customer_id <= 200
+GROUP BY 1
+"""
+
+
+def q_name_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function family: regexp_extract, upper, substring,
+    length, concat (P14-adjacent scalar census, SURVEY §2.11)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"(\d+)$", 1).alias("name_number"),
+        F.upper("c_mktsegment").alias("segment_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat_ws("#", "c_mktsegment", F.col("c_custkey").cast("string"))
+        .alias("segment_key"),
+    )
+
+
+ORACLE_NAME_PARSING = r"""
+SELECT c_custkey,
+       regexp_extract(c_name, '(\d+)$', 1) AS name_number,
+       UPPER(c_mktsegment) AS segment_upper,
+       SUBSTRING(c_name, 1, 8) AS name_prefix,
+       LENGTH(c_name) AS name_len,
+       c_mktsegment || '#' || CAST(c_custkey AS VARCHAR) AS segment_key
+FROM customer
+"""
+
+
+def q_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic family: datediff / add_months / date buckets
+    (P8/P9 extensions): orders bucketed by 90-day age bands relative to
+    a fixed anchor."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = F.lit("2001-12-31").cast("date")
+    age = F.datediff(anchor, F.to_date("o_orderdate"))
+    return (
+        o.select(
+            (F.floor(age / 90)).cast("long").alias("age_band_90d"),
+            F.add_months(F.to_date("o_orderdate"), 3).alias("plus_quarter"),
+            "o_totalprice",
+        )
+        .groupBy("age_band_90d")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            money_sum("o_totalprice", "revenue"),
+            F.min("plus_quarter").alias("earliest_plus_quarter"),
+        )
+    )
+
+
+ORACLE_ORDER_AGING = f"""
+SELECT CAST(FLOOR(date_diff('day', CAST(o_orderdate AS DATE),
+                            DATE '2001-12-31') / 90) AS BIGINT)
+         AS age_band_90d,
+       COUNT(*) AS order_count,
+       {_osum('o_totalprice', 'revenue')},
+       CAST(MIN(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH) AS DATE) AS earliest_plus_quarter
+FROM orders
+GROUP BY 1
+"""
+
+QUERIES.update(
+    {
+        "customer_baskets": QuerySpec(
+            q_customer_baskets, ORACLE_CUSTOMER_BASKETS
+        ),
+        "name_parsing": QuerySpec(q_name_parsing, ORACLE_NAME_PARSING),
+        "order_aging": QuerySpec(q_order_aging, ORACLE_ORDER_AGING),
+    }
+)
