@@ -71,3 +71,21 @@ def accumulate_eval(
     return dedup_keep_latest(
         unioned, [user_col, item_col], [F.col(order_col).desc()]
     )
+
+
+def with_stratum(
+    df: DataFrame, *, user_col: str, min_count: int = 2
+) -> DataFrame:
+    """The reference's stratification fix: customers with fewer than
+    `min_count` interactions collapse into an 'other' stratum so a
+    stratified split never sees singleton classes
+    (reference dags/daily_pipeline.py:221-223)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col)
+    return df.withColumn(
+        "stratum",
+        F.when(
+            F.count(F.lit(1)).over(w) >= min_count, F.col(user_col)
+        ).otherwise(F.lit("other")),
+    )

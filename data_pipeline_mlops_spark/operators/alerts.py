@@ -58,3 +58,14 @@ def reference_order_rules(
         AlertRule("NEGATIVE_PRICE", F.col(price) < 0),
         AlertRule("INVALID_QUANTITY", F.col(quantity) <= 0),
     ]
+
+
+def rules_from_config(config: list[dict]) -> list[AlertRule]:
+    """Fully declarative rule loading: each entry is
+    {"name": ..., "condition": "<SQL boolean expr>"} — conditions are
+    parsed with F.expr so a rule table can live in JSON/YAML/a control
+    table instead of code. Order in the list IS match priority."""
+    return [
+        AlertRule(entry["name"], F.expr(entry["condition"]))
+        for entry in config
+    ]

@@ -194,3 +194,22 @@ def run_daily(
         ds=cfg.ds,
     )
     return metrics
+
+
+def run_range(
+    spark: SparkSession,
+    source_orders: DataFrame,
+    base: str,
+    dates: list[str],
+    **cfg_overrides,
+) -> dict[str, dict]:
+    """Airflow catchup parity (reference daily DAG `catchup=True`,
+    dags/daily_pipeline.py:748): sequential per-date backfill, one
+    metrics dict per date. Dates process in order so eval accumulation
+    and model CAS see history the way the scheduler would provide it."""
+    out = {}
+    for ds in sorted(dates):
+        out[ds] = run_daily(
+            spark, source_orders, MedallionConfig(base=base, ds=ds, **cfg_overrides)
+        )
+    return out

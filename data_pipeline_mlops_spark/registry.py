@@ -1660,3 +1660,63 @@ QUERIES.update(
         "order_aging": QuerySpec(q_order_aging, ORACLE_ORDER_AGING),
     }
 )
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via gaps-and-islands window functions
+    (30-min gap): the SQL-expressible twin of the stateful streaming
+    operator (streaming/sessionize.py). lag -> new-session flag ->
+    running sum = session id -> per-session aggregate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 100)
+    wo = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wo)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("__new"),
+    )
+    sessioned = flagged.withColumn(
+        "session_id", F.sum("__new").over(wo).cast("long")
+    )
+    return sessioned.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum("value", "sum_value"),
+    )
+
+
+ORACLE_EVENT_SESSIONS = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN date_diff('second',
+                LAG(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC), ts) > 1800
+                OR LAG(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WHERE user_id <= 100
+),
+sessioned AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       {_osum('value', 'sum_value')}
+FROM sessioned GROUP BY 1, 2
+"""
+
+QUERIES["event_sessions"] = QuerySpec(q_event_sessions, ORACLE_EVENT_SESSIONS)

@@ -80,3 +80,64 @@ def test_recommend_max_neighbors_prunes(spark):
         owned.setdefault(u, set()).add(i)
     for r in pruned:
         assert r["item"] not in owned[r["user"]]
+
+
+def test_rules_from_config(spark):
+    from data_pipeline_mlops_spark.operators.alerts import (
+        classify_alerts,
+        rules_from_config,
+    )
+
+    rules = rules_from_config(
+        [
+            {"name": "BIG", "condition": "amount > 100"},
+            {"name": "NEGATIVE", "condition": "amount < 0"},
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, 500.0), (2, 50.0), (3, -1.0)], "id int, amount double"
+    )
+    out = {r["id"]: r["alert_type"] for r in classify_alerts(df, rules).collect()}
+    assert out == {1: "BIG", 3: "NEGATIVE"}
+
+
+def test_with_stratum_collapses_singletons(spark):
+    from data_pipeline_mlops_spark.ml.interactions import with_stratum
+
+    df = spark.createDataFrame(
+        [("u1", "A"), ("u1", "B"), ("u2", "C")], "user string, item string"
+    )
+    out = {(r["user"], r["item"]): r["stratum"] for r in with_stratum(
+        df, user_col="user"
+    ).collect()}
+    assert out[("u1", "A")] == "u1" and out[("u1", "B")] == "u1"
+    assert out[("u2", "C")] == "other"
+
+
+def test_run_range_backfill(spark, tmp_path):
+    import datetime as dt
+
+    from data_pipeline_mlops_spark.plans.medallion import run_range
+
+    rows = []
+    for d, ds in enumerate(["2024-04-01", "2024-04-02"]):
+        day = dt.datetime.fromisoformat(ds + "T10:00")
+        rows += [
+            (
+                f"{ds}-O{i}", day, f"C{i % 3}", f"P{i % 2}", "Books",
+                10.0 + i, 1, 10.0 + i, "completed",
+            )
+            for i in range(5 + d)
+        ]
+    src = spark.createDataFrame(
+        rows,
+        "order_id string, order_date timestamp, customer_id string,"
+        "product_name string, category string, price double, quantity int,"
+        "total double, status string",
+    )
+    base = str(tmp_path / "lake")
+    metrics = run_range(spark, src, base, ["2024-04-02", "2024-04-01"])
+    assert set(metrics) == {"2024-04-01", "2024-04-02"}
+    gold = spark.read.parquet(f"{base}/gold/daily_summary")
+    got = {str(r["date"]): r["total_orders"] for r in gold.collect()}
+    assert got == {"2024-04-01": 5, "2024-04-02": 6}
