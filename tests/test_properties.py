@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) for operator invariants —
+the reference has no test suite (SURVEY.md §5); properties pin the
+semantic contracts that example-based tests can miss."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+ROW = st.tuples(
+    st.integers(0, 1_000_000),  # id
+    st.floats(-1e4, 1e4, allow_nan=False, allow_infinity=False),  # price
+    st.integers(-5, 10),  # quantity
+    st.sampled_from(["completed", "pending", "", None]),  # status
+)
+
+common = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@given(rows=st.lists(ROW, min_size=0, max_size=30))
+@common
+def test_clean_fact_invariants(spark, rows):
+    from data_pipeline_mlops_spark.operators.clean import clean_fact
+
+    df = spark.createDataFrame(
+        [(i, p, q, s) for i, p, q, s in rows],
+        "id long, price double, quantity int, status string",
+    )
+    out = clean_fact(
+        df, id_col="id", qty_col="quantity", price_col="price",
+        status_col="status", total_col="total",
+    ).collect()
+    # invariants: no non-positive quantities, no negative prices,
+    # no empty/null status, total == round(price*qty, 2)
+    for r in out:
+        assert r["quantity"] > 0
+        assert r["price"] >= 0
+        assert r["status"] not in ("", None)
+        assert abs(r["total"] - round(r["price"] * r["quantity"], 2)) < 0.011
+    # no row that satisfied all predicates is dropped
+    expected = sum(
+        1
+        for i, p, q, s in rows
+        if q > 0 and s not in ("", None)
+    )
+    assert len(out) == expected
+
+
+@given(
+    vals=st.lists(
+        st.floats(0.01, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=50,
+    ),
+    parts=st.integers(1, 7),
+)
+@common
+def test_money_sum_partition_invariant(spark, vals, parts):
+    """Decimal-routed sums are identical under any repartitioning —
+    the invariant the whole oracle-match strategy rests on."""
+    from data_pipeline_mlops_spark.operators.exact import money_sum
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    a = df.agg(money_sum("v", "s")).collect()[0]["s"]
+    b = df.repartition(parts).agg(money_sum("v", "s")).collect()[0]["s"]
+    assert a == b
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@common
+def test_similarity_symmetric_and_bounded(spark, pairs):
+    from data_pipeline_mlops_spark.ml import cf
+
+    df = spark.createDataFrame(
+        [(f"u{u}", f"i{i}") for u, i in pairs], "user string, item string"
+    ).dropDuplicates()
+    sim = cf.item_similarity(df, user_col="user", item_col="item").collect()
+    for r in sim:
+        assert r["item_a"] < r["item_b"]  # strict upper triangle
+        assert 0 < r["cosine_sim"] <= 1.0 + 1e-9  # cosine of binary vectors
+        assert r["cooccurrence"] >= 1
