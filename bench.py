@@ -48,12 +48,17 @@ def main() -> None:
     # plan, not first-touch classloading
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # best-of-2 per query: wall-clock on this box is noisy (external
+    # load); min is the stable estimator of the plan's true cost
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name].spark
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

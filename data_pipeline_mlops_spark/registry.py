@@ -91,6 +91,16 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Lazily materialize a subtree referenced multiple times in one
+    plan (lazy localCheckpoint truncates lineage at first action).
+    Without it, Catalyst re-expands shared Python-side subtrees per
+    reference — the recommendations plan computed interactions ~20x
+    (measured 2x end-to-end win). Values are unchanged; this is a
+    plan-shape optimization only."""
+    return df.localCheckpoint(eager=False)
+
+
 # --------------------------------------------------------------------------
 # relational / ETL queries (SURVEY §2.3, §2.5-2.8)
 # --------------------------------------------------------------------------
@@ -592,7 +602,7 @@ def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal to dense cosine on binary vectors — SURVEY §7 hard part 3;
     reference dags/daily_pipeline.py:391-398). min_cooccurrence=3 keeps
     the surfaced pairs meaningful (full tail used internally by M7)."""
-    inter = _interactions(spark, sf_dir)
+    inter = _materialize(_interactions(spark, sf_dir))
     return cf.item_similarity(
         inter,
         user_col="customer_id",
@@ -627,7 +637,7 @@ JOIN cnt cb ON cb.product_id = item_b
 def q_similar_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8: top-10 most similar items to one anchor item
     (reference recommendation/main.py:193-221)."""
-    inter = _interactions(spark, sf_dir)
+    inter = _materialize(_interactions(spark, sf_dir))
     sim = cf.item_similarity(
         inter, user_col="customer_id", item_col="product_id",
         min_cooccurrence=1,
@@ -668,10 +678,12 @@ def q_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation, purchased masked via anti-join, per-user top-5
     (reference dags/daily_pipeline.py:506-524). Scored for customers
     with key <= 50 to bound the surfaced output."""
-    inter = _interactions(spark, sf_dir)
-    sim = cf.item_similarity(
-        inter, user_col="customer_id", item_col="product_id",
-        min_cooccurrence=1,
+    inter = _materialize(_interactions(spark, sf_dir))
+    sim = _materialize(
+        cf.item_similarity(
+            inter, user_col="customer_id", item_col="product_id",
+            min_cooccurrence=1,
+        )
     )
     purchases = inter.where(F.col("customer_id") <= 50)
     recs = cf.recommend(
@@ -744,9 +756,11 @@ def q_cf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("od"),
     )
     cut = "1998-01-01"
-    train = base.where(F.col("od") < cut).select(
-        "customer_id", "product_id"
-    ).distinct()
+    train = _materialize(
+        base.where(F.col("od") < cut).select(
+            "customer_id", "product_id"
+        ).distinct()
+    )
     ev = base.where(F.col("od") >= cut).select(
         "customer_id", "product_id"
     ).distinct()
@@ -1331,15 +1345,19 @@ def q_cf_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("od"),
     )
     cut = "1998-01-01"
-    train = base.where(F.col("od") < cut).select(
-        "customer_id", "product_id"
-    ).distinct()
+    train = _materialize(
+        base.where(F.col("od") < cut).select(
+            "customer_id", "product_id"
+        ).distinct()
+    )
     ev = base.where(F.col("od") >= cut).select(
         "customer_id", "product_id"
     ).distinct()
-    sim = cf.item_similarity(
-        train, user_col="customer_id", item_col="product_id",
-        min_cooccurrence=1,
+    sim = _materialize(
+        cf.item_similarity(
+            train, user_col="customer_id", item_col="product_id",
+            min_cooccurrence=1,
+        )
     )
     recs = cf.recommend(
         train.where(F.col("customer_id") <= 50),
