@@ -1,0 +1,61 @@
+"""Physical-plan regression guards: the scale properties claimed in
+README/PLANS.md must survive refactors. A correctness-preserving change
+that reintroduces a shuffle or breaks pushdown should fail HERE, not in
+a 100 TB run."""
+
+from __future__ import annotations
+
+import re
+
+from tests.conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_top_products_uses_take_ordered(spark):
+    from data_pipeline_mlops_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["top_products"].spark(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan  # not a global sort
+
+
+def test_silver_clean_pushes_filters_to_scan(spark):
+    from data_pipeline_mlops_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["silver_clean"].spark(spark, SF_SMALL))
+    # toString truncates long filter lists — match without closing bracket
+    m = re.search(r"PushedFilters: \[([^\n]*)", plan)
+    assert m and "IsNotNull" in m.group(1)  # P2 reached the scan
+    assert "GreaterThan(l_quantity,0.0)" in m.group(1)  # P3 reached the scan
+
+
+def test_regional_stats_broadcasts_dims(spark):
+    from data_pipeline_mlops_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["regional_stats"].spark(spark, SF_SMALL))
+    # nation + region (always) and customer (small at test SF) broadcast;
+    # the fact side must not sort-merge against tiny dims
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_scans_prune_columns(spark):
+    from data_pipeline_mlops_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["daily_summary"].spark(spark, SF_SMALL))
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m is not None
+    cols = [c.split("#")[0] for c in m.group(1).split(",")]
+    # only the three referenced columns are read, not all six
+    assert sorted(cols) == ["o_custkey", "o_orderdate", "o_totalprice"]
+
+
+def test_alert_rules_stay_whole_stage_codegen(spark):
+    from data_pipeline_mlops_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["event_alerts"].spark(spark, SF_SMALL))
+    # codegen'd operators carry the `*(n)` stage marker in toString
+    assert re.search(r"\*\(\d+\) (Project|Filter)", plan)
+    assert "BatchEvalPython" not in plan  # no Python in the hot path
