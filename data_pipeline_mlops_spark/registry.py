@@ -463,13 +463,14 @@ WHERE EXISTS (
 
 
 def q_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2 anti-join: customers with no orders at all
-    (the reference's purchased-item masking shape,
-    dags/daily_pipeline.py:519-520)."""
+    """J2 anti-join: customers with no orders in 1997 (year-scoped so
+    the result is non-empty at every SF — the all-time variant matches
+    trivially on this data). The reference's purchased-item masking
+    shape, dags/daily_pipeline.py:519-520."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
-    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.year("o_orderdate") == 1997
+    ).select(F.col("o_custkey").alias("c_custkey"))
     return joins.anti_join(c, o, "c_custkey").select(
         "c_custkey", "c_name", "c_acctbal"
     )
@@ -478,7 +479,9 @@ def q_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_INACTIVE_CUSTOMERS = """
 SELECT c_custkey, c_name, c_acctbal
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND EXTRACT(year FROM o_orderdate) = 1997)
 """
 
 

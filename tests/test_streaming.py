@@ -352,3 +352,28 @@ def test_sessionize_stateful_operator(spark, tmp_path):
     assert s2["n_events"] == 1 and s2["sum_value"] == 40.0
     s3 = by_key[(8, base)]
     assert s3["n_events"] == 1 and s3["sum_value"] == 5.0
+
+
+def test_kafka_sink_payload_shape(spark):
+    """K2's transformation minus the transport: the alert record
+    serializes to a single JSON `value` column with all fields."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    batch = spark.createDataFrame(
+        [("HIGH_VALUE_ORDER", "O1", "C1", "P1", 15000.0, 5)],
+        "alert_type string, order_id string, customer_id string,"
+        "product_name string, total double, quantity int",
+    )
+    payload = batch.select(F.to_json(F.struct("*")).alias("value")).collect()
+    assert payload[0].asDict().keys() == {"value"}
+    parsed = json.loads(payload[0]["value"])
+    assert parsed == {
+        "alert_type": "HIGH_VALUE_ORDER",
+        "order_id": "O1",
+        "customer_id": "C1",
+        "product_name": "P1",
+        "total": 15000.0,
+        "quantity": 5,
+    }
