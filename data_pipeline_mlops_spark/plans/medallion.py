@@ -139,11 +139,19 @@ def evaluate_model(
 
 
 def run_daily(
-    spark: SparkSession, source_orders: DataFrame, cfg: MedallionConfig
+    spark: SparkSession,
+    source_orders: DataFrame,
+    cfg: MedallionConfig,
+    *,
+    registry_path: str | None = None,
 ) -> dict:
     """The full DAG for one execution date; writes bronze/silver/gold
     partitions + model tables, returns the metrics dict (the
-    reference's XCom payloads become a return value)."""
+    reference's XCom payloads become a return value). With
+    `registry_path`, the trained model is versioned and conditionally
+    promoted per the M11 CAS rule — the reference's
+    evaluate >> register_to_wandb tail (dags/daily_pipeline.py:647-729)
+    without the external registry."""
     bronze = extract(source_orders, cfg)
     lake.write_partition(
         bronze, base=cfg.base, layer="bronze", entity="orders", ds=cfg.ds
@@ -193,6 +201,18 @@ def run_daily(
         metrics_df, base=cfg.base, layer="gold", entity="ml/metrics",
         ds=cfg.ds,
     )
+    if registry_path is not None:
+        from data_pipeline_mlops_spark.ml import model_registry
+
+        metrics["promoted"] = float(
+            model_registry.save_version(
+                spark,
+                registry_path=registry_path,
+                version=cfg.ds,
+                tables={"item_similarity": sim, "interactions": train_df},
+                metrics=metrics,
+            )
+        )
     return metrics
 
 

@@ -154,3 +154,25 @@ def test_serving_layer(spark, pipeline_run):
     item = train.select("product_name").first()["product_name"]
     sims = rec.similar(item, top_n=3)
     assert all(s["item"] != item for s in sims)
+
+
+def test_run_daily_with_registry_promotion(spark, tmp_path):
+    """§3.1 tail parity: evaluate >> register — first run promotes."""
+    from data_pipeline_mlops_spark.ml import model_registry as reg
+    from data_pipeline_mlops_spark.plans.medallion import (
+        MedallionConfig,
+        run_daily,
+    )
+
+    base = str(tmp_path / "lake2")
+    rpath = str(tmp_path / "registry")
+    cfg = MedallionConfig(base=base, ds="2024-03-01")
+    metrics = run_daily(
+        spark, _source_orders(spark), cfg, registry_path=rpath
+    )
+    assert metrics["promoted"] == 1.0
+    assert reg.production_version(spark, rpath) == "2024-03-01"
+    sim = reg.load_production(
+        spark, registry_path=rpath, name="item_similarity"
+    )
+    assert sim.count() > 0
