@@ -119,9 +119,18 @@ def hyperplane_lsh_buckets(
     derived deterministically from xxhash64(plane, dim_index, seed), so
     every executor generates identical planes with no broadcast state.
     Near vectors collide with high probability; ANN search joins query
-    buckets to corpus buckets instead of cross-joining."""
-    v = _to_double(F.col(vec_col))
-    n = F.size(F.col(vec_col)) if dim is None else F.lit(dim)
+    buckets to corpus buckets instead of cross-joining.
+
+    The double-cast vector is materialized ONCE in a prior projection —
+    each of the num_planes projections references it, and inline HOF
+    expressions re-evaluate per reference (see dedup_text)."""
+    df = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _to_double(F.col(vec_col)).alias("__v"),
+    )
+    v = F.col("__v")
+    n = F.size(v) if dim is None else F.lit(dim)
 
     def plane_component(p: int, i: Column) -> Column:
         h = F.xxhash64(F.lit(p), i, F.lit(seed))
@@ -156,37 +165,67 @@ def lsh_topk(
     k: int = 5,
     num_planes: int = 12,
     seed: int = 42,
+    num_tables: int = 1,
 ) -> DataFrame:
     """ANN top-k: bucket both sides, join on bucket, exact-rescore the
-    candidates. Recall < 1.0 by construction; multiplying bucket tables
-    (multi-probe) trades compute for recall."""
+    candidates, dedupe across tables.
+
+    Standard (k planes, L tables) OR-construction: a pair is a
+    candidate if it collides in ANY of `num_tables` independent
+    bucketings — per-table recall p^k becomes 1-(1-p^k)^L. More tables
+    = more candidates to rescore; on clustered real embeddings a few
+    tables suffice, on uniform random data recall is intrinsically
+    expensive (no structure to hash)."""
     from pyspark.sql import Window
 
-    qb = hyperplane_lsh_buckets(
-        queries, id_col=id_col, vec_col=vec_col, num_planes=num_planes,
-        seed=seed,
-    ).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        "bucket",
+    def bucketed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        tables = [
+            hyperplane_lsh_buckets(
+                df, id_col=id_col, vec_col=vec_col,
+                num_planes=num_planes, seed=seed + 7919 * t,
+            ).select(
+                F.col(id_col).alias(out_id),
+                F.col(vec_col).alias(out_vec),
+                F.lit(t).alias("table"),
+                "bucket",
+            )
+            for t in range(num_tables)
+        ]
+        out = tables[0]
+        for t in tables[1:]:
+            out = out.unionByName(t)
+        return out
+
+    qb = bucketed(queries, "query_id", "__qv")
+    cb = bucketed(corpus, "neighbor_id", "__cv")
+    cands = (
+        cb.join(F.broadcast(qb), ["table", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    cb = hyperplane_lsh_buckets(
-        corpus, id_col=id_col, vec_col=vec_col, num_planes=num_planes,
-        seed=seed,
-    ).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        "bucket",
-    )
-    cands = cb.join(F.broadcast(qb), "bucket").where(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    scored = cands.select(
+    # materialize double vectors + norms once per candidate row — the
+    # per-pair cosine() would re-derive both norms (interpreted HOFs)
+    withvecs = cands.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("__qv"), F.col("__cv")), COS_SCALE).alias(
-            "cosine_sim"
-        ),
+        _to_double(F.col("__qv")).alias("__qd"),
+        _to_double(F.col("__cv")).alias("__cd"),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "__qd",
+        "__cd",
+        l2_norm_d("__qd").alias("__qn"),
+        l2_norm_d("__cd").alias("__cn"),
+    )
+    scored = withvecs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot_d(F.col("__qd"), F.col("__cd"))
+            / (F.col("__qn") * F.col("__cn")),
+            COS_SCALE,
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()

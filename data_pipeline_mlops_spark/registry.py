@@ -1083,7 +1083,7 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 10)
     return similarity.lsh_topk(
         queries, emb, id_col="vec_id", vec_col="embedding", k=5,
-        num_planes=8,
+        num_planes=6, num_tables=8,
     )
 
 
