@@ -67,3 +67,50 @@ def with_run_metadata(df: DataFrame, run_date: str | None = None) -> DataFrame:
     if run_date is not None:
         out = out.withColumn("_execution_date", F.lit(run_date))
     return out
+
+
+def split_clean(
+    df: DataFrame,
+    *,
+    id_col: str,
+    qty_col: str,
+    price_col: str,
+    status_col: str | None = None,
+    total_col: str = "gross_value",
+    total_scale: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Quarantine variant of :func:`clean_fact`: returns
+    (clean, rejects). Rejects keep every original column plus a
+    `reject_reasons` array naming each violated rule — the production
+    upgrade of the reference's silent drops (rows are auditable and
+    replayable after upstream fixes). One pass: the reason array is
+    computed once and rows route by whether it is empty.
+    """
+    reasons = F.array_compact(
+        F.array(
+            F.when(~not_null(id_col), F.lit("null_id")),
+            # NULL qty must reject too: ~(NULL > 0) is NULL, which
+            # array_compact would silently drop — test the null branch
+            F.when(
+                F.col(qty_col).isNull() | ~positive(qty_col),
+                F.lit("non_positive_quantity"),
+            ),
+            *(
+                [F.when(~non_empty_string(status_col), F.lit("empty_status"))]
+                if status_col is not None
+                else []
+            ),
+        )
+    )
+    tagged = df.withColumn("reject_reasons", reasons)
+    rejects = tagged.where(F.size("reject_reasons") > 0)
+    clean = (
+        tagged.where(F.size("reject_reasons") == 0)
+        .drop("reject_reasons")
+        .withColumn(price_col, F.abs(F.col(price_col)))
+        .withColumn(
+            total_col,
+            F.round(F.col(price_col) * F.col(qty_col), total_scale),
+        )
+    )
+    return clean, rejects

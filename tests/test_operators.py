@@ -141,3 +141,41 @@ def test_run_range_backfill(spark, tmp_path):
     gold = spark.read.parquet(f"{base}/gold/daily_summary")
     got = {str(r["date"]): r["total_orders"] for r in gold.collect()}
     assert got == {"2024-04-01": 5, "2024-04-02": 6}
+
+
+def test_split_clean_quarantines_with_reasons(spark):
+    from data_pipeline_mlops_spark.operators.clean import clean_fact, split_clean
+
+    df = spark.createDataFrame(
+        [
+            (1, 2, 10.0, "ok"),       # clean
+            (None, 2, 10.0, "ok"),    # null id
+            (3, 0, 10.0, "ok"),       # zero qty
+            (4, 2, -10.0, "ok"),      # negative price -> repaired, stays clean
+            (5, 0, 10.0, ""),         # two violations
+            (6, None, 10.0, "ok"),    # NULL qty -> reject (3VL trap)
+        ],
+        "id long, qty int, price double, status string",
+    )
+    clean, rejects = split_clean(
+        df, id_col="id", qty_col="qty", price_col="price", status_col="status",
+        total_col="total",
+    )
+    c = {r["id"]: r for r in clean.collect()}
+    assert set(c) == {1, 4}
+    assert c[4]["price"] == 10.0 and c[4]["total"] == 20.0  # abs repair
+    rej = {r["id"]: sorted(r["reject_reasons"]) for r in rejects.collect()}
+    assert rej[None] == ["null_id"]
+    assert rej[3] == ["non_positive_quantity"]
+    assert rej[5] == ["empty_status", "non_positive_quantity"]
+    assert rej[6] == ["non_positive_quantity"]
+    # quarantine + clean partition the input
+    assert clean.count() + rejects.count() == df.count()
+    # clean side agrees with the drop-variant operator
+    dropped = clean_fact(
+        df, id_col="id", qty_col="qty", price_col="price", status_col="status",
+        total_col="total",
+    )
+    assert sorted(map(tuple, dropped.collect())) == sorted(
+        map(tuple, clean.collect())
+    )
