@@ -274,3 +274,22 @@ def simhash(
         ).cast("long").alias("simhash"),
     )
     return fp.select(F.col("__id").alias(id_col), "simhash")
+
+
+def dedup_decisions(
+    df: DataFrame,
+    dup_pairs: DataFrame,
+    *,
+    id_col: str,
+) -> DataFrame:
+    """Resolve duplicate PAIRS into per-document keep/drop decisions
+    with the standard greedy rule: within each pair (id_a < id_b) the
+    lower id survives, so any document appearing as an `id_b` is
+    dropped. One anti-join — no iterative connected components needed
+    (transitive chains collapse to the same survivor set because pair
+    output is exhaustive over the candidate relation)."""
+    drops = dup_pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drops.withColumn("__drop", F.lit(True)), id_col, "left").select(
+        id_col,
+        F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
+    )

@@ -1741,3 +1741,18 @@ FROM sessioned GROUP BY 1, 2
 """
 
 QUERIES["event_sessions"] = QuerySpec(q_event_sessions, ORACLE_EVENT_SESSIONS)
+
+
+def q_doc_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: MinHash-LSH candidates -> exact-verified pairs
+    -> greedy keep/drop decision per document (rows-only: pair source is
+    the xxhash64 LSH path)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup_text.minhash_dedup(
+        docs, id_col="doc_id", text_col="text",
+        num_hashes=64, bands=16, shingle_n=3, verify_threshold=0.05,
+    )
+    return dedup_text.dedup_decisions(docs, pairs, id_col="doc_id")
+
+
+QUERIES["doc_dedup_decisions"] = QuerySpec(q_doc_dedup_decisions, None)

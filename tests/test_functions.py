@@ -224,3 +224,17 @@ def test_salted_sum_matches_plain(spark):
     joined = salted_join(df, dim, "k", n_salts=4)
     assert joined.count() == df.count()
     assert joined.where(F.col("label").isNull()).count() == 0
+
+
+def test_dedup_decisions_greedy_keep_lowest(spark):
+    docs = _docs(spark)  # 1 and 2 identical, 3 near-dup of 1, 4 distinct
+    pairs = dedup_text.ngram_jaccard_pairs(
+        docs, id_col="doc_id", n=3, threshold=0.1
+    )
+    out = {
+        r["doc_id"]: r["keep"]
+        for r in dedup_text.dedup_decisions(docs, pairs, id_col="doc_id").collect()
+    }
+    assert out == {1: True, 2: False, 3: False, 4: True}
+    # every doc gets exactly one decision
+    assert len(out) == 4
