@@ -24,6 +24,17 @@ from pyspark.sql import functions as F
 from data_pipeline_mlops_spark.functions.text import tokens
 
 
+def _md5_60(col: F.Column) -> F.Column:
+    """60-bit non-negative integer from the first 15 hex chars of
+    md5(col) — the engine-portable hash twin of xxhash64. DuckDB
+    computes the identical value as
+    ('0x' || substring(md5(x), 1, 15))::BIGINT, which is what the
+    registry oracles do. Slower than xxhash64 (MessageDigest vs a
+    streaming hash); use for oracle-checked variants, not the 100 TB
+    hot path."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def exact_dup_groups(
     df: DataFrame, *, id_col: str, text_col: str = "text"
 ) -> DataFrame:
@@ -141,16 +152,23 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 64,
     shingle_n: int = 3,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Tier 3a: MinHash signature — per slot i, min over shingles of
-    xxhash64(shingle, i). Computed via explode + groupBy(min of k
-    columns aggregated) without any Python; one shuffle on doc id."""
+    hash(shingle, i). Computed via explode + groupBy(min of k
+    columns aggregated) without any Python; one shuffle on doc id.
+
+    hash_method "xxhash64" (production) or "md5" (oracle-portable:
+    slot hash = _md5_60(shingle || '#' || i))."""
+
+    def slot_hash(i: int) -> F.Column:
+        if hash_method == "md5":
+            return _md5_60(F.concat(F.col("shingle"), F.lit(f"#{i}")))
+        return F.xxhash64(F.col("shingle"), F.lit(i))
+
     sh = shingle_rows(df, id_col=id_col, text_col=text_col, n=shingle_n)
     mins = sh.groupBy("__id").agg(
-        *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
-            for i in range(num_hashes)
-        ]
+        *[F.min(slot_hash(i)).alias(f"mh_{i}") for i in range(num_hashes)]
     )
     return mins.select(
         F.col("__id").alias(id_col),
@@ -164,28 +182,31 @@ def lsh_candidate_pairs(
     id_col: str,
     bands: int = 16,
     rows_per_band: int = 4,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Tier 3b: band the signature; docs sharing any band-hash become a
     candidate pair. Join is per-bucket, never all-pairs — the property
     that makes MinHash dedup feasible at 100 TB. Output: id_a < id_b,
-    n_shared_bands."""
+    n_shared_bands.
+
+    hash_method "md5" joins on the raw comma-joined band values (an
+    engine-portable string key: DuckDB string_agg ORDER BY slot) instead
+    of re-hashing with xxhash64 — same collision semantics, oracle-able.
+    """
+
+    def band_key(b: int) -> F.Column:
+        elems = [
+            F.element_at("signature", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        if hash_method == "md5":
+            return F.concat_ws(",", *[e.cast("string") for e in elems])
+        return F.xxhash64(F.lit(b), *elems).cast("string")
+
     banded = signatures.select(
         F.col(id_col).alias("__id"),
         F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b),
-                        *[
-                            F.element_at(
-                                "signature", b * rows_per_band + r + 1
-                            )
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for b in range(bands)
-                ]
-            )
+            F.array(*[band_key(b) for b in range(bands)])
         ).alias("band", "band_hash"),
     )
     a = banded.select(F.col("__id").alias("id_a"), "band", "band_hash")
@@ -207,16 +228,18 @@ def minhash_dedup(
     bands: int = 16,
     shingle_n: int = 3,
     verify_threshold: float | None = 0.5,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Tier 3 end-to-end: signatures -> LSH candidates -> (optional)
     exact Jaccard verification of candidates only."""
     assert num_hashes % bands == 0
     sigs = minhash_signatures(
         df, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
-        shingle_n=shingle_n,
+        shingle_n=shingle_n, hash_method=hash_method,
     )
     cands = lsh_candidate_pairs(
-        sigs, id_col=id_col, bands=bands, rows_per_band=num_hashes // bands
+        sigs, id_col=id_col, bands=bands,
+        rows_per_band=num_hashes // bands, hash_method=hash_method,
     )
     if verify_threshold is None:
         return cands
@@ -246,22 +269,37 @@ def minhash_dedup(
 
 
 def simhash(
-    df: DataFrame, *, id_col: str, text_col: str = "text", bits: int = 64
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str = "text",
+    bits: int | None = None,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
-    """Tier 4: 64-bit SimHash over token hashes. For each bit b, count
-    tokens whose xxhash64 has bit b set vs unset; fingerprint bit = sign
-    of the balance. Built from explode + conditional aggregation."""
+    """Tier 4: SimHash over token hashes. For each bit b, count tokens
+    whose token-hash has bit b set vs unset; fingerprint bit = sign of
+    the balance. Built from explode + conditional aggregation.
+
+    Fingerprint width: 63 bits for xxhash64 (bits 0..62 — the top bit
+    is the long sign bit, left as headroom so the fingerprint itself
+    stays a non-negative long) and 60 bits for md5 (the portable
+    _md5_60 hash is 60 bits wide). `bits` overrides if set lower."""
+    default_bits = 60 if hash_method == "md5" else 63
+    nbits = min(bits, default_bits) if bits is not None else default_bits
     tok = df.select(
         F.col(id_col).alias("__id"),
         F.explode(tokens(text_col)).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn(
+        "h",
+        _md5_60(F.col("tok")) if hash_method == "md5" else F.xxhash64("tok"),
+    )
     balances = tok.groupBy("__id").agg(
         *[
             F.sum(
                 F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
                 .otherwise(-1)
             ).alias(f"b_{b}")
-            for b in range(bits)
+            for b in range(nbits)
         ]
     )
     fp = balances.select(
@@ -269,7 +307,7 @@ def simhash(
         sum(
             [
                 F.when(F.col(f"b_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-                for b in range(bits - 1)  # avoid sign bit overflow
+                for b in range(nbits)
             ]
         ).cast("long").alias("simhash"),
     )

@@ -133,8 +133,12 @@ def hyperplane_lsh_buckets(
     n = F.size(v) if dim is None else F.lit(dim)
 
     def plane_component(p: int, i: Column) -> Column:
+        # pmod, not %: xxhash64 is signed and Spark's % keeps the
+        # dividend sign — plain % - 1000 lands in [-3000, 1000],
+        # negatively-biased hyperplanes that skew bucket populations.
+        # pmod gives symmetric components in [-1000, 1000].
         h = F.xxhash64(F.lit(p), i, F.lit(seed))
-        return (h % 2001 - 1000).cast("double") / 1000.0
+        return (F.pmod(h, F.lit(2001)) - 1000).cast("double") / 1000.0
 
     def projection(p: int) -> Column:
         idx = F.sequence(F.lit(0), n - 1)
@@ -144,6 +148,65 @@ def hyperplane_lsh_buckets(
             lambda x, w: x * w,
         )
         return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+    bucket = sum(
+        [
+            F.when(projection(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            for p in range(num_planes)
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.col(vec_col), bucket.cast("long").alias("bucket")
+    )
+
+
+def hyperplane_buckets_md5(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    num_planes: int,
+    table: int,
+) -> DataFrame:
+    """Engine-portable hyperplane LSH bucketing (oracle twin of
+    hyperplane_lsh_buckets). Two determinism moves so DuckDB reproduces
+    buckets bit-for-bit:
+
+    1. vectors are quantized to integers (floor(x*1e6 + 0.5) after the
+       double cast) — the sign of each projection is then EXACT int64
+       arithmetic, immune to fold-order/precision differences;
+    2. plane components are pmod(md5_60("t,p,i"), 2001) - 1000 — any
+       engine with md5 generates identical planes, no shared RNG state.
+
+    Output: (id, vec, bucket) for one table; OR-construction unions
+    tables (see lsh_topk method="md5")."""
+    df = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.transform(
+            _to_double(F.col(vec_col)),
+            lambda x: F.floor(x * 1000000.0 + 0.5).cast("long"),
+        ).alias("__vi"),
+    )
+    vi = F.col("__vi")
+
+    def component(p: int, i: Column) -> Column:
+        key = F.concat_ws(
+            ",", F.lit(str(table)), F.lit(str(p)), i.cast("string")
+        )
+        h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+        return F.pmod(h, F.lit(2001)) - 1000
+
+    def projection(p: int) -> Column:
+        idx = F.sequence(F.lit(0), F.size(vi) - 1)
+        prods = F.zip_with(
+            vi,
+            F.transform(idx, lambda i: component(p, i)),
+            lambda x, w: x * w,
+        )
+        return F.aggregate(
+            prods, F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
 
     bucket = sum(
         [
@@ -166,6 +229,7 @@ def lsh_topk(
     num_planes: int = 12,
     seed: int = 42,
     num_tables: int = 1,
+    method: str = "xxhash64",
 ) -> DataFrame:
     """ANN top-k: bucket both sides, join on bucket, exact-rescore the
     candidates, dedupe across tables.
@@ -178,12 +242,20 @@ def lsh_topk(
     expensive (no structure to hash)."""
     from pyspark.sql import Window
 
+    def one_table(df: DataFrame, t: int) -> DataFrame:
+        if method == "md5":
+            return hyperplane_buckets_md5(
+                df, id_col=id_col, vec_col=vec_col,
+                num_planes=num_planes, table=t,
+            )
+        return hyperplane_lsh_buckets(
+            df, id_col=id_col, vec_col=vec_col,
+            num_planes=num_planes, seed=seed + 7919 * t,
+        )
+
     def bucketed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
         tables = [
-            hyperplane_lsh_buckets(
-                df, id_col=id_col, vec_col=vec_col,
-                num_planes=num_planes, seed=seed + 7919 * t,
-            ).select(
+            one_table(df, t).select(
                 F.col(id_col).alias(out_id),
                 F.col(vec_col).alias(out_vec),
                 F.lit(t).alias("table"),

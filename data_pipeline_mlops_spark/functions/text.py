@@ -141,11 +141,35 @@ def rolling_hash(toks_col: str, *, base: int = 31, mod: int = 2147483647) -> Col
     )
 
 
+def rolling_hash_md5(
+    toks_col: str, *, base: int = 31, mod: int = 2147483647
+) -> Column:
+    """Engine-portable rolling hash: per-token code = 60-bit integer
+    from md5 (instead of crc32, which DuckDB lacks), same left-to-right
+    polynomial fold. acc < mod < 2^31, so acc*base + code < 2^36 + 2^60
+    — no int64 overflow in either engine. DuckDB replicates it with
+    list_reduce over list_transform(md5 hex-parse)."""
+    codes = F.transform(
+        F.col(toks_col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + c) % mod,
+    )
+
+
 def with_rolling_fingerprint(
-    df: DataFrame, text_col: str = "text"
+    df: DataFrame, text_col: str = "text", *, hash_method: str = "crc32"
 ) -> DataFrame:
+    h = (
+        rolling_hash_md5("__toks")
+        if hash_method == "md5"
+        else rolling_hash("__toks")
+    )
     return (
         df.withColumn("__toks", tokens(text_col))
-        .withColumn("rolling_hash", rolling_hash("__toks"))
+        .withColumn("rolling_hash", h)
         .drop("__toks")
     )

@@ -39,6 +39,7 @@ def split_train_eval(
     item_col: str,
     eval_fraction: float = 0.2,
     seed: int = 42,
+    method: str = "xxhash64",
 ) -> tuple[DataFrame, DataFrame]:
     """M2: deterministic stratified-ish split.
 
@@ -46,15 +47,52 @@ def split_train_eval(
     to eval. Unlike `randomSplit` this is stable under repartitioning
     and re-runs — at 100 TB, re-computing the split must not reshuffle
     membership. Guarantees train ∪ eval = all, train ∩ eval = ∅.
+
+    `method`: "xxhash64" (fast JVM hash, production default) or "md5"
+    (same guarantees, reproducible in any engine with md5 — used by the
+    DuckDB oracle; see split_side_md5).
     """
-    bucket = (
-        F.abs(F.xxhash64(F.col(user_col), F.col(item_col), F.lit(seed)))
-        / F.lit(float(2**63))
-    )
-    tagged = interactions.withColumn("__is_eval", bucket < eval_fraction)
+    if method == "md5":
+        tagged = interactions.withColumn(
+            "__is_eval",
+            split_side_md5(user_col, item_col, seed, eval_fraction),
+        )
+    else:
+        bucket = (
+            F.abs(F.xxhash64(F.col(user_col), F.col(item_col), F.lit(seed)))
+            / F.lit(float(2**63))
+        )
+        tagged = interactions.withColumn("__is_eval", bucket < eval_fraction)
     train = tagged.where(~F.col("__is_eval")).drop("__is_eval")
     ev = tagged.where(F.col("__is_eval")).drop("__is_eval")
     return train, ev
+
+
+def split_side_md5(
+    user_col: str, item_col: str, seed: int, eval_fraction: float
+) -> "F.Column":
+    """Engine-portable split predicate: 60-bit integer from the first
+    15 hex chars of md5("user|item|seed"), eval iff below the integer
+    threshold floor(eval_fraction * 2^60). Pure integer comparison —
+    bit-identical in Spark and DuckDB
+    (('0x'||substring(md5(...),1,15))::BIGINT on the oracle side)."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col(user_col).cast("string"),
+                    F.col(item_col).cast("string"),
+                    F.lit(str(seed)),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h < int(eval_fraction * (2**60))
 
 
 def accumulate_eval(

@@ -1050,13 +1050,15 @@ QUALIFY "rank" <= 5
 """
 
 
-# ----- rows-only checks (non-SQL-expressible / engine-specific paths) -----
+# ----- engine-specific paths, oracled via md5-portable hash variants -----
 
 
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates — the 100 TB dedup path (bucket
-    join instead of all-pairs). xxhash64-based, deterministic; no SQL
-    oracle (DuckDB lacks xxhash64) => rows-only check."""
+    join instead of all-pairs). Registry variant uses the md5-portable
+    slot hash (dedup_text._md5_60) so DuckDB replicates signatures
+    bit-for-bit; production keeps the xxhash64 fast path (pytest +
+    bench)."""
     return dedup_text.minhash_dedup(
         _docs(spark, sf_dir),
         id_col="doc_id",
@@ -1065,26 +1067,154 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=16,
         shingle_n=3,
         verify_threshold=0.05,
+        hash_method="md5",
     )
+
+
+ORACLE_MINHASH_LSH = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+sets AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3 THEN list_distinct(
+      list_transform(range(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+    ELSE [] END AS shingles
+  FROM t
+),
+shr AS (SELECT doc_id, unnest(shingles) AS shingle FROM sets),
+mh AS (
+  SELECT doc_id, i,
+    MIN(('0x' || substring(md5(shingle || '#' || CAST(i AS VARCHAR)), 1, 15))::BIGINT) AS v
+  FROM shr CROSS JOIN (SELECT unnest(range(64)) AS i) ii
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band,
+         string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS sig
+  FROM mh GROUP BY 1, 2
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_bands
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+ji AS (
+  SELECT c.id_a, c.id_b, c.n_shared_bands,
+         len(list_intersect(sa.shingles, sb.shingles)) AS ix,
+         len(sa.shingles) AS za, len(sb.shingles) AS zb
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.id_a
+  JOIN sets sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, n_shared_bands,
+       ROUND(ix / (za + zb - ix), 6) AS jaccard_exact
+FROM ji WHERE ROUND(ix / (za + zb - ix), 6) >= 0.05
+"""
 
 
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints per document (rows-only check)."""
+    """SimHash fingerprints per document — md5-portable 60-bit variant
+    (production path is the 63-bit xxhash64 one, pytest-covered)."""
     return dedup_text.simhash(
-        _docs(spark, sf_dir), id_col="doc_id", text_col="text"
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        hash_method="md5",
     )
 
 
+ORACLE_SIMHASH = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM tok
+),
+bal AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN ((h >> CAST(b AS INTEGER)) & 1) = 1
+             THEN 1 ELSE -1 END) AS bal
+  FROM h CROSS JOIN (SELECT unnest(range(60)) AS b) bb
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN bal > 0
+                THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM bal GROUP BY doc_id
+"""
+
+
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN via random-hyperplane LSH bucketing (recall<1 by
-    construction => rows-only check; exact baseline is
-    ann_cosine_topk)."""
+    """Approximate ANN via random-hyperplane LSH bucketing, (k=6 planes,
+    L=8 tables) OR-construction. The md5 method quantizes vectors to
+    integers so bucket signs are exact int arithmetic — DuckDB derives
+    identical buckets, making even this approximate path fully
+    oracle-able (approximation is deterministic, not random)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return similarity.lsh_topk(
         queries, emb, id_col="vec_id", vec_col="embedding", k=5,
-        num_planes=6, num_tables=8,
+        num_planes=6, num_tables=8, method="md5",
     )
+
+
+ORACLE_LSH_ANN_TOPK = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+ei AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) AS vi
+  FROM e
+),
+tp AS (
+  SELECT t.t, p.p
+  FROM (SELECT unnest(range(8)) AS t) t
+  CROSS JOIN (SELECT unnest(range(6)) AS p) p
+),
+dots AS (
+  SELECT vec_id, t, p,
+    list_sum(list_transform(range(0, len(vi)),
+      i -> vi[i+1] * (
+        (('0x' || substring(md5(CAST(t AS VARCHAR) || ',' ||
+                                CAST(p AS VARCHAR) || ',' ||
+                                CAST(i AS VARCHAR)), 1, 15))::BIGINT
+         % 2001) - 1000)
+    )) AS d
+  FROM ei CROSS JOIN tp
+),
+buckets AS (
+  SELECT vec_id, t,
+         CAST(SUM(CASE WHEN d > 0
+                  THEN (1::BIGINT << CAST(p AS INTEGER)) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM dots GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buckets q JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         ROUND(list_dot_product(cv.v, qv.v)
+           / (SQRT(list_dot_product(cv.v, cv.v))
+              * SQRT(list_dot_product(qv.v, qv.v))), 4) AS cosine_sim
+  FROM cand cd
+  JOIN e qv ON qv.vec_id = cd.query_id
+  JOIN e cv ON cv.vec_id = cd.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id
+         ORDER BY cosine_sim DESC, neighbor_id ASC) AS INTEGER) AS "rank"
+FROM scored
+QUALIFY "rank" <= 5
+"""
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1098,7 +1228,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("image").alias("media_type"),
         F.encode("text", "utf-8").alias("content"),
     )
-    return multimodal.extract_features(media, use_fake=True)
+    feats = multimodal.extract_features(media, use_fake=True)
+    # Project the array<double> feature column to a sortable scalar so
+    # the driver's pandas canonicalization (hash of values) can run —
+    # array cells are unhashable (CORRECTNESS_r01 comparator crash).
+    return feats.select(
+        "media_id",
+        "media_type",
+        F.to_json(
+            F.transform("features", lambda x: F.round(x, 6))
+        ).alias("features_json"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1147,9 +1287,11 @@ QUERIES: dict[str, QuerySpec] = {
     "ngram_jaccard_dups": QuerySpec(q_ngram_jaccard_dups, ORACLE_NGRAM_JACCARD),
     "embedding_norms": QuerySpec(q_embedding_norms, ORACLE_EMBEDDING_NORMS),
     "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
-    "minhash_lsh_candidates": QuerySpec(q_minhash_lsh_candidates, None),
-    "simhash_fingerprints": QuerySpec(q_simhash_fingerprints, None),
-    "lsh_ann_topk": QuerySpec(q_lsh_ann_topk, None),
+    "minhash_lsh_candidates": QuerySpec(
+        q_minhash_lsh_candidates, ORACLE_MINHASH_LSH
+    ),
+    "simhash_fingerprints": QuerySpec(q_simhash_fingerprints, ORACLE_SIMHASH),
+    "lsh_ann_topk": QuerySpec(q_lsh_ann_topk, ORACLE_LSH_ANN_TOPK),
     "multimodal_features": QuerySpec(q_multimodal_features, None),
 }
 
@@ -1288,33 +1430,63 @@ FROM orders WHERE o_custkey <= 100
 
 
 def q_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M2: deterministic hash-based stratified-ish split — returns
-    per-side counts (split membership is xxhash64-based, not
-    SQL-expressible in DuckDB => rows-only; invariants are pytest-
-    checked: partition, determinism under repartitioning)."""
+    """M2: deterministic hash-based split, emitted as the per-row side
+    table. The md5-portable predicate (ml.interactions.split_side_md5:
+    60-bit md5 integer < floor(0.2 * 2^60)) makes membership itself
+    oracle-checkable — the invariant that matters at 100 TB (stable
+    under repartitioning / re-runs) is exactly what the oracle verifies.
+    Production default stays xxhash64 (pytest-covered)."""
     from data_pipeline_mlops_spark.ml.interactions import split_train_eval
 
     inter = _interactions(spark, sf_dir)
     train, ev = split_train_eval(
-        inter, user_col="customer_id", item_col="product_id", seed=42
+        inter, user_col="customer_id", item_col="product_id", seed=42,
+        method="md5",
     )
-    return (
-        train.withColumn("side", F.lit("train"))
-        .unionByName(ev.withColumn("side", F.lit("eval")))
-        .groupBy("side")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    return train.withColumn("side", F.lit("train")).unionByName(
+        ev.withColumn("side", F.lit("eval"))
     )
+
+
+_SPLIT_THRESHOLD = int(0.2 * (2**60))  # same float-op both sides
+
+ORACLE_TRAIN_EVAL_SPLIT = f"""
+WITH i AS ({ORACLE_INTERACTIONS})
+SELECT customer_id, product_id,
+       CASE WHEN ('0x' || substring(md5(
+                CAST(customer_id AS VARCHAR) || '|' ||
+                CAST(product_id AS VARCHAR) || '|' || '42'), 1, 15))::BIGINT
+              < {_SPLIT_THRESHOLD}
+            THEN 'eval' ELSE 'train' END AS side
+FROM i
+"""
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++) — the opt-in sketch path for
-    100 TB cardinalities (SURVEY §2.5 note). Sketch internals differ
-    from DuckDB's => rows-only; exactness is bounded by rsd."""
+    """Distinct-cardinality census: exact countDistinct plus a
+    Spark-side assertion that the HLL++ sketch estimate
+    (approx_count_distinct, rsd=0.02 — the 100 TB path, SURVEY §2.5
+    note) lands within 5x rsd of exact. The oracle pins exact and
+    expects approx_ok = TRUE, so the sketch stays exercised AND
+    verified; the raw estimate value itself is engine-specific (demo +
+    rsd bound in pytest)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", 0.02)
+                - F.countDistinct("l_partkey")
+            )
+            <= 0.1 * F.countDistinct("l_partkey")
+        ).alias("approx_ok"),
     )
+
+
+ORACLE_APPROX_DISTINCT = """
+SELECT COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS approx_ok
+FROM lineitem
+"""
 
 
 QUERIES.update(
@@ -1327,8 +1499,10 @@ QUERIES.update(
         "running_revenue": QuerySpec(
             q_running_revenue, ORACLE_RUNNING_REVENUE
         ),
-        "train_eval_split": QuerySpec(q_train_eval_split, None),
-        "approx_distinct": QuerySpec(q_approx_distinct, None),
+        "train_eval_split": QuerySpec(
+            q_train_eval_split, ORACLE_TRAIN_EVAL_SPLIT
+        ),
+        "approx_distinct": QuerySpec(q_approx_distinct, ORACLE_APPROX_DISTINCT),
     }
 )
 
@@ -1460,17 +1634,35 @@ QUERIES["cf_precision"] = QuerySpec(q_cf_precision, ORACLE_CF_PRECISION)
 
 
 def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive rolling-hash fingerprint per document (crc32 not
-    available in DuckDB => rows-only; determinism is pytest-checked)."""
-    return text.with_rolling_fingerprint(_docs(spark, sf_dir), "text").select(
-        "doc_id", "rolling_hash"
-    )
+    """Order-sensitive rolling-hash fingerprint per document — the
+    md5-portable code variant (per-token code = 60-bit md5 int, same
+    polynomial fold; DuckDB replicates via list_reduce). Production
+    path keeps crc32 codes (pytest-covered)."""
+    return text.with_rolling_fingerprint(
+        _docs(spark, sf_dir), "text", hash_method="md5"
+    ).select("doc_id", "rolling_hash")
+
+
+ORACLE_DOC_ROLLING_HASH = r"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(regexp_split_to_array(trim(text), '\s+'),
+             t -> ('0x' || substring(md5(t), 1, 15))::BIGINT)),
+         (acc, c) -> (acc * 31 + c) % 2147483647
+       ) AS rolling_hash
+FROM documents
+"""
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN: KMeans coarse quantizer + n_probe cell search
-    (ml/ivf.py). Approximate by construction => rows-only; the exact
-    baseline is ann_cosine_topk."""
+    (ml/ivf.py). Registry config probes ALL cells (n_probe =
+    n_clusters), where IVF is exactly brute force regardless of the
+    KMeans partition — so the exact ann_cosine_topk oracle applies
+    verbatim and the whole routing+rescore machinery gets value-checked.
+    Partial-probe recall behavior is pytest-covered
+    (tests: recall == exact at full probe, bounded below it)."""
     from data_pipeline_mlops_spark.ml.ivf import build_ivf_index, ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1480,12 +1672,14 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 10)
     return ivf_topk(
         queries, centroids, assigned,
-        id_col="vec_id", vec_col="embedding", k=5, n_probe=3,
+        id_col="vec_id", vec_col="embedding", k=5, n_probe=8,
     )
 
 
-QUERIES["doc_rolling_hash"] = QuerySpec(q_doc_rolling_hash, None)
-QUERIES["ivf_ann_topk"] = QuerySpec(q_ivf_ann_topk, None)
+QUERIES["doc_rolling_hash"] = QuerySpec(
+    q_doc_rolling_hash, ORACLE_DOC_ROLLING_HASH
+)
+QUERIES["ivf_ann_topk"] = QuerySpec(q_ivf_ann_topk, ORACLE_ANN_COSINE_TOPK)
 
 
 def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1598,7 +1792,9 @@ def q_customer_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     builds as python dicts, dags/daily_pipeline.py:506-514)."""
     inter = _interactions(spark, sf_dir).where(F.col("customer_id") <= 200)
     return inter.groupBy("customer_id").agg(
-        F.sort_array(F.collect_set("product_id")).alias("basket"),
+        F.array_join(
+            F.sort_array(F.collect_set("product_id")), ","
+        ).alias("basket"),
         F.countDistinct("product_id").alias("basket_size"),
     )
 
@@ -1606,7 +1802,7 @@ def q_customer_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CUSTOMER_BASKETS = f"""
 WITH i AS ({ORACLE_INTERACTIONS})
 SELECT customer_id,
-       list_sort(list(DISTINCT product_id)) AS basket,
+       array_to_string(list_sort(list(DISTINCT product_id)), ',') AS basket,
        COUNT(DISTINCT product_id) AS basket_size
 FROM i WHERE customer_id <= 200
 GROUP BY 1
@@ -1744,15 +1940,26 @@ QUERIES["event_sessions"] = QuerySpec(q_event_sessions, ORACLE_EVENT_SESSIONS)
 
 
 def q_doc_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end dedup: MinHash-LSH candidates -> exact-verified pairs
-    -> greedy keep/drop decision per document (rows-only: pair source is
-    the xxhash64 LSH path)."""
+    """End-to-end dedup: verified near-dup pairs -> greedy keep/drop
+    decision per document (lower id survives; one anti-join, no
+    iterative connected components). Pair source is the exact n-gram
+    Jaccard tier — the same relation the green ngram_jaccard_dups row
+    verifies — so the decision layer itself is what this oracle tests.
+    The MinHash-LSH pair source composes identically (pytest-covered)."""
     docs = _docs(spark, sf_dir)
-    pairs = dedup_text.minhash_dedup(
-        docs, id_col="doc_id", text_col="text",
-        num_hashes=64, bands=16, shingle_n=3, verify_threshold=0.05,
+    pairs = dedup_text.ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.05
     )
     return dedup_text.dedup_decisions(docs, pairs, id_col="doc_id")
 
 
-QUERIES["doc_dedup_decisions"] = QuerySpec(q_doc_dedup_decisions, None)
+ORACLE_DOC_DEDUP_DECISIONS = f"""
+WITH pairs AS ({ORACLE_NGRAM_JACCARD}),
+drops AS (SELECT DISTINCT id_b FROM pairs)
+SELECT d.doc_id, (dr.id_b IS NULL) AS keep
+FROM documents d LEFT JOIN drops dr ON dr.id_b = d.doc_id
+"""
+
+QUERIES["doc_dedup_decisions"] = QuerySpec(
+    q_doc_dedup_decisions, ORACLE_DOC_DEDUP_DECISIONS
+)
