@@ -57,12 +57,21 @@ def precision_at_k(
     k: int = 10,
 ) -> DataFrame:
     """M10: per-user precision = |top-k recs ∩ eval purchases| / k,
-    averaged over users that have both recs and eval rows."""
+    averaged over users that have both recs and eval rows.
+
+    Eval pairs are deduplicated before the hits join (duplicate
+    (user, item) eval rows would multiply hits and push per-user
+    precision above 1), and the user denominator is semi-joined to the
+    eval user set so it matches the docstring contract."""
     recs = recommendations.where(F.col("rank") <= k).select(user_col, item_col)
-    hits = recs.join(eval_df.select(user_col, item_col), [user_col, item_col])
+    eval_pairs = eval_df.select(user_col, item_col).distinct()
+    hits = recs.join(eval_pairs, [user_col, item_col])
     per_user = (
         recs.select(user_col)
         .distinct()
+        .join(
+            eval_pairs.select(user_col).distinct(), user_col, "left_semi"
+        )
         .join(
             hits.groupBy(user_col).agg(F.count(F.lit(1)).alias("__hits")),
             user_col,

@@ -747,6 +747,88 @@ SELECT customer_id, product_id, score, "rank" FROM ranked WHERE "rank" <= 5
 """
 
 
+def q_recommendations_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 with the item-kNN neighbor cap exercised: only each item's
+    top-20 similarity neighbors participate in scoring. This is the
+    100 TB shape — the scoring join's fan-out is bounded by
+    |purchases| x 20 instead of |purchases| x full item degree (a hot
+    item's whole similarity row otherwise multiplies the shuffle).
+    The cap is SQL-expressible (ROW_NUMBER() <= 20 over the symmetric
+    similarity), so this approximation is fully oracle-checked."""
+    inter = _materialize(_interactions(spark, sf_dir))
+    sim = _materialize(
+        cf.item_similarity(
+            inter, user_col="customer_id", item_col="product_id",
+            min_cooccurrence=1,
+        )
+    )
+    purchases = inter.where(F.col("customer_id") <= 50)
+    recs = cf.recommend(
+        purchases, sim, user_col="customer_id", item_col="product_id",
+        top_n=5, max_neighbors=20,
+    )
+    return recs.select(
+        "customer_id",
+        F.col("product_id"),
+        "score",
+        F.col("rank"),
+    )
+
+
+ORACLE_RECOMMENDATIONS_CAPPED = f"""
+WITH i AS ({ORACLE_INTERACTIONS}),
+cnt AS (SELECT product_id, COUNT(*) AS c FROM i GROUP BY 1),
+cooc AS (
+  SELECT a.product_id AS item_a, b.product_id AS item_b, COUNT(*) AS co
+  FROM i a JOIN i b ON a.customer_id = b.customer_id
+  WHERE a.product_id < b.product_id
+  GROUP BY 1, 2
+),
+sim AS (
+  SELECT item_a, item_b,
+         CAST(ROUND(co / SQRT(ca.c * cb.c), 6) AS DECIMAL(18,6)) AS s
+  FROM cooc
+  JOIN cnt ca ON ca.product_id = item_a
+  JOIN cnt cb ON cb.product_id = item_b
+),
+sym AS (
+  SELECT item_a, item_b, s FROM sim
+  UNION ALL
+  SELECT item_b AS item_a, item_a AS item_b, s FROM sim
+),
+capped AS (
+  SELECT item_a, item_b, s FROM (
+    SELECT item_a, item_b, s,
+           ROW_NUMBER() OVER (
+             PARTITION BY item_a ORDER BY s DESC, item_b ASC) AS nr
+    FROM sym)
+  WHERE nr <= 20
+),
+scored AS (
+  SELECT i.customer_id, capped.item_b AS product_id, SUM(capped.s) AS score_dec
+  FROM i JOIN capped ON i.product_id = capped.item_a
+  WHERE i.customer_id <= 50
+  GROUP BY 1, 2
+),
+masked AS (
+  SELECT s.customer_id, s.product_id, s.score_dec
+  FROM scored s
+  LEFT JOIN i ON i.customer_id = s.customer_id
+             AND i.product_id = s.product_id
+  WHERE i.customer_id IS NULL AND s.score_dec > 0
+),
+ranked AS (
+  SELECT customer_id, product_id,
+         CAST(score_dec AS DOUBLE) AS score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY customer_id
+           ORDER BY score_dec DESC, product_id ASC) AS INTEGER) AS "rank"
+  FROM masked
+)
+SELECT customer_id, product_id, score, "rank" FROM ranked WHERE "rank" <= 5
+"""
+
+
 def q_cf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M9: train/eval coverage metrics with a date-based split
     (reference dags/daily_pipeline.py:483-488). Train = interactions
@@ -982,6 +1064,56 @@ sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(i / (sa.sz + sb.sz - i), 6) >= 0.05
+"""
+
+
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard with the stop-shingle cap applied
+    (max_shingle_freq=50): shingles occurring in more than 50 docs are
+    dropped before the pair join. This bounds the self-join fan-out —
+    quadratic in per-shingle frequency — which is what makes the exact
+    tier survive a 100x corpus; results differ from the uncapped tier
+    only for pairs glued solely by boilerplate shingles. Set sizes stay
+    uncapped (true Jaccard denominators)."""
+    return dedup_text.ngram_jaccard_pairs(
+        _docs(spark, sf_dir),
+        id_col="doc_id",
+        text_col="text",
+        n=3,
+        threshold=0.05,
+        max_shingle_freq=50,
+    )
+
+
+ORACLE_NGRAM_JACCARD_CAPPED = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, UNNEST(list_distinct(
+    list_transform(range(1, len(toks) - 1),
+      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM t
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+freq AS (SELECT shingle, COUNT(*) AS f FROM sh GROUP BY 1),
+kept AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  JOIN freq ON freq.shingle = sh.shingle
+  WHERE freq.f <= 50
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
@@ -1276,6 +1408,9 @@ QUERIES: dict[str, QuerySpec] = {
     "item_similarity": QuerySpec(q_item_similarity, ORACLE_ITEM_SIMILARITY),
     "similar_items": QuerySpec(q_similar_items, ORACLE_SIMILAR_ITEMS),
     "recommendations": QuerySpec(q_recommendations, ORACLE_RECOMMENDATIONS),
+    "recommendations_capped": QuerySpec(
+        q_recommendations_capped, ORACLE_RECOMMENDATIONS_CAPPED
+    ),
     "cf_coverage": QuerySpec(q_cf_coverage, ORACLE_CF_COVERAGE),
     "doc_exact_dedup": QuerySpec(q_doc_exact_dedup, ORACLE_DOC_EXACT_DEDUP),
     "doc_token_stats": QuerySpec(q_doc_token_stats, ORACLE_DOC_TOKEN_STATS),
@@ -1285,6 +1420,9 @@ QUERIES: dict[str, QuerySpec] = {
         q_doc_fingerprints, ORACLE_DOC_FINGERPRINTS
     ),
     "ngram_jaccard_dups": QuerySpec(q_ngram_jaccard_dups, ORACLE_NGRAM_JACCARD),
+    "ngram_jaccard_capped": QuerySpec(
+        q_ngram_jaccard_capped, ORACLE_NGRAM_JACCARD_CAPPED
+    ),
     "embedding_norms": QuerySpec(q_embedding_norms, ORACLE_EMBEDDING_NORMS),
     "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
     "minhash_lsh_candidates": QuerySpec(

@@ -177,7 +177,6 @@ def format_alert_message(alert: dict) -> str:
     """P14: the reference's Telegram HTML formats
     (flink_job_telegram_sender.py:54-102), condensed."""
     kind = alert.get("alert_type", "UNKNOWN")
-    total = alert.get("total") or 0.0
     templates = {
         "HIGH_VALUE_ORDER": (
             "🚨 <b>High value order</b>: {order_id} — ${total:,.2f}"
@@ -195,7 +194,15 @@ def format_alert_message(alert: dict) -> str:
     tmpl = templates.get(
         kind, "ℹ️ {alert_type}: {order_id}"
     )
-    return tmpl.format(**{**{"price": 0.0, "quantity": 0}, **alert})
+    # None-coalesce numeric fields: CDC_ORDER_SCHEMA allows null
+    # total/price/quantity, and an explicit None in `alert` would
+    # override a defaults dict and crash the ',.2f' format spec.
+    defaults = {"price": 0.0, "quantity": 0, "total": 0.0}
+    kwargs = {**defaults, **alert}
+    for key, fallback in defaults.items():
+        if kwargs.get(key) is None:
+            kwargs[key] = fallback
+    return tmpl.format(**kwargs)
 
 
 def windowed_rapid_orders(
