@@ -24,6 +24,25 @@ from pyspark.sql import functions as F
 from data_pipeline_mlops_spark.functions.text import tokens
 
 
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def minhash_coeffs(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the linear-permutation family
+    h_i(x) = (a_i * x + b_i) mod P over a base hash reduced mod P.
+    Fixed seed => identical constants on the Spark side and inside the
+    generated DuckDB oracle SQL. With base < 2^31 and a_i < 2^31 the
+    product stays under 2^62, so int64 arithmetic is exact in both
+    engines — no overflow, no bignum."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
+        for _ in range(num_hashes)
+    ]
+
+
 def _md5_60(col: F.Column) -> F.Column:
     """60-bit non-negative integer from the first 15 hex chars of
     md5(col) — the engine-portable hash twin of xxhash64. DuckDB
@@ -155,20 +174,31 @@ def minhash_signatures(
     hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Tier 3a: MinHash signature — per slot i, min over shingles of
-    hash(shingle, i). Computed via explode + groupBy(min of k
-    columns aggregated) without any Python; one shuffle on doc id.
+    hash_i(shingle). Computed via explode + groupBy(min of k columns
+    aggregated) without any Python; one shuffle on doc id.
 
-    hash_method "xxhash64" (production) or "md5" (oracle-portable:
-    slot hash = _md5_60(shingle || '#' || i))."""
-
-    def slot_hash(i: int) -> F.Column:
-        if hash_method == "md5":
-            return _md5_60(F.concat(F.col("shingle"), F.lit(f"#{i}")))
-        return F.xxhash64(F.col("shingle"), F.lit(i))
-
+    hash_method "xxhash64" (production: k seeded xxhash64 calls) or
+    "md5" (oracle-portable: ONE md5 per shingle reduced mod P, then k
+    linear permutations (a_i*base + b_i) mod P — minhash_coeffs — so
+    DuckDB replicates signatures bit-for-bit at ~the cost of a single
+    digest instead of k)."""
     sh = shingle_rows(df, id_col=id_col, text_col=text_col, n=shingle_n)
+
+    if hash_method == "md5":
+        sh = sh.select(
+            "__id", (_md5_60(F.col("shingle")) % MINHASH_P).alias("__base")
+        )
+        slots = [
+            F.min((F.lit(a) * F.col("__base") + F.lit(b)) % MINHASH_P)
+            for a, b in minhash_coeffs(num_hashes)
+        ]
+    else:
+        slots = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i)))
+            for i in range(num_hashes)
+        ]
     mins = sh.groupBy("__id").agg(
-        *[F.min(slot_hash(i)).alias(f"mh_{i}") for i in range(num_hashes)]
+        *[s.alias(f"mh_{i}") for i, s in enumerate(slots)]
     )
     return mins.select(
         F.col("__id").alias(id_col),

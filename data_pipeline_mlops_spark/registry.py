@@ -1203,7 +1203,12 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_MINHASH_LSH = r"""
+_MINHASH_COEF_VALUES = ", ".join(
+    f"({i}, {a}, {b})"
+    for i, (a, b) in enumerate(dedup_text.minhash_coeffs(64))
+)
+
+ORACLE_MINHASH_LSH = rf"""
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
   FROM documents
@@ -1217,10 +1222,14 @@ sets AS (
   FROM t
 ),
 shr AS (SELECT doc_id, unnest(shingles) AS shingle FROM sets),
+shb AS (
+  SELECT doc_id,
+    ('0x' || substring(md5(shingle), 1, 15))::BIGINT % 2147483647 AS base
+  FROM shr
+),
 mh AS (
-  SELECT doc_id, i,
-    MIN(('0x' || substring(md5(shingle || '#' || CAST(i AS VARCHAR)), 1, 15))::BIGINT) AS v
-  FROM shr CROSS JOIN (SELECT unnest(range(64)) AS i) ii
+  SELECT doc_id, i, MIN((a * base + b) % 2147483647) AS v
+  FROM shb CROSS JOIN (VALUES {_MINHASH_COEF_VALUES}) AS coef(i, a, b)
   GROUP BY 1, 2
 ),
 bands AS (
@@ -2100,4 +2109,101 @@ FROM documents d LEFT JOIN drops dr ON dr.id_b = d.doc_id
 
 QUERIES["doc_dedup_decisions"] = QuerySpec(
     q_doc_dedup_decisions, ORACLE_DOC_DEDUP_DECISIONS
+)
+
+
+def q_bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join: orders ⋈ lineitem both bucketed by
+    orderkey (sources/bucketed.py), then per-order item count + revenue.
+    Because the join key AND the grouping key equal the bucket column,
+    the physical plan has NO Exchange anywhere — join and aggregation
+    both reuse the bucket partitioning. This is the 100 TB pattern for
+    repeated fact-fact joins: pay one bucketed write, amortize it over
+    every later join/agg on that key (locked by a plan-regression test).
+    Results are identical to the plain-parquet join, which is what the
+    oracle checks."""
+    from data_pipeline_mlops_spark.sources.bucketed import (
+        ensure_bucketed_fact_tables,
+    )
+
+    t_orders, t_lineitem = ensure_bucketed_fact_tables(spark, sf_dir)
+    joined = spark.table(t_orders).join(spark.table(t_lineitem), "o_orderkey")
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        money_sum("l_extendedprice", "revenue"),
+    )
+
+
+ORACLE_BUCKETED_ORDER_REVENUE = f"""
+SELECT o_orderkey, COUNT(*) AS n_items,
+       {_osum('l_extendedprice', 'revenue')}
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
+
+QUERIES["bucketed_order_revenue"] = QuerySpec(
+    q_bucketed_order_revenue, ORACLE_BUCKETED_ORDER_REVENUE
+)
+
+
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase event attributed
+    to the same user's most recent view/click at-or-before it —
+    last-touch attribution, the canonical point-in-time join. The
+    operator is the union + ordered-window formulation (one shuffle on
+    user_id, no range-join fan-out); the oracle deliberately uses the
+    OTHER formulation (range left-join + ROW_NUMBER) so the two
+    derivations check each other."""
+    from data_pipeline_mlops_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touches = events.where(F.col("event_type").isin("view", "click"))
+    out = asof_join(
+        purchases,
+        touches,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload=["event_id", "event_type"],
+        tiebreak="event_id",
+        payload_prefix="touch_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "touch_event_id",
+        "touch_event_type",
+        (F.unix_micros("ts") - F.unix_micros("touch_ts")).alias("gap_us"),
+    )
+
+
+ORACLE_PURCHASE_ATTRIBUTION = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT event_id, event_type, user_id, ts FROM events
+  WHERE event_type IN ('view', 'click')
+),
+m AS (
+  SELECT p.event_id, p.user_id, p.ts,
+         t.event_id AS touch_event_id,
+         t.event_type AS touch_event_type,
+         t.ts AS touch_ts,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.event_id
+           ORDER BY t.ts DESC, t.event_id DESC) AS rn
+  FROM p LEFT JOIN t ON t.user_id = p.user_id AND t.ts <= p.ts
+)
+SELECT event_id, user_id, ts, touch_event_id, touch_event_type,
+       epoch_us(ts) - epoch_us(touch_ts) AS gap_us
+FROM m WHERE rn = 1
+"""
+
+QUERIES["purchase_attribution"] = QuerySpec(
+    q_purchase_attribution, ORACLE_PURCHASE_ATTRIBUTION
 )

@@ -179,3 +179,51 @@ def test_split_clean_quarantines_with_reasons(spark):
     assert sorted(map(tuple, dropped.collect())) == sorted(
         map(tuple, clean.collect())
     )
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of join: non-strict ts ties match, strict excludes
+    them, tie among right rows resolves to max tiebreak, unmatched left
+    rows keep nulls, tolerance nulls too-old matches."""
+    import datetime as dt
+
+    from data_pipeline_mlops_spark.operators.asof import asof_join
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, T(10), "L10"), (1, T(5), "L5"), (2, T(3), "L3")],
+        "k long, ts timestamp, lbl string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, T(5), 100, "r5a"),
+            (1, T(5), 101, "r5b"),  # tie at ts=5: max rid wins
+            (1, T(8), 102, "r8"),
+            (3, T(1), 103, "other-key"),
+        ],
+        "k long, ts timestamp, rid long, rlbl string",
+    )
+
+    def rows(**kw):
+        out = asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            payload=["rid", "rlbl"], tiebreak="rid",
+            payload_prefix="m_", **kw,
+        )
+        return {
+            (r.k, r.lbl): (r.m_rid, r.m_rlbl)
+            for r in out.collect()
+        }
+
+    got = rows()
+    assert got[(1, "L10")] == (102, "r8")   # latest <= 10
+    assert got[(1, "L5")] == (101, "r5b")   # tie included, max rid
+    assert got[(2, "L3")] == (None, None)   # no right rows for k=2
+
+    got_strict = rows(strict=True)
+    assert got_strict[(1, "L5")] == (None, None)  # tie excluded
+    assert got_strict[(1, "L10")] == (102, "r8")
+
+    got_tol = rows(tolerance_sec=1.0)
+    assert got_tol[(1, "L10")] == (None, None)  # r8 is 2s old
+    assert got_tol[(1, "L5")] == (101, "r5b")   # 0s old

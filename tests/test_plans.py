@@ -59,3 +59,26 @@ def test_alert_rules_stay_whole_stage_codegen(spark):
     # codegen'd operators carry the `*(n)` stage marker in toString
     assert re.search(r"\*\(\d+\) (Project|Filter)", plan)
     assert "BatchEvalPython" not in plan  # no Python in the hot path
+
+
+def test_bucketed_order_revenue_zero_exchange(spark):
+    """The bucketed fact-fact join + same-key aggregation must run with
+    NO Exchange anywhere: the bucket partitioning (orderkey, 8 buckets)
+    is reused by both the SortMergeJoin and the groupBy. Broadcast is
+    disabled so bucket co-location — not a broadcast — is what removes
+    the shuffle."""
+    from data_pipeline_mlops_spark.registry import QUERIES
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = QUERIES["bucketed_order_revenue"].spark(spark, SF_SMALL)
+        plan = _plan(df)
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in list(spark.catalog.listTables()):
+            if t.name.startswith("b_"):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
