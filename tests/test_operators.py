@@ -227,3 +227,63 @@ def test_asof_join_semantics(spark):
     got_tol = rows(tolerance_sec=1.0)
     assert got_tol[(1, "L10")] == (None, None)  # r8 is 2s old
     assert got_tol[(1, "L5")] == (101, "r5b")   # 0s old
+
+
+def test_synthetic_orders_errors_recovered_exactly(spark):
+    """The seeded generator injects the reference's four error classes;
+    split_clean must quarantine EXACTLY the labeled rows (per-reason
+    counts equal per-label counts, not just similar rates), and
+    clean_fact must repair negative prices and recompute totals."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_mlops_spark.operators.clean import (
+        clean_fact,
+        split_clean,
+    )
+    from data_pipeline_mlops_spark.sources.synthetic import synthetic_orders
+
+    n = 20_000
+    df = synthetic_orders(spark, n, seed=42, with_labels=True).cache()
+    labels = df.agg(
+        F.sum(F.col("err_zero_qty").cast("long")).alias("zq"),
+        F.sum(F.col("err_empty_status").cast("long")).alias("es"),
+        F.sum(F.col("err_neg_price").cast("long")).alias("np"),
+        F.sum(F.col("err_bad_total").cast("long")).alias("bt"),
+    ).first()
+    # seeded rates land near nominal (2%/1%/1%/3%)
+    assert abs(labels.zq / n - 0.01) < 0.005
+    assert abs(labels.es / n - 0.01) < 0.005
+    assert abs(labels.np / n - 0.02) < 0.005
+    assert abs(labels.bt / n - 0.03) < 0.005
+
+    clean, rejects = split_clean(
+        df, id_col="order_id", qty_col="quantity",
+        price_col="price", status_col="status", total_col="gross_value",
+    )
+    reason_counts = dict(
+        rejects.select(F.explode("reject_reasons").alias("r"))
+        .groupBy("r").count().collect()
+    )
+    assert reason_counts.get("non_positive_quantity", 0) == labels.zq
+    assert reason_counts.get("empty_status", 0) == labels.es
+    assert "null_id" not in reason_counts  # generator never nulls ids
+    assert clean.count() + rejects.count() == n
+
+    # clean_fact repairs: price is abs()'d, total recomputed exactly
+    cleaned = clean_fact(
+        df, id_col="order_id", qty_col="quantity",
+        price_col="price", status_col="status", total_col="gross_value",
+    )
+    assert cleaned.where(F.col("price") < 0).count() == 0
+    bad = cleaned.where(
+        F.col("gross_value")
+        != F.round(F.abs(F.col("price")) * F.col("quantity"), 2)
+    )
+    assert bad.count() == 0
+
+    # determinism: same (n, seed) => identical content, new seed differs
+    again = synthetic_orders(spark, n, seed=42, with_labels=True)
+    assert df.exceptAll(again).count() == 0
+    other = synthetic_orders(spark, n, seed=7, with_labels=True)
+    assert other.exceptAll(df).count() > 0
+    df.unpersist()
