@@ -173,3 +173,55 @@ def with_rolling_fingerprint(
         .withColumn("rolling_hash", h)
         .drop("__toks")
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, *, id_col: str, text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, the sklearn smoothing — never zero,
+    never divides by zero). The large-corpus keyword/feature extractor.
+
+    Scale shape: explode -> two hash aggregations (term-frequency per
+    doc, then document-frequency per term) -> broadcast the scalar N ->
+    per-doc window top-k. No UDFs; the only shuffles are the two
+    aggregations and the final per-doc window, each on a natural key.
+    Scores are rounded to 6dp BEFORE ranking (round-then-tiebreak rule)
+    with the term as the unique tiebreaker, so rankings are
+    deterministic and engine-portable.
+    """
+    tok = df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__toks"))
+    tf = (
+        tok.select("__id", F.explode("__toks").alias("term"))
+        .groupBy("__id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    n = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "__id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("__n") + 1.0) / (F.col("__df") + 1.0))
+                    + 1.0
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("__id").alias(id_col), "term", "tf", "score", "rank")
+    )

@@ -2207,3 +2207,165 @@ FROM m WHERE rn = 1
 QUERIES["purchase_attribution"] = QuerySpec(
     q_purchase_attribution, ORACLE_PURCHASE_ATTRIBUTION
 )
+
+
+def q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (functions/text.py
+    tfidf_top_terms) — corpus keyword extraction with smoothed idf,
+    rounded-then-tiebroken ranking."""
+    return text.tfidf_top_terms(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text", k=5
+    )
+
+
+ORACLE_DOC_TFIDF = r"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         ROUND(tf.tf * (LN((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 6)
+           AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INTEGER)
+           AS "rank"
+  FROM scored
+)
+SELECT doc_id, term, tf, score, "rank" FROM ranked WHERE "rank" <= 5
+"""
+
+QUERIES["doc_tfidf"] = QuerySpec(q_doc_tfidf, ORACLE_DOC_TFIDF)
+
+
+def q_event_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization #3: Spark's built-in session_window aggregation
+    (the other two: gaps-and-islands SQL `event_sessions`, stateful
+    streaming `streaming/sessionize.py`). session_window merges events
+    whose gap is strictly < 30 min and reports end = last event + gap,
+    so the oracle's gaps-and-islands twin uses a microsecond-exact >=
+    split and MAX(ts) + INTERVAL 30 minutes — the semantics are encoded
+    in the oracle, not approximated."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 100)
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value", "sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_EVENT_SESSION_WINDOWS = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WHERE user_id <= 100
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sessioned AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id
+                          ORDER BY ts ASC, event_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       {_osum('value', 'sum_value')}
+FROM sessioned GROUP BY user_id, session_id
+"""
+
+QUERIES["event_session_windows"] = QuerySpec(
+    q_event_session_windows, ORACLE_EVENT_SESSION_WINDOWS
+)
+
+
+def q_error_context_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded interval join (operators/rangejoin.py): every error event
+    with the count + value-sum of the same user's non-error activity
+    within +/-6 h. The band trick turns the time-range join into an
+    equi-join on (user, 6h-band) with a constant 3x left fan-out —
+    instead of the per-user cartesian the naive range predicate costs —
+    and the left variant keeps zero-context errors (n_nearby = 0). The
+    oracle is the naive range join, so the banded rewrite is checked
+    pair-for-pair."""
+    from data_pipeline_mlops_spark.operators.rangejoin import (
+        banded_interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    others = ev.where(F.col("event_type") != "error").select(
+        "user_id",
+        F.col("ts").alias("o_ts"),
+        F.col("event_id").alias("o_event_id"),
+        F.col("value").alias("o_value"),
+    )
+    joined = banded_interval_join(
+        errors,
+        others,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_ts",
+        max_diff_sec=21600,
+        how="left",
+        left_key="event_id",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("o_event_id").alias("n_nearby"),
+        F.coalesce(
+            F.round(
+                F.sum(F.col("o_value").cast("decimal(38,6)")), 2
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias("nearby_value"),
+    )
+
+
+ORACLE_ERROR_CONTEXT_EVENTS = """
+WITH err AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+oth AS (
+  SELECT user_id, ts, event_id, value FROM events
+  WHERE event_type <> 'error'
+)
+SELECT e.event_id, e.user_id,
+       COUNT(o.event_id) AS n_nearby,
+       COALESCE(
+         CAST(ROUND(SUM(CAST(o.value AS DECIMAL(38,6))), 2) AS DOUBLE),
+         0.0) AS nearby_value
+FROM err e LEFT JOIN oth o
+  ON o.user_id = e.user_id
+ AND abs(epoch_us(o.ts) - epoch_us(e.ts)) <= 21600000000
+GROUP BY 1, 2
+"""
+
+QUERIES["error_context_events"] = QuerySpec(
+    q_error_context_events, ORACLE_ERROR_CONTEXT_EVENTS
+)
