@@ -1,0 +1,76 @@
+"""Distributed connected components via hash-min label propagation.
+
+Dedup at corpus scale needs CLUSTERS, not just pairs: if A~B and B~C,
+the keep/drop decision must see {A, B, C} as one group (the greedy
+pair-wise decision in dedup_text.dedup_decisions can drop B and C while
+keeping A even when A~C was never verified — fine as a cheap tier, but
+cluster-exact survivorship needs components).
+
+Algorithm: every vertex starts labeled with its own id; each round,
+every vertex takes the min of its label and its neighbors' labels;
+stop when a round changes nothing. Converges in O(component diameter)
+rounds — near-dup clusters are shallow (LSH-bucket cliques), so
+single-digit rounds in practice, with `max_iters` as the safety bound.
+Each round is one shuffle (join on vertex) + one aggregation; lineage
+is truncated per round with localCheckpoint so plans stay flat.
+
+This is the iterative-algorithm pattern on DataFrames: driver-side loop
+over fully distributed rounds, one scalar action per round for
+convergence — the driver never holds vertex data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    vertex_col: str,
+    src_col: str,
+    dst_col: str,
+    max_iters: int = 20,
+) -> DataFrame:
+    """(vertex, component) for every vertex; component = min vertex id
+    reachable through undirected ``edges``. Isolated vertices label
+    themselves."""
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = vertices.select(
+        F.col(vertex_col).alias("v"), F.col(vertex_col).alias("label")
+    ).localCheckpoint()
+
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["v"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["v"] == nbr_min["a"], "left")
+            .select(
+                "v",
+                F.col("label").alias("old_label"),
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()  # also materializes for the two uses below
+        )
+        changed = stepped.where(
+            F.col("label") != F.col("old_label")
+        ).count()
+        labels = stepped.drop("old_label")
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias(vertex_col),
+                         F.col("label").alias("component"))

@@ -2369,3 +2369,52 @@ GROUP BY 1, 2
 QUERIES["error_context_events"] = QuerySpec(
     q_error_context_events, ORACLE_ERROR_CONTEXT_EVENTS
 )
+
+
+def q_doc_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS via distributed connected components
+    (functions/graph.py, hash-min label propagation) over the verified
+    n-gram Jaccard pairs: every document labeled with the min doc_id
+    reachable through near-dup edges (isolated docs label themselves),
+    plus cluster-exact survivorship (keep = is the cluster minimum).
+    The oracle computes the same closure with a recursive CTE — a
+    completely different evaluation strategy checking the iterative
+    DataFrame rounds."""
+    from data_pipeline_mlops_spark.functions.graph import (
+        connected_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup_text.ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.05
+    )
+    cc = connected_components(
+        docs, pairs, vertex_col="doc_id", src_col="id_a", dst_col="id_b"
+    )
+    return cc.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("keep"),
+    )
+
+
+ORACLE_DOC_DUP_COMPONENTS = f"""
+WITH RECURSIVE pairs AS ({ORACLE_NGRAM_JACCARD}),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(v, label) AS (
+  SELECT doc_id AS v, doc_id AS label FROM documents
+  UNION
+  SELECT s.a AS v, r.label FROM sym s JOIN reach r ON r.v = s.b
+)
+SELECT v AS doc_id, MIN(label) AS component,
+       (v = MIN(label)) AS keep
+FROM reach GROUP BY v
+"""
+
+QUERIES["doc_dup_components"] = QuerySpec(
+    q_doc_dup_components, ORACLE_DOC_DUP_COMPONENTS
+)

@@ -238,3 +238,28 @@ def test_dedup_decisions_greedy_keep_lowest(spark):
     assert out == {1: True, 2: False, 3: False, 4: True}
     # every doc gets exactly one decision
     assert len(out) == 4
+
+
+def test_connected_components_hand_graph(spark):
+    """Chain 1-2-3-4 collapses to component 1 (multi-hop transitivity —
+    what the greedy pair decision can't see), triangle 10-11-12 to 10,
+    isolated 99 labels itself."""
+    from data_pipeline_mlops_spark.functions.graph import (
+        connected_components,
+    )
+
+    vertices = spark.createDataFrame(
+        [(v,) for v in [1, 2, 3, 4, 10, 11, 12, 99]], "doc_id long"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.doc_id: r.component
+        for r in connected_components(
+            vertices, edges, vertex_col="doc_id",
+            src_col="id_a", dst_col="id_b",
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}

@@ -377,3 +377,57 @@ def test_kafka_sink_payload_shape(spark):
         "total": 15000.0,
         "quantity": 5,
     }
+
+
+def test_stream_stream_join_orders_payments(spark, tmp_path):
+    """Stream-stream inner join with watermarks + event-time bound:
+    payments within the delay window match; a payment outside the
+    window and an unpaid order do not appear."""
+    import json
+
+    from data_pipeline_mlops_spark.streaming import enrich_stream
+
+    odir, pdir = tmp_path / "orders", tmp_path / "payments"
+    odir.mkdir(), pdir.mkdir()
+    t0 = "2024-01-01T00:{m:02d}:00.000Z"
+    orders = [
+        {"order_id": "O1", "order_ts": t0.format(m=0),
+         "customer_id": "C1", "total": 100.0},
+        {"order_id": "O2", "order_ts": t0.format(m=5),
+         "customer_id": "C2", "total": 200.0},
+        {"order_id": "O3", "order_ts": t0.format(m=10),
+         "customer_id": "C3", "total": 300.0},  # never paid
+    ]
+    payments = [
+        {"pay_order_id": "O1", "pay_ts": t0.format(m=2),
+         "method": "card", "amount": 100.0},   # in window
+        {"pay_order_id": "O2", "pay_ts": t0.format(m=45),
+         "method": "cash", "amount": 200.0},   # outside 30-min window
+    ]
+    (odir / "o.json").write_text(
+        "\n".join(json.dumps(r) for r in orders)
+    )
+    (pdir / "p.json").write_text(
+        "\n".join(json.dumps(r) for r in payments)
+    )
+
+    joined = enrich_stream.join_orders_payments(
+        enrich_stream.order_file_source(spark, str(odir)),
+        enrich_stream.payment_file_source(spark, str(pdir)),
+        watermark="1 minute",
+        max_delay_sec=1800,
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("paid_orders")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.order_id: r for r in spark.sql(
+        "SELECT * FROM paid_orders").collect()}
+    assert set(rows) == {"O1"}
+    assert rows["O1"].method == "card"
+    assert rows["O1"].pay_latency_us == 120_000_000
