@@ -182,24 +182,28 @@ def tfidf_top_terms(
     (idf = ln((N+1)/(df+1)) + 1, the sklearn smoothing — never zero,
     never divides by zero). The large-corpus keyword/feature extractor.
 
-    Scale shape: explode -> two hash aggregations (term-frequency per
-    doc, then document-frequency per term) -> broadcast the scalar N ->
-    per-doc window top-k. No UDFs; the only shuffles are the two
-    aggregations and the final per-doc window, each on a natural key.
-    Scores are rounded to 6dp BEFORE ranking (round-then-tiebreak rule)
-    with the term as the unique tiebreaker, so rankings are
-    deterministic and engine-portable.
+    Scale shape: explode -> one hash aggregation (term frequency per
+    doc) -> document frequency as a COUNT window over term (no
+    self-join: a groupBy+join formulation costs 4 extra Exchanges) ->
+    broadcast the scalar N -> per-doc window top-k. Three shuffles
+    total, each on a natural key; no UDFs. Scores are rounded to 6dp
+    BEFORE ranking (round-then-tiebreak rule) with the term as the
+    unique tiebreaker, so rankings are deterministic and
+    engine-portable.
     """
+    from pyspark.sql import Window
+
     tok = df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__toks"))
     tf = (
         tok.select("__id", F.explode("__toks").alias("term"))
         .groupBy("__id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     n = df.agg(F.count(F.lit(1)).alias("__n"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .crossJoin(F.broadcast(n))
         .select(
             "__id",
@@ -215,7 +219,6 @@ def tfidf_top_terms(
             ).alias("score"),
         )
     )
-    from pyspark.sql import Window
 
     w = Window.partitionBy("__id").orderBy(
         F.col("score").desc(), F.col("term").asc()

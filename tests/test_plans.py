@@ -82,3 +82,35 @@ def test_bucketed_order_revenue_zero_exchange(spark):
         for t in list(spark.catalog.listTables()):
             if t.name.startswith("b_"):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def test_medallion_read_prunes_partitions(spark, tmp_path):
+    """A ds-filtered read of a date-partitioned entity must prune at
+    the source: the scan's PartitionFilters carries the ds predicate
+    and only one partition directory is read."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_mlops_spark.sources.medallion import (
+        read_entity,
+        write_partition,
+    )
+
+    df = spark.range(100).select(
+        "id",
+        F.when(F.col("id") < 50, "2024-01-01")
+        .otherwise("2024-01-02")
+        .alias("date"),
+    )
+    for ds in ("2024-01-01", "2024-01-02"):
+        write_partition(
+            df.where(F.col("date") == ds),
+            base=str(tmp_path), layer="silver", entity="orders",
+        )
+    pruned = read_entity(
+        spark, base=str(tmp_path), layer="silver", entity="orders",
+        ds="2024-01-01",
+    )
+    plan = _plan(pruned)
+    m = re.search(r"PartitionFilters: \[([^\n]*)", plan)
+    assert m and "2024-01-01" in m.group(1)
+    assert pruned.count() == 50
