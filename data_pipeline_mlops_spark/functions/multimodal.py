@@ -49,16 +49,22 @@ def decode_media(content: bytes, media_type: str):
     )
 
 
-def _fake_features(content: bytes) -> list[float]:
+def _fake_features(content: bytes, normalize: bool = True) -> list[float]:
     """Deterministic stand-in for an embedding model: fold the bytes
-    into FEATURE_DIM accumulators. Stable across runs/partitionings."""
+    into FEATURE_DIM polynomial accumulators (mod 1_000_003). Stable
+    across runs/partitionings. ``normalize=False`` returns the raw
+    integer accumulators (exactly representable as doubles), which an
+    external SQL engine can reproduce — that is what lets the driver
+    oracle the whole Arrow/mapInPandas path end-to-end."""
     acc = [0] * FEATURE_DIM
     for i, byt in enumerate(content or b""):
         acc[i % FEATURE_DIM] = (acc[i % FEATURE_DIM] * 31 + byt) % 1_000_003
-    return [a / 1_000_003.0 for a in acc]
+    return [a / 1_000_003.0 for a in acc] if normalize else [float(a) for a in acc]
 
 
-def extract_features(df: DataFrame, *, use_fake: bool = True) -> DataFrame:
+def extract_features(
+    df: DataFrame, *, use_fake: bool = True, normalize: bool = True
+) -> DataFrame:
     """mapInPandas feature extraction over binary media columns.
 
     Arrow-batched: each pandas batch holds whole media blobs; batch size
@@ -80,7 +86,7 @@ def extract_features(df: DataFrame, *, use_fake: bool = True) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = [
-                _fake_features(c)
+                _fake_features(c, normalize)
                 if use_fake
                 else decode_media(c, t)
                 for c, t in zip(pdf["content"], pdf["media_type"])

@@ -1361,7 +1361,11 @@ QUALIFY "rank" <= 5
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media column -> mapInPandas feature
     extraction (deterministic fake kernel; real codecs stubbed — see
-    functions/multimodal.py). Rows-only check."""
+    functions/multimodal.py). normalize=False emits the raw integer
+    accumulators, which DuckDB reproduces with a character-code
+    list_reduce (the corpus is pure ASCII, so byte folds == char-code
+    folds) — the oracle exercises the Arrow batch path END-TO-END, the
+    only Python kernel in the engine with a value-level oracle."""
     from data_pipeline_mlops_spark.functions import multimodal
 
     media = _docs(spark, sf_dir).select(
@@ -1369,17 +1373,29 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("image").alias("media_type"),
         F.encode("text", "utf-8").alias("content"),
     )
-    feats = multimodal.extract_features(media, use_fake=True)
-    # Project the array<double> feature column to a sortable scalar so
-    # the driver's pandas canonicalization (hash of values) can run —
-    # array cells are unhashable (CORRECTNESS_r01 comparator crash).
+    feats = multimodal.extract_features(media, use_fake=True, normalize=False)
+    # serialize to a CSV of exact integers: scalar (hashable for the
+    # driver comparator) and engine-portable (no float formatting)
     return feats.select(
         "media_id",
         "media_type",
-        F.to_json(
-            F.transform("features", lambda x: F.round(x, 6))
-        ).alias("features_json"),
+        F.concat_ws(
+            ",", F.transform("features", lambda x: x.cast("long"))
+        ).alias("features_csv"),
     )
+
+
+ORACLE_MULTIMODAL_FEATURES = """
+SELECT doc_id AS media_id, 'image' AS media_type,
+       array_to_string(list_transform(range(0, 8), k ->
+         list_reduce(
+           list_concat([CAST(0 AS BIGINT)],
+             list_transform(range(1 + k, length(text) + 1, 8),
+               i -> CAST(ord(substring(text, CAST(i AS INTEGER), 1))
+                         AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 1000003)), ',') AS features_csv
+FROM documents
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1439,7 +1455,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "simhash_fingerprints": QuerySpec(q_simhash_fingerprints, ORACLE_SIMHASH),
     "lsh_ann_topk": QuerySpec(q_lsh_ann_topk, ORACLE_LSH_ANN_TOPK),
-    "multimodal_features": QuerySpec(q_multimodal_features, None),
+    "multimodal_features": QuerySpec(
+        q_multimodal_features, ORACLE_MULTIMODAL_FEATURES
+    ),
 }
 
 
