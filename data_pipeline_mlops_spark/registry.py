@@ -2436,3 +2436,125 @@ FROM reach GROUP BY v
 QUERIES["doc_dup_components"] = QuerySpec(
     q_doc_dup_components, ORACLE_DOC_DUP_COMPONENTS
 )
+
+
+def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap analysis: per customer, days since the previous
+    and until the next order (lag/lead) plus an ntile quartile by
+    recency — the window-function census rows (lag, lead, ntile) the
+    other queries don't cover."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_custkey") <= 200
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(d, F.lag(d).over(w)).cast("long").alias("days_since_prev"),
+        F.datediff(F.lead(d).over(w), d).cast("long").alias("days_to_next"),
+        F.ntile(4).over(w).alias("recency_quartile"),
+    )
+
+
+ORACLE_CUSTOMER_ORDER_GAPS = """
+SELECT o_orderkey, o_custkey,
+       date_diff('day',
+         LAG(CAST(o_orderdate AS DATE)) OVER w,
+         CAST(o_orderdate AS DATE)) AS days_since_prev,
+       date_diff('day',
+         CAST(o_orderdate AS DATE),
+         LEAD(CAST(o_orderdate AS DATE)) OVER w) AS days_to_next,
+       CAST(NTILE(4) OVER w AS INTEGER) AS recency_quartile
+FROM orders
+WHERE o_custkey <= 200
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+QUERIES["customer_order_gaps"] = QuerySpec(
+    q_customer_order_gaps, ORACLE_CUSTOMER_ORDER_GAPS
+)
+
+
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-hierarchical GROUPING SETS through the SQL API: revenue by
+    status and by priority in ONE pass over orders (rollup/cube can't
+    express this union of groupings), with GROUPING() flags
+    disambiguating the indicator nulls."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "__gs_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2)
+                    AS DOUBLE) AS revenue
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+ORACLE_GROUPING_SETS_REVENUE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2)
+            AS DOUBLE) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+QUERIES["grouping_sets_revenue"] = QuerySpec(
+    q_grouping_sets_revenue, ORACLE_GROUPING_SETS_REVENUE
+)
+
+
+def q_event_type_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation through operators/skew.py salted_sum: only 5
+    event_type groups exist, so a naive groupBy lands each on one
+    reducer — at 100 TB one reducer sums ~20 TB. The two-phase salted
+    aggregate (partial per (key, salt), final per key) spreads every
+    hot key over 32 reducers. Salts derive from xxhash64(event_id), not
+    rand(), so retried tasks reproduce identical partials. The oracle
+    is the plain one-phase GROUP BY — the rewrite must be value-exact,
+    which is why the partial carries the UNROUNDED decimal sum (a
+    per-salt round would accumulate rounding error)."""
+    from data_pipeline_mlops_spark.operators.skew import salted_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = salted_sum(
+        ev,
+        ["event_type"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value_dec": F.sum(F.col("value").cast("decimal(38,6)")),
+        },
+        n_salts=32,
+        salt_source=["event_id"],
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value_dec", 2).cast("double").alias("sum_value"),
+    )
+
+
+ORACLE_EVENT_TYPE_STATS_SALTED = f"""
+SELECT event_type, COUNT(*) AS n_events,
+       {_osum('value', 'sum_value')}
+FROM events GROUP BY 1
+"""
+
+QUERIES["event_type_stats_salted"] = QuerySpec(
+    q_event_type_stats_salted, ORACLE_EVENT_TYPE_STATS_SALTED
+)
