@@ -90,3 +90,91 @@ def test_similarity_symmetric_and_bounded(spark, pairs):
         assert r["item_a"] < r["item_b"]  # strict upper triangle
         assert 0 < r["cosine_sim"] <= 1.0 + 1e-9  # cosine of binary vectors
         assert r["cooccurrence"] >= 1
+
+
+EVENT = st.tuples(
+    st.integers(0, 999),      # event id (unique-ified by index below)
+    st.integers(0, 3),        # key
+    st.integers(0, 500),      # ts seconds offset
+)
+
+
+@given(
+    left=st.lists(EVENT, min_size=0, max_size=15),
+    right=st.lists(EVENT, min_size=0, max_size=15),
+)
+@common
+def test_banded_interval_join_equals_naive(spark, left, right):
+    """The banded equi-join rewrite must return EXACTLY the pairs of
+    the naive range join, for any key/time layout (including band
+    boundaries, duplicates, and empty sides)."""
+    import datetime as dt
+
+    from data_pipeline_mlops_spark.operators.rangejoin import (
+        banded_interval_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda rows, pfx: [  # noqa: E731
+        (i, k, base + dt.timedelta(seconds=s))
+        for i, (eid, k, s) in enumerate(rows)
+    ]
+    l = spark.createDataFrame(
+        mk(left, "l") or [(0, 0, base)], "lid long, k long, lts timestamp"
+    ).limit(len(left))
+    r = spark.createDataFrame(
+        mk(right, "r") or [(0, 0, base)], "rid long, k long, rts timestamp"
+    ).limit(len(right))
+
+    got = {
+        (x.lid, x.rid)
+        for x in banded_interval_join(
+            l, r, on="k", left_ts="lts", right_ts="rts", max_diff_sec=60
+        ).collect()
+    }
+    lrows, rrows = l.collect(), r.collect()
+    want = {
+        (a.lid, b.rid)
+        for a in lrows
+        for b in rrows
+        if a.k == b.k and abs((a.lts - b.rts).total_seconds()) <= 60
+    }
+    assert got == want
+
+
+@given(
+    left=st.lists(EVENT, min_size=0, max_size=12),
+    right=st.lists(EVENT, min_size=0, max_size=12),
+)
+@common
+def test_asof_join_equals_naive(spark, left, right):
+    """asof_join must agree with the obvious per-row maximum: the
+    qualifying right row with the greatest (ts, tiebreak)."""
+    import datetime as dt
+
+    from data_pipeline_mlops_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda rows: [  # noqa: E731
+        (i, k, base + dt.timedelta(seconds=s))
+        for i, (eid, k, s) in enumerate(rows)
+    ]
+    l = spark.createDataFrame(
+        mk(left) or [(0, 0, base)], "lid long, k long, ts timestamp"
+    ).limit(len(left))
+    r = spark.createDataFrame(
+        mk(right) or [(0, 0, base)], "rid long, k long, ts timestamp"
+    ).limit(len(right))
+
+    got = {
+        x.lid: x.m_rid
+        for x in asof_join(
+            l, r, on="k", left_ts="ts", right_ts="ts",
+            payload=["rid"], tiebreak="rid", payload_prefix="m_",
+        ).collect()
+    }
+    rrows = r.collect()
+    for a in l.collect():
+        cands = [b for b in rrows if b.k == a.k and b.ts <= a.ts]
+        want = max(cands, key=lambda b: (b.ts, b.rid)).rid if cands else None
+        assert got[a.lid] == want, (a.lid, got[a.lid], want)
