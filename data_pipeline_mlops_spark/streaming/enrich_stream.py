@@ -79,3 +79,16 @@ def join_orders_payments(
             F.unix_micros(F.col("pay_ts")) - F.unix_micros(F.col("order_ts"))
         ).alias("pay_latency_us"),
     )
+
+
+def dedup_orders(
+    orders: DataFrame, *, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exactly-once-ish dedup: CDC delivery is at-least-once,
+    so replayed order events are normal. dropDuplicatesWithinWatermark
+    keeps one row per order_id while holding state only for the
+    watermark horizon — a plain dropDuplicates on a stream would keep
+    every id ever seen (unbounded state, the 100 TB/day killer)."""
+    return orders.withWatermark(
+        "order_ts", watermark
+    ).dropDuplicatesWithinWatermark(["order_id"])

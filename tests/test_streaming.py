@@ -431,3 +431,37 @@ def test_stream_stream_join_orders_payments(spark, tmp_path):
     assert set(rows) == {"O1"}
     assert rows["O1"].method == "card"
     assert rows["O1"].pay_latency_us == 120_000_000
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Replayed CDC order events collapse to one row per order_id."""
+    import json
+
+    from data_pipeline_mlops_spark.streaming import enrich_stream
+
+    odir = tmp_path / "orders"
+    odir.mkdir()
+    rows = [
+        {"order_id": "O1", "order_ts": "2024-01-01T00:00:00.000Z",
+         "customer_id": "C1", "total": 100.0},
+        {"order_id": "O1", "order_ts": "2024-01-01T00:00:00.000Z",
+         "customer_id": "C1", "total": 100.0},   # exact replay
+        {"order_id": "O2", "order_ts": "2024-01-01T00:01:00.000Z",
+         "customer_id": "C2", "total": 200.0},
+    ]
+    (odir / "o.json").write_text("\n".join(json.dumps(r) for r in rows))
+    deduped = enrich_stream.dedup_orders(
+        enrich_stream.order_file_source(spark, str(odir))
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_orders")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r.order_id for r in spark.sql(
+        "SELECT order_id FROM dedup_orders").collect()]
+    assert sorted(got) == ["O1", "O2"]
