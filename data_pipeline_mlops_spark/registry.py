@@ -2558,3 +2558,78 @@ FROM events GROUP BY 1
 QUERIES["event_type_stats_salted"] = QuerySpec(
     q_event_type_stats_salted, ORACLE_EVENT_TYPE_STATS_SALTED
 )
+
+
+def q_customer_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 merge (operators/scd.py): day-1 dimension = every
+    customer current since 2024-01-01; day-2 snapshot bumps acctbal by
+    100 for custkey % 7 == 0 and keeps segment for % 3 == 0 customers
+    unchanged-but-present (exercising the no-op path of change
+    detection). Changed keys emit a closed row + a new current row;
+    untouched keys pass through. The oracle builds the same state with
+    join/anti-join set algebra."""
+    from data_pipeline_mlops_spark.operators.scd import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.to_date(F.lit("2024-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = cust.where(
+        (F.col("c_custkey") % 7 == 0) | (F.col("c_custkey") % 3 == 0)
+    ).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100
+        ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    return scd2_apply(
+        dim,
+        updates,
+        key="c_custkey",
+        tracked=["c_acctbal", "c_mktsegment"],
+        effective_date="2024-02-01",
+    )
+
+
+ORACLE_CUSTOMER_SCD2 = """
+WITH cur AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment,
+         DATE '2024-01-01' AS valid_from,
+         CAST(NULL AS DATE) AS valid_to,
+         TRUE AS is_current
+  FROM customer
+),
+upd AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+              ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM customer
+  WHERE c_custkey % 7 = 0 OR c_custkey % 3 = 0
+),
+changed AS (
+  SELECT u.c_custkey FROM upd u
+  JOIN cur c USING (c_custkey)
+  WHERE u.c_acctbal IS DISTINCT FROM c.c_acctbal
+     OR u.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+)
+SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment, c.valid_from,
+       DATE '2024-02-01' AS valid_to, FALSE AS is_current
+FROM cur c JOIN changed USING (c_custkey)
+UNION ALL
+SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment,
+       DATE '2024-02-01', CAST(NULL AS DATE), TRUE
+FROM upd u JOIN changed USING (c_custkey)
+UNION ALL
+SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment, c.valid_from,
+       c.valid_to, c.is_current
+FROM cur c ANTI JOIN changed USING (c_custkey)
+"""
+
+QUERIES["customer_scd2"] = QuerySpec(q_customer_scd2, ORACLE_CUSTOMER_SCD2)

@@ -287,3 +287,51 @@ def test_synthetic_orders_errors_recovered_exactly(spark):
     other = synthetic_orders(spark, n, seed=7, with_labels=True)
     assert other.exceptAll(df).count() > 0
     df.unpersist()
+
+
+def test_scd2_apply_semantics(spark):
+    """Null-safe change detection: NULL->value and value->NULL are
+    changes, NULL->NULL is not; new keys insert; absent keys pass
+    through; history rows are untouched."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_mlops_spark.operators.scd import scd2_apply
+
+    D = dt.date
+    dim = spark.createDataFrame(
+        [
+            # history row for k=1 (must pass through untouched)
+            (1, "old", D(2023, 1, 1), D(2024, 1, 1), False),
+            (1, "a", D(2024, 1, 1), None, True),      # will change
+            (2, None, D(2024, 1, 1), None, True),     # NULL -> "b": change
+            (3, "c", D(2024, 1, 1), None, True),      # "c" -> NULL: change
+            (4, None, D(2024, 1, 1), None, True),     # NULL -> NULL: no-op
+            (5, "e", D(2024, 1, 1), None, True),      # not in updates
+        ],
+        "k long, attr string, valid_from date, valid_to date, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "a2"), (2, "b"), (3, None), (4, None), (9, "new")],
+        "k long, attr string",
+    )
+    out = scd2_apply(
+        dim, updates, key="k", tracked=["attr"],
+        effective_date="2024-02-01",
+    )
+    rows = {(r.k, r.attr, r.valid_from, r.valid_to, r.is_current)
+            for r in out.collect()}
+    eff = D(2024, 2, 1)
+    assert rows == {
+        (1, "old", D(2023, 1, 1), D(2024, 1, 1), False),   # history kept
+        (1, "a", D(2024, 1, 1), eff, False),               # closed
+        (1, "a2", eff, None, True),                        # reopened
+        (2, None, D(2024, 1, 1), eff, False),
+        (2, "b", eff, None, True),
+        (3, "c", D(2024, 1, 1), eff, False),
+        (3, None, eff, None, True),
+        (4, None, D(2024, 1, 1), None, True),              # NULL->NULL no-op
+        (5, "e", D(2024, 1, 1), None, True),               # untouched
+        (9, "new", eff, None, True),                       # brand new
+    }
