@@ -465,3 +465,42 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     got = [r.order_id for r in spark.sql(
         "SELECT order_id FROM dedup_orders").collect()]
     assert sorted(got) == ["O1", "O2"]
+
+
+def test_upsert_sink_partition_level_merge(spark, tmp_path):
+    """Keyed upsert into partitioned parquet: batch 2 updates one key,
+    adds one, leaves other partitions untouched on disk; replaying
+    batch 2 changes nothing (idempotent)."""
+    import os
+
+    from data_pipeline_mlops_spark.streaming.upsert_sink import upsert_batch
+
+    path = str(tmp_path / "tbl")
+    kw = dict(path=path, key_cols=["k"], order_col="v", partition_col="p")
+
+    b1 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "a"), (3, 30, "b")], "k long, v long, p string"
+    )
+    upsert_batch(b1, **kw)
+    b_mtime = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(os.path.join(path, "p=b")) for f in fs
+    )
+
+    b2 = spark.createDataFrame(
+        [(1, 11, "a"), (4, 40, "a")], "k long, v long, p string"
+    )
+    upsert_batch(b2, **kw)
+
+    got = {(r.k, r.v, r.p) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, 11, "a"), (2, 20, "a"), (3, 30, "b"), (4, 40, "a")}
+    # partition b was never read or rewritten
+    b_mtime2 = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(os.path.join(path, "p=b")) for f in fs
+    )
+    assert b_mtime2 == b_mtime
+
+    upsert_batch(b2, **kw)  # replay
+    again = {(r.k, r.v, r.p) for r in spark.read.parquet(path).collect()}
+    assert again == got
