@@ -10,8 +10,9 @@ Four tiers, cheapest first — the standard LLM-training-data stack:
 3. MinHash + LSH: signature via k independent hash slots (xxhash64
    with per-slot seed), banded into buckets; only bucket-colliding
    pairs are candidates — the 100 TB path (no all-pairs join).
-4. SimHash: 64-bit fingerprint; near-dups = small Hamming distance,
-   found by band-rotation joins.
+4. SimHash: 63-bit fingerprint (sign-bit headroom; 60-bit for the
+   md5-portable twin); near-dups = small Hamming distance, found by
+   band-rotation joins.
 
 All pure DataFrame ops (explode / groupBy / join); no UDFs.
 """

@@ -2438,6 +2438,58 @@ QUERIES["doc_dup_components"] = QuerySpec(
 )
 
 
+def q_doc_dup_components_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path near-dup clustering: connected components over the
+    stop-shingle-CAPPED pair source (max_shingle_freq=50). The uncapped
+    twin (doc_dup_components) is the exact tier; this is the variant
+    whose pair join survives a 100x corpus — fan-out is quadratic in
+    per-shingle frequency, and the cap bounds it. Same recursive-CTE
+    oracle strategy, closed over the capped pair SQL."""
+    from data_pipeline_mlops_spark.functions.graph import (
+        connected_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup_text.ngram_jaccard_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        n=3,
+        threshold=0.05,
+        max_shingle_freq=50,
+    )
+    cc = connected_components(
+        docs, pairs, vertex_col="doc_id", src_col="id_a", dst_col="id_b"
+    )
+    return cc.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("keep"),
+    )
+
+
+ORACLE_DOC_DUP_COMPONENTS_CAPPED = f"""
+WITH RECURSIVE pairs AS ({ORACLE_NGRAM_JACCARD_CAPPED}),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(v, label) AS (
+  SELECT doc_id AS v, doc_id AS label FROM documents
+  UNION
+  SELECT s.a AS v, r.label FROM sym s JOIN reach r ON r.v = s.b
+)
+SELECT v AS doc_id, MIN(label) AS component,
+       (v = MIN(label)) AS keep
+FROM reach GROUP BY v
+"""
+
+QUERIES["doc_dup_components_capped"] = QuerySpec(
+    q_doc_dup_components_capped, ORACLE_DOC_DUP_COMPONENTS_CAPPED
+)
+
+
 def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-order gap analysis: per customer, days since the previous
     and until the next order (lag/lead) plus an ntile quartile by

@@ -178,3 +178,51 @@ def test_asof_join_equals_naive(spark, left, right):
         cands = [b for b in rrows if b.k == a.k and b.ts <= a.ts]
         want = max(cands, key=lambda b: (b.ts, b.rid)).rid if cands else None
         assert got[a.lid] == want, (a.lid, got[a.lid], want)
+
+
+@given(
+    n_vertices=st.integers(1, 12),
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+@common
+def test_connected_components_equals_union_find(spark, n_vertices, edges):
+    """Hash-min label propagation must produce exactly the components
+    of a driver-side union-find, for any random graph — including
+    self-loops, duplicate/reversed edges, and long chains (the worst
+    case for round count)."""
+    from data_pipeline_mlops_spark.functions.graph import (
+        connected_components,
+    )
+
+    vs = list(range(n_vertices))
+    es = [(a, b) for a, b in edges if a < n_vertices and b < n_vertices]
+
+    parent = {v: v for v in vs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in es:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: min(u for u in vs if find(u) == find(v)) for v in vs}
+
+    vdf = spark.createDataFrame([(v,) for v in vs], "v long")
+    edf = spark.createDataFrame(
+        es or [(0, 0)], "a long, b long"
+    ).limit(len(es))
+    got = {
+        r.v: r.component
+        for r in connected_components(
+            vdf, edf, vertex_col="v", src_col="a", dst_col="b"
+        ).collect()
+    }
+    assert got == want
