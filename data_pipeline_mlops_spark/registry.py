@@ -2685,3 +2685,244 @@ FROM cur c ANTI JOIN changed USING (c_custkey)
 """
 
 QUERIES["customer_scd2"] = QuerySpec(q_customer_scd2, ORACLE_CUSTOMER_SCD2)
+
+
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training windows: docs partitioned into
+    8 independent groups (pmod on id), greedy first-fit within each
+    group in id order, capacity 256 tokens. The packing fold runs as an
+    Arrow applyInPandas per group (functions/packing.py); the oracle
+    replays the identical fold with a recursive CTE stepping row-by-row
+    through each group — two entirely different executions of the same
+    sequential recurrence."""
+    from data_pipeline_mlops_spark.functions.packing import pack_greedy
+
+    docs = text.with_token_stats(_docs(spark, sf_dir), "text")
+    return pack_greedy(
+        docs, id_col="doc_id", tokens_col="n_tokens",
+        capacity=256, num_groups=8,
+    )
+
+
+ORACLE_PACK_BASE = r"""
+t AS (
+  SELECT doc_id,
+         CAST(doc_id % 8 AS INTEGER) AS pack_group,
+         LEAST(len(regexp_split_to_array(trim(text), '\s+')), 256)
+           AS tokens,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+           AS rn
+  FROM documents
+),
+pk(pack_group, rn, doc_id, tokens, pack_bin, bin_fill) AS (
+  SELECT pack_group, rn, doc_id, tokens, CAST(0 AS BIGINT),
+         CAST(tokens AS BIGINT)
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.pack_group, t.rn, t.doc_id, t.tokens,
+         CASE WHEN p.bin_fill + t.tokens > 256
+              THEN p.pack_bin + 1 ELSE p.pack_bin END,
+         CASE WHEN p.bin_fill + t.tokens > 256
+              THEN CAST(t.tokens AS BIGINT)
+              ELSE p.bin_fill + t.tokens END
+  FROM t JOIN pk p ON t.pack_group = p.pack_group AND t.rn = p.rn + 1
+)
+"""
+
+ORACLE_DOC_PACK_SEQUENCES = f"""
+WITH RECURSIVE {ORACLE_PACK_BASE}
+SELECT doc_id, pack_group, CAST(tokens AS BIGINT) AS tokens,
+       pack_bin, bin_fill
+FROM pk
+"""
+
+QUERIES["doc_pack_sequences"] = QuerySpec(
+    q_doc_pack_sequences, ORACLE_DOC_PACK_SEQUENCES
+)
+
+
+def q_doc_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing efficiency rollup over doc_pack_sequences: bin count,
+    mean fill ratio, wasted token budget."""
+    from data_pipeline_mlops_spark.functions.packing import (
+        pack_greedy,
+        pack_stats,
+    )
+
+    docs = text.with_token_stats(_docs(spark, sf_dir), "text")
+    packed = pack_greedy(
+        docs, id_col="doc_id", tokens_col="n_tokens",
+        capacity=256, num_groups=8,
+    )
+    return pack_stats(packed, capacity=256)
+
+
+ORACLE_DOC_PACK_STATS = f"""
+WITH RECURSIVE {ORACLE_PACK_BASE},
+bins AS (
+  SELECT pack_group, pack_bin, MAX(bin_fill) AS fill
+  FROM pk GROUP BY 1, 2
+)
+SELECT COUNT(*) AS n_bins,
+       ROUND(AVG(fill / 256.0), 6) AS mean_fill_ratio,
+       CAST(256 * COUNT(*) - SUM(fill) AS BIGINT) AS wasted_tokens
+FROM bins
+"""
+
+QUERIES["doc_pack_stats"] = QuerySpec(q_doc_pack_stats, ORACLE_DOC_PACK_STATS)
+
+
+def q_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: 5-gram overlap of each md5-assigned
+    eval doc against the distinct train-split shingle set
+    (functions/decontaminate.py). One shuffle-on-shingle join against a
+    distinct-compressed train side — the corpus-scale shape of the
+    GPT-3/Pile-style n-gram contamination check."""
+    from data_pipeline_mlops_spark.functions.decontaminate import (
+        ngram_overlap,
+    )
+
+    return ngram_overlap(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        n=5, eval_frac=0.2, seed=42,
+    )
+
+
+_DECON_THRESHOLD = int(0.2 * (2**60))
+
+ORACLE_EVAL_DECONTAMINATION = rf"""
+WITH flags AS (
+  SELECT doc_id, text,
+         ('0x' || substring(md5(
+             CAST(doc_id AS VARCHAR) || '|' || '42'), 1, 15))::BIGINT
+           < {_DECON_THRESHOLD} AS is_eval
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, is_eval,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM flags
+),
+sh AS (
+  SELECT doc_id, is_eval, UNNEST(list_distinct(
+    list_transform(range(1, len(toks) - 3),
+      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+           || toks[i+3] || ' ' || toks[i+4]))) AS shingle
+  FROM tok WHERE len(toks) >= 5
+),
+train_sh AS (SELECT DISTINCT shingle FROM sh WHERE NOT is_eval),
+eval_own AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM sh WHERE is_eval GROUP BY 1
+),
+shared AS (
+  SELECT s.doc_id, COUNT(*) AS n_shared
+  FROM sh s JOIN train_sh t ON s.shingle = t.shingle
+  WHERE s.is_eval GROUP BY 1
+)
+SELECT f.doc_id,
+       COALESCE(o.n_shingles, 0) AS n_shingles,
+       COALESCE(sd.n_shared, 0) AS n_shared,
+       COALESCE(sd.n_shared, 0) > 0 AS contaminated
+FROM flags f
+LEFT JOIN eval_own o USING (doc_id)
+LEFT JOIN shared sd USING (doc_id)
+WHERE f.is_eval
+"""
+
+QUERIES["eval_decontamination"] = QuerySpec(
+    q_eval_decontamination, ORACLE_EVAL_DECONTAMINATION
+)
+
+
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus rebalancing: downsample the
+    dominant language (en -> 30%) while keeping the rare strata whole.
+    Hash-gated per row (operators/sample.py) — map-side only, stable
+    under repartitioning and incremental appends."""
+    from data_pipeline_mlops_spark.operators.sample import (
+        stratified_sample,
+    )
+
+    return stratified_sample(
+        _docs(spark, sf_dir),
+        id_col="doc_id",
+        strata_col="lang",
+        rates={"en": 0.3},
+        default_rate=1.0,
+        seed=7,
+        method="md5",
+    ).select("doc_id", "lang", "source")
+
+
+_SAMPLE_EN = int(0.3 * (2**60))
+_SAMPLE_FULL = 2**60
+
+ORACLE_DOC_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE ('0x' || substring(md5(
+          CAST(doc_id AS VARCHAR) || '|' || '7'), 1, 15))::BIGINT
+      < CASE WHEN lang = 'en' THEN {_SAMPLE_EN}
+             ELSE {_SAMPLE_FULL} END
+"""
+
+QUERIES["doc_stratified_sample"] = QuerySpec(
+    q_doc_stratified_sample, ORACLE_DOC_STRATIFIED_SAMPLE
+)
+
+
+def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quality filtering: drop the bottom quartile of
+    quality_score WITHIN each language (per-stratum thresholds — a
+    global cut would empty the weakest language). Rank-based rather
+    than interpolated-percentile so the boundary is a concrete row
+    (rounded score + id tiebreak), deterministic on both engines."""
+    from pyspark.sql import Window
+
+    scored = text.with_quality_score(_docs(spark, sf_dir), "text")
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.col("quality_score").asc(), F.col("doc_id").asc()
+    )
+    w_lang = Window.partitionBy("lang")
+    return scored.select(
+        "doc_id",
+        "lang",
+        "quality_score",
+        (
+            F.row_number().over(w_rank)
+            > F.floor((F.count(F.lit(1)).over(w_lang) + 3) / F.lit(4))
+        ).alias("kept"),
+    )
+
+
+ORACLE_DOC_QUALITY_FILTER = rf"""
+WITH t AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang,
+         len(toks) AS n,
+         len(list_distinct(toks)) AS d,
+         len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS s
+  FROM t
+),
+scored AS (
+  SELECT doc_id, lang,
+         ROUND((d / n) * CAST(0.6 AS DOUBLE)
+               + (s / n) * CAST(0.2 AS DOUBLE)
+               + LEAST(n / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                 * CAST(0.2 AS DOUBLE), 6) AS quality_score
+  FROM c
+)
+SELECT doc_id, lang, quality_score,
+       ROW_NUMBER() OVER (PARTITION BY lang
+                          ORDER BY quality_score ASC, doc_id ASC)
+         > (COUNT(*) OVER (PARTITION BY lang) + 3) // 4 AS kept
+FROM scored
+"""
+
+QUERIES["doc_quality_filter"] = QuerySpec(
+    q_doc_quality_filter, ORACLE_DOC_QUALITY_FILTER
+)

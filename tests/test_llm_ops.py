@@ -1,0 +1,138 @@
+"""Tests for the LLM training-data operators added in round 2:
+sequence packing, decontamination, stratified sampling."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+common = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def naive_pack(tokens_in_id_order: list[int], capacity: int):
+    """Reference greedy fold (first-fit sequential, clip to capacity)."""
+    out, bin_no, running = [], 0, 0
+    for tok in tokens_in_id_order:
+        tok = min(tok, capacity)
+        if running + tok > capacity and running > 0:
+            bin_no += 1
+            running = 0
+        running += tok
+        out.append((bin_no, running))
+    return out
+
+
+@given(
+    toks=st.lists(st.integers(1, 120), min_size=1, max_size=40),
+    groups=st.integers(1, 4),
+)
+@common
+def test_pack_greedy_equals_naive(spark, toks, groups):
+    from data_pipeline_mlops_spark.functions.packing import pack_greedy
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id long, n_tokens long"
+    )
+    got = {
+        r.doc_id: (r.pack_group, r.pack_bin, r.bin_fill)
+        for r in pack_greedy(
+            df, id_col="doc_id", tokens_col="n_tokens",
+            capacity=100, num_groups=groups,
+        ).collect()
+    }
+    assert len(got) == len(toks)
+    for g in range(groups):
+        ids = [i for i in range(len(toks)) if i % groups == g]
+        want = naive_pack([toks[i] for i in ids], 100)
+        for i, (wbin, wfill) in zip(ids, want):
+            assert got[i] == (g, wbin, wfill), (i, got[i], (g, wbin, wfill))
+
+
+def test_pack_greedy_respects_capacity_and_is_stable(spark):
+    from data_pipeline_mlops_spark.functions.packing import pack_greedy
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37, F.lit(300)) + 1).alias("n_tokens"),
+    )
+    kw = dict(id_col="doc_id", tokens_col="n_tokens",
+              capacity=256, num_groups=8)
+    packed = pack_greedy(df, **kw).collect()
+    fills = {}
+    for r in packed:
+        assert r.tokens <= 256  # clipped
+        fills[(r.pack_group, r.pack_bin)] = max(
+            fills.get((r.pack_group, r.pack_bin), 0), r.bin_fill
+        )
+    assert all(f <= 256 for f in fills.values())
+    # deterministic under repartitioning — packing is a function of ids
+    again = pack_greedy(df.repartition(13), **kw).collect()
+    assert sorted(map(tuple, packed)) == sorted(map(tuple, again))
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    from data_pipeline_mlops_spark.operators.sample import stratified_sample
+
+    df = spark.range(2000).select(
+        F.col("id"),
+        F.when(F.col("id") % 4 < 3, "en").otherwise("zh").alias("lang"),
+    )
+    kw = dict(id_col="id", strata_col="lang",
+              rates={"en": 0.3}, default_rate=1.0, seed=7)
+    kept = stratified_sample(df, **kw)
+    counts = {r.lang: r.n for r in
+              kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["zh"] == 500  # default rate 1.0 keeps everything
+    assert 0.2 * 1500 < counts["en"] < 0.4 * 1500  # ~30% expected
+    # stable under repartitioning (df.sample would not be)
+    a = sorted(r.id for r in kept.collect())
+    b = sorted(r.id for r in stratified_sample(
+        df.repartition(17), **kw).collect())
+    assert a == b
+    # xxhash64 production path: same invariants, different sample
+    x = stratified_sample(df, method="xxhash64", **kw)
+    xc = {r.lang: r.n for r in
+          x.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert xc["zh"] == 500
+    assert 0.2 * 1500 < xc["en"] < 0.4 * 1500
+
+
+def test_ngram_overlap_matches_naive(spark):
+    from data_pipeline_mlops_spark.functions.decontaminate import (
+        ngram_overlap,
+        split_flag,
+    )
+
+    texts = [
+        (i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(12)))
+        for i in range(40)
+    ] + [(100, "a b c"), (101, "x " * 6)]  # short docs: no 5-gram
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+
+    flags = {r.doc_id: r.is_eval for r in
+             split_flag(df, id_col="doc_id", eval_frac=0.4).collect()}
+    assert any(flags.values()) and not all(flags.values())
+
+    def grams(text):
+        toks = text.split()
+        return {" ".join(toks[i:i + 5]) for i in range(len(toks) - 4)}
+
+    train_sh = set().union(
+        *(grams(t) for i, t in texts if not flags[i]), set()
+    )
+    got = {r.doc_id: r for r in ngram_overlap(
+        df, id_col="doc_id", n=5, eval_frac=0.4, seed=42).collect()}
+    assert set(got) == {i for i, f in flags.items() if f}
+    for i, t in texts:
+        if not flags[i]:
+            continue
+        g = grams(t)
+        r = got[i]
+        assert r.n_shingles == len(g)
+        assert r.n_shared == len(g & train_sh)
+        assert r.contaminated == (len(g & train_sh) > 0)
