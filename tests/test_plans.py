@@ -114,3 +114,42 @@ def test_medallion_read_prunes_partitions(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\n]*)", plan)
     assert m and "2024-01-01" in m.group(1)
     assert pruned.count() == 50
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Runtime skew mitigation, demonstrated: a join where one key owns
+    90% of the rows gets its oversized shuffle partition SPLIT by AQE
+    (SortMergeJoin(skew=true) in the final adaptive plan) — the
+    first-line defense operators/skew.py's salting backstops.
+    Thresholds are lowered so the hot partition (a few MB) crosses
+    them at test scale; at 100 TB the defaults play the same role."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        left = spark.range(120_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pay"),
+        )
+        right = spark.range(120_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        joined = left.join(right, "k")
+        assert len(joined.collect()) == 120_000  # executes THIS plan
+        plan = _plan(joined)
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
