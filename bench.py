@@ -34,10 +34,15 @@ R1_KEYS = [
 # scoring (item-kNN cap), stop-shingle-capped exact dedup, and the
 # xxhash64 MinHash production path (the registry entry switched to the
 # md5-portable variant for oracle parity; production keeps xxhash64).
+# Plus the LLM training-data extensions: capped-pair dup clustering,
+# n-gram decontamination, and context-window sequence packing.
 HEADLINE = R1_KEYS + [
     "recommendations_capped",
     "ngram_jaccard_capped",
     "minhash_lsh_fast",
+    "doc_dup_components_capped",
+    "eval_decontamination",
+    "doc_pack_sequences",
 ]
 
 

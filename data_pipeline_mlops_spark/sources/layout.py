@@ -1,0 +1,79 @@
+"""Physical file-layout operators: range-sorted writes (data skipping)
+and small-file compaction.
+
+At 100 TB the dominant cost of most queries is the SCAN, and the scan
+cost is set by file layout, not query code:
+
+- **Range-sorted writes**: `repartitionByRange(key)` + in-partition
+  sort before writing gives every parquet file a narrow, disjoint
+  min/max range on the key. A pushed-down point/range predicate then
+  skips whole files/row-groups from the FOOTER alone — the poor
+  man's z-order, and the single biggest lever for selective queries.
+  (The keyed variant of what Delta's OPTIMIZE ZORDER does; one sort
+  shuffle at write time, amortized over every later read.)
+
+- **Compaction**: streaming/incremental sinks accumulate small files;
+  every one costs a footer read + task schedule on EVERY query.
+  `compact_partition` rewrites a partition directory to
+  size-targeted files. Rewrite is atomic-enough for parquet-on-dir
+  semantics: write to a temp dir, swap. (True transactional swap
+  needs a table format — documented limit, same stance as
+  streaming/upsert_sink.)
+
+Reference: the reference repo writes unsorted single-shot parquet
+(`dags/daily_pipeline.py` batch writes); layout management is part of
+the at-scale extension surface.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_range_sorted(
+    df: DataFrame,
+    *,
+    path: str,
+    sort_col: str,
+    num_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Write `df` as `num_files` parquet files with disjoint
+    `sort_col` ranges (range-partitioned, sorted within each file)."""
+    (
+        df.repartitionByRange(num_files, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def compact_partition(
+    spark: SparkSession,
+    *,
+    path: str,
+    target_rows_per_file: int,
+    sort_col: str | None = None,
+) -> int:
+    """Rewrite the parquet directory at `path` into
+    ceil(rows / target_rows_per_file) files; returns the new file
+    count. Optionally range-sorts by `sort_col` while rewriting (free
+    data-skipping from a rewrite you were doing anyway)."""
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    tmp = path.rstrip("/") + "__compacting"
+    if sort_col is not None:
+        write_range_sorted(
+            df, path=tmp, sort_col=sort_col, num_files=n_files
+        )
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

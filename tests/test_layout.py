@@ -1,0 +1,73 @@
+"""File-layout operator tests: range-sorted writes produce disjoint
+per-file key ranges (the data-skipping contract, verified from the
+parquet footers themselves), and compaction hits its file-count
+target without losing rows."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+
+def _file_ranges(path: str, col: str) -> list[tuple]:
+    """(min, max) of `col` per parquet file, read from footer stats."""
+    out = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        out.append((min(mins), max(maxs)))
+    return out
+
+
+def test_range_sorted_write_gives_disjoint_file_ranges(spark, tmp_path):
+    from data_pipeline_mlops_spark.sources.layout import write_range_sorted
+
+    path = str(tmp_path / "sorted")
+    df = spark.range(10_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(100_000)).alias("k"),
+        F.col("id").alias("v"),
+    )
+    write_range_sorted(df, path=path, sort_col="k", num_files=8)
+
+    ranges = _file_ranges(path, "k")
+    assert len(ranges) == 8
+    for (lo, hi) in ranges:
+        assert lo <= hi
+    ordered = sorted(ranges)
+    for (_, prev_hi), (next_lo, _) in zip(ordered, ordered[1:]):
+        assert prev_hi <= next_lo  # disjoint: a point predicate
+        # overlaps at most one file's footer range -> file skipping
+    # a point-read only intersects one file's range
+    probe = ordered[3][0]
+    assert sum(1 for lo, hi in ordered if lo <= probe <= hi) <= 2
+    # and the data survived intact
+    assert spark.read.parquet(path).count() == 10_000
+
+
+def test_compact_partition_reduces_file_count(spark, tmp_path):
+    from data_pipeline_mlops_spark.sources.layout import compact_partition
+
+    path = str(tmp_path / "frag")
+    df = spark.range(5_000).select("id", (F.col("id") % 7).alias("g"))
+    df.repartition(64).write.parquet(path)  # simulate streaming debris
+    assert len(glob.glob(f"{path}/*.parquet")) == 64
+
+    n_files = compact_partition(
+        spark, path=path, target_rows_per_file=1_000, sort_col="id"
+    )
+    assert n_files == 5
+    assert len(glob.glob(f"{path}/*.parquet")) == 5
+    got = spark.read.parquet(path)
+    assert got.count() == 5_000
+    assert got.agg(F.sum("id")).collect()[0][0] == 5_000 * 4_999 // 2
+    # the rewrite also left disjoint ranges (free data skipping)
+    ordered = sorted(_file_ranges(path, "id"))
+    for (_, prev_hi), (next_lo, _) in zip(ordered, ordered[1:]):
+        assert prev_hi <= next_lo
