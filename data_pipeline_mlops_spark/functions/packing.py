@@ -47,19 +47,34 @@ def pack_greedy(
     tokens_col: str,
     capacity: int,
     num_groups: int = 32,
+    order: str = "id",
 ) -> DataFrame:
     """(id, pack_group, tokens, pack_bin, bin_fill) for every doc.
 
     ``tokens`` is the clipped token count (``min(raw, capacity)``);
-    ``pack_bin`` numbers bins within a group from 0 in id order;
+    ``pack_bin`` numbers bins within a group from 0 in visit order;
     ``bin_fill`` is the running fill of the doc's bin AFTER adding it.
+
+    ``order`` picks the deterministic visit order within a group:
+    ``"id"`` (arrival order — preserves any upstream curriculum) or
+    ``"length_desc"`` (longest-first ≈ first-fit-decreasing, the
+    classic bin-packing heuristic — measurably less wasted budget, at
+    the cost of correlating sample length within a window; id is the
+    tiebreak so the order stays a pure function of the data).
     """
     import pandas as pd
 
+    if order not in ("id", "length_desc"):
+        raise ValueError(f"unknown pack order: {order}")
     schema = PACK_SCHEMA.format(id=id_col)
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        if order == "length_desc":
+            pdf = pdf.sort_values(
+                ["tokens", id_col], ascending=[False, True]
+            ).reset_index(drop=True)
+        else:
+            pdf = pdf.sort_values(id_col).reset_index(drop=True)
         bins, fills = [], []
         bin_no, running = 0, 0
         for tok in pdf["tokens"]:

@@ -2772,6 +2772,90 @@ FROM bins
 QUERIES["doc_pack_stats"] = QuerySpec(q_doc_pack_stats, ORACLE_DOC_PACK_STATS)
 
 
+def q_doc_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing packing: longest-first visit order within
+    each group (id tiebreak) — the classic bin-packing heuristic,
+    trading arrival order for measurably less wasted window budget.
+    Same recursive-CTE oracle, different ROW_NUMBER ordering."""
+    from data_pipeline_mlops_spark.functions.packing import pack_greedy
+
+    docs = text.with_token_stats(_docs(spark, sf_dir), "text")
+    return pack_greedy(
+        docs, id_col="doc_id", tokens_col="n_tokens",
+        capacity=256, num_groups=8, order="length_desc",
+    )
+
+
+ORACLE_PACK_FFD_BASE = r"""
+t AS (
+  SELECT doc_id,
+         CAST(doc_id % 8 AS INTEGER) AS pack_group,
+         LEAST(len(regexp_split_to_array(trim(text), '\s+')), 256)
+           AS tokens,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 8
+                            ORDER BY LEAST(len(regexp_split_to_array(
+                              trim(text), '\s+')), 256) DESC, doc_id)
+           AS rn
+  FROM documents
+),
+pk(pack_group, rn, doc_id, tokens, pack_bin, bin_fill) AS (
+  SELECT pack_group, rn, doc_id, tokens, CAST(0 AS BIGINT),
+         CAST(tokens AS BIGINT)
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.pack_group, t.rn, t.doc_id, t.tokens,
+         CASE WHEN p.bin_fill + t.tokens > 256
+              THEN p.pack_bin + 1 ELSE p.pack_bin END,
+         CASE WHEN p.bin_fill + t.tokens > 256
+              THEN CAST(t.tokens AS BIGINT)
+              ELSE p.bin_fill + t.tokens END
+  FROM t JOIN pk p ON t.pack_group = p.pack_group AND t.rn = p.rn + 1
+)
+"""
+
+ORACLE_DOC_PACK_FFD = f"""
+WITH RECURSIVE {ORACLE_PACK_FFD_BASE}
+SELECT doc_id, pack_group, CAST(tokens AS BIGINT) AS tokens,
+       pack_bin, bin_fill
+FROM pk
+"""
+
+QUERIES["doc_pack_ffd"] = QuerySpec(q_doc_pack_ffd, ORACLE_DOC_PACK_FFD)
+
+
+def q_doc_pack_ffd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing efficiency of the FFD order — the number to compare
+    against doc_pack_stats (id order): fewer bins, higher fill."""
+    from data_pipeline_mlops_spark.functions.packing import (
+        pack_greedy,
+        pack_stats,
+    )
+
+    docs = text.with_token_stats(_docs(spark, sf_dir), "text")
+    packed = pack_greedy(
+        docs, id_col="doc_id", tokens_col="n_tokens",
+        capacity=256, num_groups=8, order="length_desc",
+    )
+    return pack_stats(packed, capacity=256)
+
+
+ORACLE_DOC_PACK_FFD_STATS = f"""
+WITH RECURSIVE {ORACLE_PACK_FFD_BASE},
+bins AS (
+  SELECT pack_group, pack_bin, MAX(bin_fill) AS fill
+  FROM pk GROUP BY 1, 2
+)
+SELECT COUNT(*) AS n_bins,
+       ROUND(AVG(fill / 256.0), 6) AS mean_fill_ratio,
+       CAST(256 * COUNT(*) - SUM(fill) AS BIGINT) AS wasted_tokens
+FROM bins
+"""
+
+QUERIES["doc_pack_ffd_stats"] = QuerySpec(
+    q_doc_pack_ffd_stats, ORACLE_DOC_PACK_FFD_STATS
+)
+
+
 def q_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination: 5-gram overlap of each md5-assigned
     eval doc against the distinct train-split shingle set

@@ -12,6 +12,12 @@ at 100 TB the cost per batch is O(touched partitions), not O(table).
 Winner per key = highest (order_col, batch precedence): a batch row
 beats an equal-order existing row, so replays converge (idempotent —
 required for at-least-once foreachBatch delivery).
+
+Constraint: ``partition_col`` must be a pure function of the key
+(e.g. a hash bucket or an immutable attribute). If a key could move
+between partitions, its old row would survive in a partition the
+batch doesn't touch — the standard contract for partition-scoped
+MERGE without a table format.
 """
 
 from __future__ import annotations

@@ -75,6 +75,37 @@ def test_pack_greedy_respects_capacity_and_is_stable(spark):
     assert sorted(map(tuple, packed)) == sorted(map(tuple, again))
 
 
+def test_pack_ffd_wastes_no_more_than_id_order(spark):
+    """On this fixed workload, longest-first packing produces no more
+    bins / waste than arrival order (the point of the heuristic; not a
+    per-instance theorem, so this pins a deterministic dataset), and
+    both orders pack every doc exactly once."""
+    from data_pipeline_mlops_spark.functions.packing import (
+        pack_greedy,
+        pack_stats,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id"), F.lit(250)) + 8).alias("n_tokens"),
+    )
+    kw = dict(id_col="doc_id", tokens_col="n_tokens",
+              capacity=256, num_groups=4)
+    rows = {
+        o: pack_greedy(df, order=o, **kw).collect()
+        for o in ("id", "length_desc")
+    }
+    assert all(len(r) == 500 for r in rows.values())
+    stats = {
+        o: pack_stats(
+            pack_greedy(df, order=o, **kw), capacity=256
+        ).collect()[0]
+        for o in ("id", "length_desc")
+    }
+    assert stats["length_desc"].n_bins <= stats["id"].n_bins
+    assert stats["length_desc"].wasted_tokens <= stats["id"].wasted_tokens
+
+
 def test_stratified_sample_deterministic_and_rate(spark):
     from data_pipeline_mlops_spark.operators.sample import stratified_sample
 

@@ -181,6 +181,55 @@ def test_asof_join_equals_naive(spark, left, right):
 
 
 @given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 5), st.integers(0, 50)),  # (k, v)
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_upsert_batches_converge_to_dict_replay(spark, batches):
+    """Applying random batches through the partition-scoped upsert sink
+    must leave exactly the state of a driver-side dict replay (winner
+    per key = highest v, later batch wins ties). Partition is a pure
+    function of the key, per the sink's contract."""
+    import tempfile
+
+    from data_pipeline_mlops_spark.streaming.upsert_sink import upsert_batch
+
+    path = tempfile.mkdtemp() + "/tbl"
+    state: dict[int, int] = {}
+    for batch in batches:
+        # unique (k, v) per batch: equal-order rows within one batch
+        # have no defined winner (same key, same v, same precedence)
+        batch = sorted(set(batch))
+        for k, v in batch:
+            if k not in state or v >= state[k]:
+                state[k] = v
+        if not batch:
+            continue
+        bdf = spark.createDataFrame(
+            [(k, v, f"p{k % 2}") for k, v in batch],
+            "k long, v long, p string",
+        )
+        upsert_batch(
+            bdf, path=path, key_cols=["k"], order_col="v",
+            partition_col="p",
+        )
+    if state:
+        got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+        assert got == set(state.items())
+
+
+@given(
     n_vertices=st.integers(1, 12),
     edges=st.lists(
         st.tuples(st.integers(0, 11), st.integers(0, 11)),

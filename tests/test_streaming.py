@@ -504,3 +504,59 @@ def test_upsert_sink_partition_level_merge(spark, tmp_path):
     upsert_batch(b2, **kw)  # replay
     again = {(r.k, r.v, r.p) for r in spark.read.parquet(path).collect()}
     assert again == got
+
+
+def test_upsert_sink_driven_by_real_stream(spark, tmp_path):
+    """End-to-end: a file stream drives upsert_foreach_batch through
+    writeStream; restarting with more data upserts instead of
+    appending (the table holds the winning row per key)."""
+    import json
+
+    from data_pipeline_mlops_spark.streaming.upsert_sink import (
+        upsert_foreach_batch,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    table = str(tmp_path / "tbl")
+    schema = "k LONG, v LONG, p STRING"
+
+    def run_once(name):
+        stream = (
+            spark.readStream.schema(schema)
+            .json(str(src))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                upsert_foreach_batch(
+                    path=table, key_cols=["k"], order_col="v",
+                    partition_col="p",
+                )
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (src / "f1.json").write_text(
+        "\n".join(json.dumps(r) for r in [
+            {"k": 1, "v": 10, "p": "a"},
+            {"k": 2, "v": 20, "p": "b"},
+        ])
+    )
+    run_once("first")
+    got = {(r.k, r.v, r.p) for r in spark.read.parquet(table).collect()}
+    assert got == {(1, 10, "a"), (2, 20, "b")}
+
+    # second file: update k=1 (higher v), add k=3 — checkpoint makes
+    # the restarted query process only the new file
+    (src / "f2.json").write_text(
+        "\n".join(json.dumps(r) for r in [
+            {"k": 1, "v": 11, "p": "a"},
+            {"k": 3, "v": 30, "p": "a"},
+        ])
+    )
+    run_once("second")
+    got = {(r.k, r.v, r.p) for r in spark.read.parquet(table).collect()}
+    assert got == {(1, 11, "a"), (2, 20, "b"), (3, 30, "a")}
