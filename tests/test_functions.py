@@ -263,3 +263,37 @@ def test_connected_components_hand_graph(spark):
         ).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_ivf_index_persists_and_reloads_through_registry(spark, tmp_path):
+    """The IVF index is two plain DataFrames, so the train-once /
+    serve-many path runs through the model registry: persist
+    centroids + assignments as a model version, reload, and search —
+    results identical to searching the fresh index (the amortization
+    story for the expensive KMeans fit at corpus scale)."""
+    from data_pipeline_mlops_spark.ml.ivf import build_ivf_index, ivf_topk
+    from data_pipeline_mlops_spark.ml.model_registry import (
+        load_production,
+        save_version,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    centroids, assigned = build_ivf_index(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=4
+    )
+    reg = str(tmp_path / "registry")
+    save_version(
+        spark, registry_path=reg, version="v1",
+        tables={"ivf_centroids": centroids, "ivf_assigned": assigned},
+        metrics={"overall_coverage": 1.0}, promote=True,
+    )
+    c2 = load_production(spark, registry_path=reg, name="ivf_centroids")
+    a2 = load_production(spark, registry_path=reg, name="ivf_assigned")
+
+    kw = dict(id_col="vec_id", vec_col="embedding", k=5, n_probe=2)
+    fresh = {(r.query_id, r.neighbor_id, r.rank) for r in ivf_topk(
+        queries, centroids, assigned, **kw).collect()}
+    reloaded = {(r.query_id, r.neighbor_id, r.rank) for r in ivf_topk(
+        queries, c2, a2, **kw).collect()}
+    assert reloaded == fresh and len(fresh) > 0
