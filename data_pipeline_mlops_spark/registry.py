@@ -2490,6 +2490,60 @@ QUERIES["doc_dup_components_capped"] = QuerySpec(
 )
 
 
+def q_doc_dup_components_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 100 TB dedup pipeline end-to-end: MinHash+LSH candidate
+    pairs (bucket join, candidates-only Jaccard verify) -> connected
+    components -> cluster survivorship. Every stage is the bucketed /
+    bounded path — no all-pairs join anywhere. md5-portable hash so the
+    oracle replays signatures bit-for-bit, then closes the pairs with
+    the recursive CTE."""
+    from data_pipeline_mlops_spark.functions.graph import (
+        connected_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup_text.minhash_dedup(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        num_hashes=64,
+        bands=16,
+        shingle_n=3,
+        verify_threshold=0.05,
+        hash_method="md5",
+    )
+    cc = connected_components(
+        docs, pairs, vertex_col="doc_id", src_col="id_a", dst_col="id_b"
+    )
+    return cc.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("keep"),
+    )
+
+
+ORACLE_DOC_DUP_COMPONENTS_MINHASH = f"""
+WITH RECURSIVE pairs AS ({ORACLE_MINHASH_LSH}),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(v, label) AS (
+  SELECT doc_id AS v, doc_id AS label FROM documents
+  UNION
+  SELECT s.a AS v, r.label FROM sym s JOIN reach r ON r.v = s.b
+)
+SELECT v AS doc_id, MIN(label) AS component,
+       (v = MIN(label)) AS keep
+FROM reach GROUP BY v
+"""
+
+QUERIES["doc_dup_components_minhash"] = QuerySpec(
+    q_doc_dup_components_minhash, ORACLE_DOC_DUP_COMPONENTS_MINHASH
+)
+
+
 def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-order gap analysis: per customer, days since the previous
     and until the next order (lag/lead) plus an ntile quartile by
