@@ -345,6 +345,68 @@ def simhash(
     return fp.select(F.col("__id").alias(id_col), "simhash")
 
 
+def simhash_near_dups(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    hash_method: str = "xxhash64",
+) -> DataFrame:
+    """Tier 4b: SimHash candidate pairs via banded chunk join.
+
+    Pigeonhole: split the fingerprint into ``max_hamming + 1`` bit
+    chunks — two fingerprints within ``max_hamming`` bit flips MUST
+    agree on at least one whole chunk, so docs sharing any
+    (band, chunk) bucket are the complete candidate set. The join is
+    bucketed exactly like MinHash LSH (never all-pairs); candidates
+    are then verified with an exact popcount on the XOR. Output:
+    (id_a, id_b, hamming) for all pairs within max_hamming.
+    """
+    nbits = 60 if hash_method == "md5" else 63
+    bands = max_hamming + 1
+    width = -(-nbits // bands)  # ceil
+    fp = simhash(
+        df, id_col=id_col, text_col=text_col, hash_method=hash_method
+    )
+
+    def chunk(b: int) -> F.Column:
+        start = b * width
+        w = min(width, nbits - start)
+        return F.shiftrightunsigned("simhash", start).bitwiseAND(
+            F.lit((1 << w) - 1)
+        )
+
+    banded = fp.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.array(*[chunk(b) for b in range(bands)])
+        ).alias("band", "chunk"),
+    )
+    a = banded.select(F.col("__id").alias("id_a"), "band", "chunk")
+    b = banded.select(F.col("__id").alias("id_b"), "band", "chunk")
+    cands = (
+        a.join(b, ["band", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__fa"))
+    fb = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__fb"))
+    return (
+        cands.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb"))).alias(
+                "hamming"
+            ),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def dedup_decisions(
     df: DataFrame,
     dup_pairs: DataFrame,

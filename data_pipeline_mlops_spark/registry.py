@@ -2544,6 +2544,50 @@ QUERIES["doc_dup_components_minhash"] = QuerySpec(
 )
 
 
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3, found by the
+    pigeonhole banded chunk join (4 bands of 15 bits over the 60-bit
+    md5-portable fingerprint) and verified by exact popcount — the
+    tier-4 complement to MinHash LSH, catching small edits rather than
+    shingle overlap. Candidate generation is bucketed, never
+    all-pairs; the oracle rebuilds fingerprints and replays the
+    band/verify logic in SQL."""
+    return dedup_text.simhash_near_dups(
+        _docs(spark, sf_dir),
+        id_col="doc_id",
+        text_col="text",
+        max_hamming=3,
+        hash_method="md5",
+    )
+
+
+ORACLE_SIMHASH_NEAR_DUPS = f"""
+WITH fp AS ({ORACLE_SIMHASH}),
+bands AS (
+  SELECT doc_id, b,
+         (simhash >> CAST(b * 15 AS INTEGER)) & 32767 AS chunk
+  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS b) bb
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.b = b.b AND a.chunk = b.chunk
+              AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INTEGER)
+         AS hamming
+FROM cand c
+JOIN fp fa ON fa.doc_id = c.id_a
+JOIN fp fb ON fb.doc_id = c.id_b
+WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
+"""
+
+QUERIES["simhash_near_dups"] = QuerySpec(
+    q_simhash_near_dups, ORACLE_SIMHASH_NEAR_DUPS
+)
+
+
 def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-order gap analysis: per customer, days since the previous
     and until the next order (lag/lead) plus an ntile quartile by

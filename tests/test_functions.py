@@ -297,3 +297,36 @@ def test_ivf_index_persists_and_reloads_through_registry(spark, tmp_path):
     reloaded = {(r.query_id, r.neighbor_id, r.rank) for r in ivf_topk(
         queries, c2, a2, **kw).collect()}
     assert reloaded == fresh and len(fresh) > 0
+
+
+def test_simhash_banded_pairs_equal_brute_force(spark):
+    """The pigeonhole banded join must find EXACTLY the brute-force
+    Hamming pairs — no candidate the bands miss, none the verify
+    keeps wrongly (xxhash64 production path, 63-bit fingerprints)."""
+    from data_pipeline_mlops_spark.functions.dedup_text import (
+        simhash,
+        simhash_near_dups,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dups(
+            docs, id_col="doc_id", max_hamming=8, hash_method="xxhash64"
+        ).collect()
+    }
+    fp = simhash(docs, id_col="doc_id", hash_method="xxhash64")
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("fa"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("fb"))
+    want = {
+        (r.id_a, r.id_b, r.h)
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("h"),
+        )
+        .where(F.col("h") <= 8)
+        .collect()
+    }
+    assert got == want and len(want) > 0
