@@ -228,3 +228,53 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select(F.col("__id").alias(id_col), "term", "tf", "score", "rank")
     )
+
+
+def with_repetition(
+    df: DataFrame, *, id_col: str, text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Gopher/C4-style repetition signals per document: the fraction of
+    word n-grams that are duplicates (`dup_ngram_ratio` = 1 - distinct/
+    total) and the share held by the single most repeated n-gram
+    (`top_ngram_share`). High values mark boilerplate/spam that
+    length- and vocabulary-based scores miss. One explode + one
+    two-level aggregation — shuffles on (doc, gram) then doc, both
+    partial-aggregated map-side. Docs shorter than n tokens report 0.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
+    )
+    sz = F.size("__toks")
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at("__toks", i + k) for k in range(n)]
+    )
+    grams = toks.select(
+        "__id",
+        F.explode(
+            F.when(
+                sz >= n, F.transform(F.sequence(F.lit(1), sz - (n - 1)), gram)
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy("__id", "gram").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    per_doc = per_gram.groupBy("__id").agg(
+        F.sum("__c").alias("__t"),
+        F.count(F.lit(1)).alias("__d"),
+        F.max("__c").alias("__m"),
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(
+                F.round((F.col("__t") - F.col("__d")) / F.col("__t"), 6),
+                F.lit(0.0),
+            ).alias("dup_ngram_ratio"),
+            F.coalesce(
+                F.round(F.col("__m") / F.col("__t"), 6), F.lit(0.0)
+            ).alias("top_ngram_share"),
+        )
+    )

@@ -2588,6 +2588,43 @@ QUERIES["simhash_near_dups"] = QuerySpec(
 )
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality signals: duplicate word-bigram
+    fraction and the most-repeated bigram's share, per document —
+    boilerplate/spam markers that vocabulary and length scores miss
+    (functions/text.py::with_repetition)."""
+    return text.with_repetition(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text", n=2
+    )
+
+
+ORACLE_DOC_REPETITION = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, UNNEST(
+    list_transform(range(1, len(toks)),
+      i -> toks[i] || ' ' || toks[i+1])) AS gram
+  FROM t WHERE len(toks) >= 2
+),
+pg AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2
+),
+pd AS (
+  SELECT doc_id, SUM(c) AS t, COUNT(*) AS d, MAX(c) AS m
+  FROM pg GROUP BY 1
+)
+SELECT docs.doc_id,
+       COALESCE(ROUND((pd.t - pd.d) / pd.t, 6), 0.0) AS dup_ngram_ratio,
+       COALESCE(ROUND(pd.m / pd.t, 6), 0.0) AS top_ngram_share
+FROM documents docs LEFT JOIN pd ON pd.doc_id = docs.doc_id
+"""
+
+QUERIES["doc_repetition"] = QuerySpec(q_doc_repetition, ORACLE_DOC_REPETITION)
+
+
 def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-order gap analysis: per customer, days since the previous
     and until the next order (lag/lead) plus an ntile quartile by

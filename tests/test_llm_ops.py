@@ -167,3 +167,25 @@ def test_ngram_overlap_matches_naive(spark):
         assert r.n_shingles == len(g)
         assert r.n_shared == len(g & train_sh)
         assert r.contaminated == (len(g & train_sh) > 0)
+
+
+def test_repetition_signals_hand_fixture(spark):
+    from data_pipeline_mlops_spark.functions.text import with_repetition
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),      # one bigram 4x
+            (2, "a b c d e f"),                   # all bigrams unique
+            (3, "x"),                             # too short: zeros
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in with_repetition(
+        df, id_col="doc_id", n=2).collect()}
+    # doc 1: 4 bigrams, 1 distinct -> dup 3/4, top share 4/4
+    assert got[1].dup_ngram_ratio == 0.75
+    assert got[1].top_ngram_share == 1.0
+    assert got[2].dup_ngram_ratio == 0.0
+    assert got[2].top_ngram_share == 0.2  # 1 of 5 bigrams
+    assert got[3].dup_ngram_ratio == 0.0
+    assert got[3].top_ngram_share == 0.0
