@@ -89,3 +89,40 @@ def quality_counts(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         long_count("total_rows"),
         *[cond_count(cond, name) for name, cond in rules.items()],
     )
+
+
+def cascade_rollup(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    keys: list[str],
+    value_col: str,
+    levels: tuple[str, ...] = ("minute", "hour", "day"),
+) -> DataFrame:
+    """Hypertable-style continuous aggregate: roll up through time
+    resolutions where each level aggregates the PREVIOUS level's rows,
+    never the raw data — at 100 TB the hourly job reads the (tiny)
+    minutely aggregate, and a backfill recomputes one fine-grained
+    window instead of rescanning history.
+
+    Correctness rests on decomposability: COUNT and DECIMAL(38,6) SUM
+    are exactly associative (operators/exact.py discipline), so the
+    cascade is bit-identical to aggregating raw data directly — which
+    is exactly what the registry oracle checks. Averages/ratios must be
+    derived from the composed sums at read time, never cascaded.
+
+    Returns (bucket, *keys, n_events, __sv) at the coarsest level with
+    the decimal sum unrounded; callers round/rename at the edge.
+    """
+    dec = F.col(value_col).cast("decimal(38,6)")
+    cur = df.groupBy(
+        F.date_trunc(levels[0], ts_col).alias("bucket"), *keys
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.sum(dec).alias("__sv"))
+    for lvl in levels[1:]:
+        cur = cur.groupBy(
+            F.date_trunc(lvl, "bucket").alias("bucket"), *keys
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("__sv").alias("__sv"),
+        )
+    return cur

@@ -2625,6 +2625,37 @@ FROM documents docs LEFT JOIN pd ON pd.doc_id = docs.doc_id
 QUERIES["doc_repetition"] = QuerySpec(q_doc_repetition, ORACLE_DOC_REPETITION)
 
 
+def q_event_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascade rollup: minute -> hour -> day, each
+    level aggregating the previous level's rows
+    (operators/aggregate.py::cascade_rollup). The oracle aggregates the
+    RAW events straight to daily — hash equality proves the cascade
+    composes exactly (decomposable COUNT + decimal SUM), i.e. the
+    incremental-maintenance identity continuous aggregates rely on."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = aggregate.cascade_rollup(
+        ev, ts_col="ts", keys=["event_type"], value_col="value"
+    )
+    return daily.select(
+        F.to_date("bucket").alias("day"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("__sv", 2).cast("double").alias("total_value"),
+    )
+
+
+ORACLE_EVENT_ROLLUP_CASCADE = f"""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       COUNT(*) AS n_events,
+       {_osum('value', 'total_value')}
+FROM events GROUP BY 1, 2
+"""
+
+QUERIES["event_rollup_cascade"] = QuerySpec(
+    q_event_rollup_cascade, ORACLE_EVENT_ROLLUP_CASCADE
+)
+
+
 def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-order gap analysis: per customer, days since the previous
     and until the next order (lag/lead) plus an ntile quartile by
