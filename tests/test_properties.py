@@ -275,3 +275,90 @@ def test_connected_components_equals_union_find(spark, n_vertices, edges):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 12), min_size=1, max_size=15),
+        min_size=2,
+        max_size=12,
+    ),
+    max_h=st.integers(1, 6),
+)
+@common
+def test_simhash_banded_pairs_complete_on_random_docs(spark, docs, max_h):
+    """Pigeonhole completeness on arbitrary corpora: the banded join
+    must return exactly the brute-force Hamming pairs for any token
+    layout and any bound (duplicate texts -> distance 0 included)."""
+    from data_pipeline_mlops_spark.functions.dedup_text import (
+        simhash,
+        simhash_near_dups,
+    )
+
+    rows = [(i, " ".join(f"t{w}" for w in ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dups(
+            df, id_col="doc_id", max_hamming=max_h, hash_method="xxhash64"
+        ).collect()
+    }
+    fps = {r.doc_id: r.simhash for r in simhash(
+        df, id_col="doc_id", hash_method="xxhash64").collect()}
+    want = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for a in fps
+        for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= max_h
+    }
+    assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3 * 86_400 - 1),          # seconds offset
+            st.sampled_from(["view", "buy"]),
+            st.floats(0.01, 500.0, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@common
+def test_cascade_rollup_equals_direct_aggregation(spark, events):
+    """The minute->hour->day cascade must be EXACTLY the direct daily
+    aggregation for any event layout — the decomposability identity
+    incremental maintenance relies on (decimal sums make it exact)."""
+    import datetime as dt
+
+    from data_pipeline_mlops_spark.operators.aggregate import cascade_rollup
+    from data_pipeline_mlops_spark.operators.exact import money_sum
+
+    base = dt.datetime(2024, 3, 1)
+    df = spark.createDataFrame(
+        [(base + dt.timedelta(seconds=s), t, v) for s, t, v in events],
+        "ts timestamp, event_type string, value double",
+    )
+    got = {
+        (r.day, r.event_type): (r.n, r.sv)
+        for r in cascade_rollup(
+            df, ts_col="ts", keys=["event_type"], value_col="value"
+        )
+        .select(
+            F.to_date("bucket").alias("day"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n"),
+            F.round("__sv", 2).cast("double").alias("sv"),
+        )
+        .collect()
+    }
+    want = {
+        (r.day, r.event_type): (r.n, r.sv)
+        for r in df.groupBy(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), money_sum("value", "sv"))
+        .collect()
+    }
+    assert got == want
