@@ -41,6 +41,8 @@ def upsert_batch(
     ]
     if not touched:
         return
+    from pyspark.errors import AnalysisException
+
     try:
         existing = (
             spark.read.parquet(path)
@@ -48,7 +50,13 @@ def upsert_batch(
             .withColumn("__src", F.lit(0))
         )
         merged = existing.unionByName(batch)
-    except Exception:  # first batch: table does not exist yet
+    except AnalysisException as ex:
+        # ONLY the first-batch case (table not created yet) may fall
+        # through to a plain write; any other analysis error (schema
+        # drift, corrupt footer) must fail the batch — swallowing it
+        # would silently drop the table's history from the merge.
+        if "PATH_NOT_FOUND" not in str(ex) and "Path does not exist" not in str(ex):
+            raise
         merged = batch
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(order_col).desc(), F.col("__src").desc()
