@@ -306,3 +306,49 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    bits_range: float = 1.0,
+) -> DataFrame:
+    """Scalar int8 quantization of an embedding column — the memory
+    lever for ANN at corpus scale (4x smaller than float32, 8x than
+    float64; distance on codes is then a cheap int kernel).
+
+    Each component is clipped to [-bits_range, bits_range], scaled to
+    [-127, 127] and rounded; the output carries the code vector
+    serialized as CSV (engine-portable scalar, per the determinism
+    rules) plus per-vector reconstruction-error stats so a pipeline can
+    gate quantization on measured quality loss. Pure column
+    expressions; streams at scan speed.
+    """
+    x = _to_double(F.col(vec_col))
+    clip = lambda v: F.greatest(  # noqa: E731
+        F.least(v, F.lit(bits_range)), F.lit(-bits_range)
+    )
+    codes = F.transform(
+        x, lambda v: F.round(clip(v) * (127.0 / bits_range)).cast("int")
+    )
+    errs = F.zip_with(
+        x,
+        codes,
+        lambda v, q: F.abs(v - q.cast("double") * (bits_range / 127.0)),
+    )
+    return df.select(
+        F.col(id_col),
+        F.concat_ws(",", F.transform(codes, lambda q: q.cast("string"))).alias(
+            "codes_csv"
+        ),
+        F.round(F.array_max(errs), 8).alias("max_abs_err"),
+        F.round(
+            F.aggregate(
+                errs, F.lit(0.0), lambda acc, e: acc + e
+            )
+            / F.size(errs),
+            8,
+        ).alias("mean_abs_err"),
+    )

@@ -2656,6 +2656,49 @@ QUERIES["event_rollup_cascade"] = QuerySpec(
 )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column with
+    reconstruction-error stats (functions/similarity.py::
+    quantize_embeddings) — the 4x memory lever for ANN indexes; codes
+    serialized as CSV per the determinism rules."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantize_embeddings(
+        emb, id_col="vec_id", vec_col="embedding"
+    )
+
+
+ORACLE_EMBEDDING_QUANTIZE = """
+WITH x AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, xs,
+         list_transform(xs,
+           v -> CAST(ROUND(GREATEST(LEAST(v, 1.0), -1.0) * 127.0)
+                     AS INTEGER)) AS codes
+  FROM x
+),
+e AS (
+  SELECT vec_id, codes,
+         list_transform(range(1, len(xs) + 1),
+           i -> abs(xs[i] - CAST(codes[i] AS DOUBLE) / 127.0)) AS errs
+  FROM q
+)
+SELECT vec_id,
+       array_to_string(codes, ',') AS codes_csv,
+       ROUND(list_max(errs), 8) AS max_abs_err,
+       ROUND(list_reduce(errs, (a, b) -> a + b) / len(errs), 8)
+         AS mean_abs_err
+FROM e
+"""
+
+QUERIES["embedding_quantize"] = QuerySpec(
+    q_embedding_quantize, ORACLE_EMBEDDING_QUANTIZE
+)
+
+
 def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-order gap analysis: per customer, days since the previous
     and until the next order (lag/lead) plus an ntile quartile by

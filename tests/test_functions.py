@@ -330,3 +330,25 @@ def test_simhash_banded_pairs_equal_brute_force(spark):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_quantize_embeddings_error_bound(spark):
+    """Codes stay in [-127, 127]; for in-range components the
+    reconstruction error is bounded by half a quantization step."""
+    from data_pipeline_mlops_spark.functions.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.5, -0.5, 1.0, -1.0, 0.123456]),
+         (2, [2.0, -3.0])],  # out of range: clipped to +/-1
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r for r in quantize_embeddings(
+        df, id_col="vec_id", vec_col="embedding").collect()}
+    codes1 = [int(c) for c in got[1].codes_csv.split(",")]
+    assert all(-127 <= c <= 127 for c in codes1)
+    assert got[1].max_abs_err <= 0.5 / 127 + 1e-8  # half-step bound
+    # (+1e-8 absorbs the 8-dp rounding of the reported stat)
+    assert got[2].codes_csv == "127,-127"  # clipped
+    assert got[2].max_abs_err >= 1.0  # clip loss is reported, not hidden
