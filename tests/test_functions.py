@@ -352,3 +352,22 @@ def test_quantize_embeddings_error_bound(spark):
     # (+1e-8 absorbs the 8-dp rounding of the reported stat)
     assert got[2].codes_csv == "127,-127"  # clipped
     assert got[2].max_abs_err >= 1.0  # clip loss is reported, not hidden
+
+
+def test_quantized_topk_recall_against_exact(spark):
+    """Searching on int8 codes must recover most exact-cosine top-5
+    neighbors (quantization step 1/127 vs O(0.1) similarity gaps)."""
+    from data_pipeline_mlops_spark.functions.similarity import (
+        brute_force_topk,
+        quantized_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    kw = dict(id_col="vec_id", vec_col="embedding", k=5)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(queries, emb, **kw).collect()}
+    quant = {(r.query_id, r.neighbor_id)
+             for r in quantized_topk(queries, emb, **kw).collect()}
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, recall
