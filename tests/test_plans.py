@@ -153,3 +153,42 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
+    """Runtime row-level filtering: a selective dim predicate induces a
+    bloom_filter_agg on the dim side and a might_contain probe on the
+    FACT scan side — rows that can't join die at the scan instead of
+    crossing the shuffle (the 100 TB lever when broadcast is off the
+    table). Thresholds lowered so injection triggers at test scale."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        fact_p, dim_p = str(tmp_path / "fact"), str(tmp_path / "dim")
+        spark.range(200_000).select(
+            F.col("id").alias("o_key"), (F.col("id") % 97).alias("o_attr")
+        ).write.parquet(fact_p)
+        spark.range(10_000).select(
+            F.col("id").alias("d_key"), (F.col("id") % 13).alias("seg")
+        ).write.parquet(dim_p)
+
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).where(F.col("seg") == 3)
+        joined = fact.join(dim, fact.o_key == dim.d_key)
+        n = len(joined.collect())  # executes THIS plan
+        assert n == sum(1 for i in range(10_000) if i % 13 == 3)
+        plan = _plan(joined)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
