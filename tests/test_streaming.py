@@ -560,3 +560,88 @@ def test_upsert_sink_driven_by_real_stream(spark, tmp_path):
     run_once("second")
     got = {(r.k, r.v, r.p) for r in spark.read.parquet(table).collect()}
     assert got == {(1, 11, "a"), (2, 20, "b"), (3, 30, "a")}
+
+
+def test_incremental_cascade_matches_batch_rollup(spark, tmp_path):
+    """Continuous-aggregate maintenance: minutely deltas written per
+    micro-batch, daily derived at read time — after every batch the
+    result equals the one-shot batch cascade over all events seen, and
+    replaying a batch changes nothing (delta partitions are
+    overwrite-idempotent)."""
+    import json
+
+    from data_pipeline_mlops_spark.operators.aggregate import cascade_rollup
+    from data_pipeline_mlops_spark.streaming.cascade_maintain import (
+        minutely_delta_writer,
+        read_rollup,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    deltas = str(tmp_path / "deltas")
+    schema = "ts TIMESTAMP, event_type STRING, value DOUBLE"
+    writer = minutely_delta_writer(
+        path=deltas, keys=["event_type"], ts_col="ts", value_col="value"
+    )
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema).json(str(src))
+            .writeStream.foreachBatch(writer)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    from pyspark.sql import functions as F
+
+    def check():
+        got = {
+            (r.bucket, r.event_type): (r.n_events, r.total_value)
+            for r in read_rollup(
+                spark, path=deltas, keys=["event_type"], level="day"
+            ).collect()
+        }
+        all_events = spark.read.schema(schema).json(str(src))
+        want = {
+            (r.bucket, r.event_type): (r.n, r.tv)
+            for r in cascade_rollup(
+                all_events, ts_col="ts", keys=["event_type"],
+                value_col="value",
+            )
+            .select(
+                F.date_trunc("day", "bucket").alias("bucket"),
+                "event_type",
+                F.col("n_events").cast("long").alias("n"),
+                F.round("__sv", 2).cast("double").alias("tv"),
+            )
+            .collect()
+        }
+        assert got == want
+
+    rows1 = [
+        {"ts": "2024-03-01T10:00:30", "event_type": "view", "value": 1.5},
+        {"ts": "2024-03-01T10:00:40", "event_type": "view", "value": 2.5},
+        {"ts": "2024-03-01T23:59:59", "event_type": "buy", "value": 10.0},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+    run_once()
+    check()
+
+    rows2 = [
+        {"ts": "2024-03-01T10:01:00", "event_type": "view", "value": 4.0},
+        {"ts": "2024-03-02T00:00:01", "event_type": "buy", "value": 7.25},
+    ]
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+    run_once()
+    check()
+
+    # at-least-once replay: the SAME batch redelivered with the SAME
+    # batch_id (what a foreachBatch retry does) overwrites its own
+    # delta partition instead of double-adding. (Wiping the checkpoint
+    # would renumber batches — idempotence is per (checkpoint,
+    # batch_id), the standard foreachBatch contract.)
+    batch2 = spark.read.schema(schema).json(str(src / "b2.json"))
+    writer(batch2, 1)
+    check()
