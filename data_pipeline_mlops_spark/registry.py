@@ -2745,6 +2745,55 @@ QUERIES["ann_quantized_topk"] = QuerySpec(
 )
 
 
+def q_order_window_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function census rows the other queries don't cover:
+    percent_rank / cume_dist (relative standing of each order's value
+    within its status group) and first/last_value over the full frame
+    (cheapest and priciest order key per group). Deterministic via the
+    rounded-measure + orderkey tiebreak rule; the full-frame last_value
+    pins explicit ROWS BETWEEN framing on both engines."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_custkey") <= 100
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("value_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("value_cume_dist"),
+        F.first("o_orderkey").over(w_full).alias("cheapest_order"),
+        F.last("o_orderkey").over(w_full).alias("priciest_order"),
+    )
+
+
+ORACLE_ORDER_WINDOW_CENSUS = """
+SELECT o_orderkey, o_orderstatus,
+       ROUND(PERCENT_RANK() OVER w, 6) AS value_pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS value_cume_dist,
+       FIRST_VALUE(o_orderkey) OVER wf AS cheapest_order,
+       LAST_VALUE(o_orderkey) OVER wf AS priciest_order
+FROM orders
+WHERE o_custkey <= 100
+WINDOW w AS (PARTITION BY o_orderstatus
+             ORDER BY o_totalprice ASC, o_orderkey ASC),
+       wf AS (PARTITION BY o_orderstatus
+              ORDER BY o_totalprice ASC, o_orderkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING)
+"""
+
+QUERIES["order_window_census"] = QuerySpec(
+    q_order_window_census, ORACLE_ORDER_WINDOW_CENSUS
+)
+
+
 def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-order gap analysis: per customer, days since the previous
     and until the next order (lag/lead) plus an ntile quartile by
