@@ -114,3 +114,61 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.lit(every_ms),
         ),
     )
+
+
+def resize_media(
+    df: DataFrame,
+    *,
+    target_w: int,
+    target_h: int,
+    use_fake: bool = True,
+) -> DataFrame:
+    """mapInPandas image resize over binary content columns.
+
+    The real kernel would decode -> resample -> re-encode per blob
+    (decode_media is the stubbed hook; PIL/ffmpeg absent here). The
+    fake path performs an honest decimation on the RAW bytes — stride-
+    sample the buffer down to exactly target_w*target_h bytes (zero-pad
+    short blobs) — so the Spark-side contract is fully exercised:
+    Arrow batch shape, binary-in/binary-out schema, per-row output
+    sizing, and partitioning invariance. Same batch-memory caveat as
+    extract_features: blobs are not splittable; repartition media
+    tables so maxRecordsPerBatch x median blob fits a task.
+    """
+    n_out = target_w * target_h
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("media_type", T.StringType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def _fake_resize(content: bytes) -> bytes:
+        buf = content or b""
+        if len(buf) >= n_out:
+            stride = len(buf) / n_out
+            return bytes(buf[int(i * stride)] for i in range(n_out))
+        return buf + b"\x00" * (n_out - len(buf))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [
+                _fake_resize(c)
+                if use_fake
+                else decode_media(c, t)
+                for c, t in zip(pdf["content"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "width": target_w,
+                    "height": target_h,
+                    "content": resized,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=out_schema)

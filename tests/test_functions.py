@@ -371,3 +371,25 @@ def test_quantized_topk_recall_against_exact(spark):
              for r in quantized_topk(queries, emb, **kw).collect()}
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_resize_media_contract(spark):
+    """Resize plumbing: binary-in/binary-out through Arrow batches,
+    exact per-row output size, deterministic and partition-invariant
+    (the pixel kernel itself is the stubbed/fake path)."""
+    from data_pipeline_mlops_spark.functions import multimodal
+
+    media = spark.createDataFrame(
+        [(1, "image", bytes(range(200))), (2, "image", b"ab"),
+         (3, "image", b"")],
+        "media_id long, media_type string, content binary",
+    )
+    out = {r.media_id: r for r in multimodal.resize_media(
+        media, target_w=8, target_h=4).collect()}
+    assert all(len(r.content) == 32 and (r.width, r.height) == (8, 4)
+               for r in out.values())
+    assert out[2].content.startswith(b"ab\x00")  # zero-padded
+    assert out[3].content == b"\x00" * 32
+    again = {r.media_id: r.content for r in multimodal.resize_media(
+        media.repartition(3), target_w=8, target_h=4).collect()}
+    assert {k: v.content for k, v in out.items()} == again
