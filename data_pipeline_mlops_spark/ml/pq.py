@@ -1,0 +1,176 @@
+"""Product quantization (PQ) for embedding compression + ADC search.
+
+The third rung of the ANN compression ladder (after float32 and the
+int8 scalar codes in functions/similarity.py): split each vector into
+M contiguous segments, learn a small per-segment codebook (KMeans over
+subvectors), and store each vector as M one-byte codes — 16-dim
+float64 vectors become 4 bytes at M=4, and distance evaluation never
+touches the original floats.
+
+Search uses asymmetric distance computation (ADC): for one query,
+precompute dot(query_segment, centroid) for every (segment, code) —
+an M x k lookup table, tiny — then a candidate's score is the SUM of
+M table lookups. On Spark both halves stay DataFrames: the LUT is a
+(query x segment x code) frame small enough to broadcast; the corpus
+side explodes its codes once and aggregates the joined partial dots.
+At 100 TB the corpus shuffle moves only (id, segment, code) longs.
+
+Same public-knowledge design as FAISS's IVF-PQ (Jegou et al., "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011); composes with
+ml/ivf.py (coarse cells) the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_mlops_spark.functions.similarity import _to_double
+
+
+def _segments(vec_col: str, m: int, dim: int):
+    """Slice a vector column into m contiguous subvectors."""
+    seg_len = dim // m
+    return [
+        F.slice(F.col(vec_col), i * seg_len + 1, seg_len).alias(f"__s{i}")
+        for i in range(m)
+    ]
+
+
+def build_pq_codebooks(
+    corpus: DataFrame,
+    *,
+    vec_col: str,
+    m: int = 4,
+    k: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Learn per-segment codebooks: (segment, code, centroid).
+
+    One KMeans fit per segment over that segment's subvectors (m small,
+    fixed; each fit is a distributed job — the driver loop is over
+    SEGMENTS, not data). Codebooks are tiny (m*k rows) and broadcast
+    everywhere they are used."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(corpus.select(_to_double(F.col(vec_col)).alias("v")).first()["v"])
+    segs = corpus.select(*_segments(vec_col, m, dim))
+    spark = corpus.sparkSession
+    rows = []
+    for i in range(m):
+        feats = segs.select(
+            array_to_vector(_to_double(F.col(f"__s{i}"))).alias("__f")
+        )
+        model = KMeans(
+            k=k, seed=seed + i, featuresCol="__f", predictionCol="__c"
+        ).fit(feats)
+        rows += [
+            (i, c, [float(x) for x in centroid])
+            for c, centroid in enumerate(model.clusterCenters())
+        ]
+    return spark.createDataFrame(
+        rows, "segment int, code int, centroid array<double>"
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+) -> DataFrame:
+    """(id, segment, code): nearest codebook entry per segment.
+
+    One explode to (id, segment, subvector), one broadcast join against
+    the codebook, one argmin window — the corpus is touched once."""
+    dim = len(corpus.select(_to_double(F.col(vec_col)).alias("v")).first()["v"])
+    seg_len = dim // m
+    sub = corpus.select(
+        F.col(id_col).alias("__id"), _to_double(F.col(vec_col)).alias("__v")
+    ).select(
+        "__id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("__v", i * seg_len + 1, seg_len)
+                    for i in range(m)
+                ]
+            )
+        ).alias("segment", "__sub"),
+    )
+    dist2 = F.aggregate(
+        F.zip_with("__sub", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = sub.join(F.broadcast(codebooks), "segment").select(
+        "__id", "segment", "code", dist2.alias("__d2")
+    )
+    w = Window.partitionBy("__id", "segment").orderBy(
+        F.col("__d2").asc(), F.col("code").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col("__id").alias(id_col), "segment", "code")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    encoded: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    m: int = 4,
+) -> DataFrame:
+    """ADC top-k: (query_id, neighbor_id, adc_dot, rank).
+
+    Scores approximate the raw DOT PRODUCT (sum of per-segment
+    query·centroid). The per-query LUT (query x segment x code) is
+    broadcast; the corpus side joins its (segment, code) pairs and
+    sums M partials per (query, neighbor)."""
+    dim = len(queries.select(_to_double(F.col(vec_col)).alias("v")).first()["v"])
+    seg_len = dim // m
+    qsub = queries.select(
+        F.col(id_col).alias("query_id"),
+        _to_double(F.col(vec_col)).alias("__v"),
+    ).select(
+        "query_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("__v", i * seg_len + 1, seg_len)
+                    for i in range(m)
+                ]
+            )
+        ).alias("segment", "__qsub"),
+    )
+    dot = F.aggregate(
+        F.zip_with("__qsub", "centroid", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = qsub.join(F.broadcast(codebooks), "segment").select(
+        "query_id", "segment", "code", dot.alias("__pd")
+    )
+    joined = encoded.withColumnRenamed(id_col, "neighbor_id").join(
+        F.broadcast(lut), ["segment", "code"]
+    ).where(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.groupBy("query_id", "neighbor_id").agg(
+        F.round(F.sum("__pd"), 6).alias("adc_dot"),
+        F.count(F.lit(1)).alias("__m"),
+    ).where(F.col("__m") == m)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dot", "rank")
+    )

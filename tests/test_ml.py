@@ -215,3 +215,54 @@ def test_model_registry_promote_and_load(spark, tmp_path):
         spark, registry_path=path, name="item_similarity"
     ).collect()
     assert loaded[0]["item_b"] == "C"
+
+
+def test_pq_adc_equals_exact_dot_on_clustered_data(spark):
+    """Product quantization sanity: when every subvector is exactly a
+    codebook centroid (corpus drawn from 8 prototypes, k=8 per
+    segment), quantization error is zero and ADC top-k must equal the
+    exact dot-product top-k, rank for rank."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_mlops_spark.ml.pq import (
+        build_pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    rng = random.Random(7)
+    protos = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(8)]
+    corpus_rows = [(i, protos[i % 8]) for i in range(60)]
+    df = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<double>"
+    )
+    queries = df.where(F.col("vec_id") < 3)
+
+    books = build_pq_codebooks(df, vec_col="embedding", m=4, k=8)
+    codes = pq_encode(
+        df, books, id_col="vec_id", vec_col="embedding", m=4
+    )
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in pq_topk(
+            queries, books, codes,
+            id_col="vec_id", vec_col="embedding", k=5, m=4,
+        ).collect()
+    }
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    for qid in range(3):
+        scored = sorted(
+            (
+                (round(dot(corpus_rows[qid][1], v), 6), -i)
+                for i, v in corpus_rows
+                if i != qid
+            ),
+            reverse=True,
+        )
+        want = [-neg_i for _, neg_i in scored[:5]]
+        assert [got[(qid, r)] for r in range(1, 6)] == want, qid
