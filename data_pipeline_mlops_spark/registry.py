@@ -2794,6 +2794,67 @@ QUERIES["order_window_census"] = QuerySpec(
 )
 
 
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of line-item prices (floor binning — the
+    engine-portable form of width_bucket, which DuckDB lacks): one
+    map-side projection + one aggregation, the distributed histogram
+    shape at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / 10000.0).cast("long")
+    return (
+        li.groupBy(bucket.alias("price_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            money_sum("l_extendedprice", "bucket_revenue"),
+        )
+    )
+
+
+ORACLE_PRICE_HISTOGRAM = f"""
+SELECT CAST(FLOOR(l_extendedprice / 10000.0) AS BIGINT) AS price_bucket,
+       COUNT(*) AS n_items,
+       {_osum('l_extendedprice', 'bucket_revenue')}
+FROM lineitem GROUP BY 1
+"""
+
+QUERIES["price_histogram"] = QuerySpec(
+    q_price_histogram, ORACLE_PRICE_HISTOGRAM
+)
+
+
+def q_lineitem_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics census: sample stddev / covariance /
+    correlation of quantity vs price per return flag. Streaming
+    co-moment aggregates (one pass, partial-merged) — and empirically
+    bit-stable across engines at these roundings."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(
+            F.covar_samp("l_quantity", "l_extendedprice"), 4
+        ).alias("qty_price_covar"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+    )
+
+
+ORACLE_LINEITEM_MOMENT_STATS = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       ROUND(stddev_samp(l_extendedprice), 4) AS price_stddev,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 4)
+         AS qty_price_covar,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
+FROM lineitem GROUP BY 1
+"""
+
+QUERIES["lineitem_moment_stats"] = QuerySpec(
+    q_lineitem_moment_stats, ORACLE_LINEITEM_MOMENT_STATS
+)
+
+
 def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-order gap analysis: per customer, days since the previous
     and until the next order (lag/lead) plus an ntile quartile by
