@@ -189,3 +189,41 @@ def test_repetition_signals_hand_fixture(spark):
     assert got[2].top_ngram_share == 0.2  # 1 of 5 bigrams
     assert got[3].dup_ngram_ratio == 0.0
     assert got[3].top_ngram_share == 0.0
+
+
+def test_operators_tolerate_empty_inputs(spark):
+    """Empty-corpus smoke: every round-2 operator returns an empty
+    (or well-defined) result instead of raising — the behavior a
+    pipeline hits on an empty partition or a fresh day."""
+    from data_pipeline_mlops_spark.functions.dedup_text import (
+        simhash_near_dups,
+    )
+    from data_pipeline_mlops_spark.functions.decontaminate import ngram_overlap
+    from data_pipeline_mlops_spark.functions.packing import (
+        pack_greedy,
+        pack_stats,
+    )
+    from data_pipeline_mlops_spark.functions.text import with_repetition
+    from data_pipeline_mlops_spark.operators.aggregate import cascade_rollup
+    from data_pipeline_mlops_spark.operators.sample import stratified_sample
+
+    docs = spark.createDataFrame([], "doc_id long, text string, lang string")
+    events = spark.createDataFrame(
+        [], "ts timestamp, event_type string, value double"
+    )
+    toks = spark.createDataFrame([], "doc_id long, n_tokens long")
+
+    assert ngram_overlap(docs, id_col="doc_id").count() == 0
+    assert simhash_near_dups(docs, id_col="doc_id").count() == 0
+    assert with_repetition(docs, id_col="doc_id").count() == 0
+    assert stratified_sample(
+        docs, id_col="doc_id", strata_col="lang", rates={"en": 0.5}
+    ).count() == 0
+    assert cascade_rollup(
+        events, ts_col="ts", keys=["event_type"], value_col="value"
+    ).count() == 0
+    packed = pack_greedy(
+        toks, id_col="doc_id", tokens_col="n_tokens", capacity=10
+    )
+    assert packed.count() == 0
+    assert pack_stats(packed, capacity=10).count() == 1  # global agg row
