@@ -2855,6 +2855,78 @@ QUERIES["lineitem_moment_stats"] = QuerySpec(
 )
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus card: per (lang, source) — doc count, mean quality
+    (decimal-routed so the mean is order-independent), exact-dup doc
+    count (corpus-wide fingerprint, counted per stratum) and dup rate.
+    The one-glance health rollup a dataset release ships with,
+    composed from the quality and dedup operators."""
+    scored = text.with_quality_score(_docs(spark, sf_dir), "text")
+    fp_counts = (
+        scored.groupBy(F.md5("text").alias("__fp"))
+        .agg(F.count(F.lit(1)).alias("__fpn"))
+    )
+    flagged = scored.withColumn("__fp", F.md5("text")).join(
+        fp_counts, "__fp"
+    )
+    return flagged.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.col("quality_score").cast("decimal(38,6)"))
+            / F.count(F.lit(1)),
+            6,
+        )
+        .cast("double")
+        .alias("mean_quality"),
+        F.sum(F.when(F.col("__fpn") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("dup_docs"),
+        F.round(
+            F.sum(F.when(F.col("__fpn") > 1, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+ORACLE_CORPUS_REPORT = rf"""
+WITH t AS (
+  SELECT doc_id, lang, source, text,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, source, text,
+         len(toks) AS n,
+         len(list_distinct(toks)) AS d,
+         len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS s
+  FROM t
+),
+scored AS (
+  SELECT doc_id, lang, source, text,
+         ROUND((d / n) * CAST(0.6 AS DOUBLE)
+               + (s / n) * CAST(0.2 AS DOUBLE)
+               + LEAST(n / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                 * CAST(0.2 AS DOUBLE), 6) AS quality_score
+  FROM c
+),
+fp AS (
+  SELECT md5(text) AS f, COUNT(*) AS fpn FROM scored GROUP BY 1
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(ROUND(SUM(CAST(quality_score AS DECIMAL(38,6))) / COUNT(*),
+                  6) AS DOUBLE) AS mean_quality,
+       SUM(CASE WHEN fpn > 1 THEN 1 ELSE 0 END) AS dup_docs,
+       ROUND(SUM(CASE WHEN fpn > 1 THEN 1.0 ELSE 0.0 END) / COUNT(*), 6)
+         AS dup_rate
+FROM scored JOIN fp ON fp.f = md5(scored.text)
+GROUP BY 1, 2
+"""
+
+QUERIES["corpus_report"] = QuerySpec(q_corpus_report, ORACLE_CORPUS_REPORT)
+
+
 def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-order gap analysis: per customer, days since the previous
     and until the next order (lag/lead) plus an ntile quartile by
