@@ -1,0 +1,93 @@
+"""The composed training-corpus pipeline: quality-filter -> near-dup
+cluster dedup -> stratified rebalance -> context-window packing, as
+one lazy plan.
+
+This is the end-to-end job a 100 TB pretraining-data run actually
+executes, assembled from the individually-oracled operators:
+
+1. drop the bottom quality quartile per language (rank-based,
+   `registry.doc_quality_filter` semantics);
+2. cluster near-duplicates among survivors (stop-shingle-capped
+   n-gram pairs -> connected components) and keep one representative
+   per cluster (the component minimum);
+3. rebalance: downsample the dominant language with the deterministic
+   hash gate (`operators/sample.py`);
+4. pack survivors into fixed token-budget windows
+   (`functions/packing.py`).
+
+Every stage is deterministic (pure functions of doc ids + text), so
+the WHOLE pipeline is value-checkable: the registry's
+`corpus_pipeline` entry replays all four stages in a single DuckDB
+query (window filter + recursive closure + hash predicate + recursive
+packing fold) and hash-matches the final packed assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_mlops_spark.functions import dedup_text, text
+from data_pipeline_mlops_spark.functions.graph import connected_components
+from data_pipeline_mlops_spark.functions.packing import pack_greedy
+from data_pipeline_mlops_spark.operators.sample import stratified_sample
+from data_pipeline_mlops_spark.sources.tables import load_table
+
+
+def prepare_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    dominant_lang: str = "en",
+    dominant_rate: float = 0.5,
+    capacity: int = 256,
+    num_groups: int = 8,
+    sample_seed: int = 7,
+) -> DataFrame:
+    """(doc_id, pack_group, tokens, pack_bin, bin_fill) for every doc
+    that survives quality filtering, dedup and sampling."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.with_quality_score(docs, "text")
+
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.col("quality_score").asc(), F.col("doc_id").asc()
+    )
+    w_lang = Window.partitionBy("lang")
+    kept = (
+        scored.withColumn("__rn", F.row_number().over(w_rank))
+        .withColumn("__nl", F.count(F.lit(1)).over(w_lang))
+        .where(F.col("__rn") > F.floor((F.col("__nl") + 3) / F.lit(4)))
+        .select("doc_id", "lang", "text")
+        # four downstream consumers (pair join x2 sides, CC vertices,
+        # survivor join) — materialize once
+        .localCheckpoint()
+    )
+
+    pairs = dedup_text.ngram_jaccard_pairs(
+        kept, id_col="doc_id", text_col="text",
+        n=3, threshold=0.05, max_shingle_freq=50,
+    )
+    cc = connected_components(
+        kept, pairs, vertex_col="doc_id", src_col="id_a", dst_col="id_b"
+    )
+    survivors = kept.join(
+        cc.where(F.col("doc_id") == F.col("component")).select("doc_id"),
+        "doc_id",
+    )
+
+    sampled = stratified_sample(
+        survivors,
+        id_col="doc_id",
+        strata_col="lang",
+        rates={dominant_lang: dominant_rate},
+        default_rate=1.0,
+        seed=sample_seed,
+        method="md5",
+    )
+    return pack_greedy(
+        text.with_token_stats(sampled, "text"),
+        id_col="doc_id",
+        tokens_col="n_tokens",
+        capacity=capacity,
+        num_groups=num_groups,
+    )

@@ -2927,6 +2927,124 @@ GROUP BY 1, 2
 QUERIES["corpus_report"] = QuerySpec(q_corpus_report, ORACLE_CORPUS_REPORT)
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED corpus pipeline end-to-end (plans/corpus.py):
+    quality-quartile filter -> capped near-dup clustering -> keep one
+    doc per cluster -> stratified en-downsample -> greedy packing.
+    The oracle replays all four stages in one DuckDB query — window
+    filter, recursive CC closure, hash-gate predicate, recursive
+    packing fold — so the whole pipeline hash-matches, not just its
+    parts."""
+    from data_pipeline_mlops_spark.plans.corpus import prepare_corpus
+
+    return prepare_corpus(spark, sf_dir)
+
+
+_CP_SAMPLE_EN = int(0.5 * (2**60))
+
+ORACLE_CORPUS_PIPELINE = rf"""
+WITH RECURSIVE
+t AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+sc AS (
+  SELECT doc_id, lang, toks,
+         ROUND((len(list_distinct(toks)) / len(toks))
+                 * CAST(0.6 AS DOUBLE)
+               + (len(list_filter(toks, x -> x IN ({_STOP_SQL})))
+                  / len(toks)) * CAST(0.2 AS DOUBLE)
+               + LEAST(len(toks) / CAST(100.0 AS DOUBLE),
+                       CAST(1.0 AS DOUBLE)) * CAST(0.2 AS DOUBLE),
+               6) AS q
+  FROM t
+),
+kept AS (
+  SELECT doc_id, lang, toks FROM (
+    SELECT doc_id, lang, toks,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY q ASC, doc_id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY lang) AS nl
+    FROM sc) x
+  WHERE rn > (nl + 3) // 4
+),
+sh AS (
+  SELECT doc_id, UNNEST(list_distinct(
+    list_transform(range(1, len(toks) - 1),
+      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM kept
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+freq AS (SELECT shingle, COUNT(*) AS f FROM sh GROUP BY 1),
+keptsh AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  JOIN freq ON freq.shingle = sh.shingle
+  WHERE freq.f <= 50
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM keptsh a JOIN keptsh b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ROUND(i / (sa.sz + sb.sz - i), 6) >= 0.05
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(v, label) AS (
+  SELECT doc_id AS v, doc_id AS label FROM kept
+  UNION
+  SELECT s.a AS v, r.label FROM sym s JOIN reach r ON r.v = s.b
+),
+comp AS (SELECT v, MIN(label) AS component FROM reach GROUP BY v),
+samp AS (
+  SELECT k.doc_id, k.toks FROM kept k
+  JOIN comp ON comp.v = k.doc_id AND comp.v = comp.component
+  WHERE ('0x' || substring(md5(
+            CAST(k.doc_id AS VARCHAR) || '|' || '7'), 1, 15))::BIGINT
+        < CASE WHEN k.lang = 'en' THEN {_CP_SAMPLE_EN}
+               ELSE {2**60} END
+),
+pt AS (
+  SELECT doc_id,
+         CAST(doc_id % 8 AS INTEGER) AS pack_group,
+         LEAST(len(toks), 256) AS tokens,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+           AS rn
+  FROM samp
+),
+pk(pack_group, rn, doc_id, tokens, pack_bin, bin_fill) AS (
+  SELECT pack_group, rn, doc_id, tokens, CAST(0 AS BIGINT),
+         CAST(tokens AS BIGINT)
+  FROM pt WHERE rn = 1
+  UNION ALL
+  SELECT pt.pack_group, pt.rn, pt.doc_id, pt.tokens,
+         CASE WHEN p.bin_fill + pt.tokens > 256
+              THEN p.pack_bin + 1 ELSE p.pack_bin END,
+         CASE WHEN p.bin_fill + pt.tokens > 256
+              THEN CAST(pt.tokens AS BIGINT)
+              ELSE p.bin_fill + pt.tokens END
+  FROM pt JOIN pk p
+    ON pt.pack_group = p.pack_group AND pt.rn = p.rn + 1
+)
+SELECT doc_id, pack_group, CAST(tokens AS BIGINT) AS tokens,
+       pack_bin, bin_fill
+FROM pk
+"""
+
+QUERIES["corpus_pipeline"] = QuerySpec(
+    q_corpus_pipeline, ORACLE_CORPUS_PIPELINE
+)
+
+
 def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-order gap analysis: per customer, days since the previous
     and until the next order (lag/lead) plus an ntile quartile by

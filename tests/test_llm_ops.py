@@ -227,3 +227,23 @@ def test_operators_tolerate_empty_inputs(spark):
     )
     assert packed.count() == 0
     assert pack_stats(packed, capacity=10).count() == 1  # global agg row
+
+
+def test_prepare_corpus_invariants(spark):
+    """Composed pipeline sanity at sf0.001: survivors are a strict,
+    duplicate-free subset of the corpus; packing respects capacity."""
+    from data_pipeline_mlops_spark.plans.corpus import prepare_corpus
+
+    sf = "/root/testdata/sf0.001"
+    out = prepare_corpus(spark, sf).collect()
+    total = spark.read.parquet(f"{sf}/documents.parquet").count()
+    ids = [r.doc_id for r in out]
+    assert 0 < len(ids) < total
+    assert len(set(ids)) == len(ids)
+    all_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id").collect()
+    }
+    assert set(ids) <= all_ids
+    assert all(r.bin_fill <= 256 and r.tokens <= 256 for r in out)
