@@ -43,6 +43,7 @@ HEADLINE = R1_KEYS + [
     "doc_dup_components_capped",
     "eval_decontamination",
     "doc_pack_sequences",
+    "corpus_pipeline",
 ]
 
 
