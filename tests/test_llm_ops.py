@@ -247,3 +247,16 @@ def test_prepare_corpus_invariants(spark):
     }
     assert set(ids) <= all_ids
     assert all(r.bin_fill <= 256 and r.tokens <= 256 for r in out)
+
+
+def test_prepare_corpus_deterministic_rerun(spark):
+    """The composed pipeline is a pure function of the data: two
+    independent runs produce identical packed assignments — the
+    property that makes its end-to-end oracle (and any cross-cluster
+    rerun diff) possible."""
+    from data_pipeline_mlops_spark.plans.corpus import prepare_corpus
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, prepare_corpus(spark, sf).collect()))
+    b = sorted(map(tuple, prepare_corpus(spark, sf).collect()))
+    assert a == b
