@@ -3045,6 +3045,30 @@ QUERIES["corpus_pipeline"] = QuerySpec(
 )
 
 
+def q_never_finalized_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set-op census (the §2.8 shape without its own row until
+    now): customers with orders, minus customers holding any finalized
+    ('F') order — DataFrame subtract(), which Catalyst plans as a
+    distinct left-anti."""
+    orders = load_table(spark, sf_dir, "orders")
+    with_orders = orders.select(F.col("o_custkey").alias("customer_id"))
+    finalized = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("customer_id")
+    )
+    return with_orders.subtract(finalized)
+
+
+ORACLE_NEVER_FINALIZED_CUSTOMERS = """
+SELECT o_custkey AS customer_id FROM orders
+EXCEPT
+SELECT o_custkey AS customer_id FROM orders WHERE o_orderstatus = 'F'
+"""
+
+QUERIES["never_finalized_customers"] = QuerySpec(
+    q_never_finalized_customers, ORACLE_NEVER_FINALIZED_CUSTOMERS
+)
+
+
 def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-order gap analysis: per customer, days since the previous
     and until the next order (lag/lead) plus an ntile quartile by
