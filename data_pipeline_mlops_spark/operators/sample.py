@@ -35,6 +35,35 @@ def _keep_hash(id_col: str, seed: int, method: str) -> Column:
     raise ValueError(f"unknown hash method: {method}")
 
 
+def stratified_fixed_sample(
+    df: DataFrame,
+    *,
+    id_col: str,
+    strata_col: str,
+    n_per_stratum: int,
+    seed: int = 42,
+    method: str = "md5",
+) -> DataFrame:
+    """EXACTLY min(n, stratum size) rows per stratum, deterministically:
+    rank rows within each stratum by hash(id, seed) (id tiebreak) and
+    keep the first n — a derandomized reservoir sample. Unlike the
+    rate-based gate, adding data CAN rotate members in/out (the rank
+    frontier moves); what is guaranteed is exact counts and
+    reproducibility for a given dataset. The shuffle is one window over
+    (stratum) — fine while strata are few; salt the stratum if one
+    stratum dominates."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        _keep_hash(id_col, seed, method).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= n_per_stratum)
+        .drop("__rank")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     *,

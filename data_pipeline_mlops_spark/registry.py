@@ -3069,6 +3069,41 @@ QUERIES["never_finalized_customers"] = QuerySpec(
 )
 
 
+def q_doc_fixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified sampling: exactly 20 docs per language,
+    chosen by hash rank (operators/sample.py::stratified_fixed_sample)
+    — the derandomized reservoir used to build fixed-size eval sets."""
+    from data_pipeline_mlops_spark.operators.sample import (
+        stratified_fixed_sample,
+    )
+
+    return stratified_fixed_sample(
+        _docs(spark, sf_dir),
+        id_col="doc_id",
+        strata_col="lang",
+        n_per_stratum=20,
+        seed=11,
+        method="md5",
+    ).select("doc_id", "lang")
+
+
+ORACLE_DOC_FIXED_SAMPLE = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substring(md5(
+               CAST(doc_id AS VARCHAR) || '|' || '11'), 1, 15))::BIGINT
+             ASC, doc_id ASC) AS rnk
+  FROM documents) x
+WHERE rnk <= 20
+"""
+
+QUERIES["doc_fixed_sample"] = QuerySpec(
+    q_doc_fixed_sample, ORACLE_DOC_FIXED_SAMPLE
+)
+
+
 def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-order gap analysis: per customer, days since the previous
     and until the next order (lag/lead) plus an ntile quartile by

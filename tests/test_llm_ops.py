@@ -260,3 +260,26 @@ def test_prepare_corpus_deterministic_rerun(spark):
     a = sorted(map(tuple, prepare_corpus(spark, sf).collect()))
     b = sorted(map(tuple, prepare_corpus(spark, sf).collect()))
     assert a == b
+
+
+def test_stratified_fixed_sample_exact_counts(spark):
+    from data_pipeline_mlops_spark.operators.sample import (
+        stratified_fixed_sample,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") < 90, "big").otherwise("small").alias("g"),
+    )
+    out = stratified_fixed_sample(
+        df, id_col="id", strata_col="g", n_per_stratum=15
+    )
+    counts = {r.g: r.n for r in
+              out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 15, "small": 10}  # min(n, stratum size)
+    # deterministic across reruns and repartitionings
+    a = sorted(r.id for r in out.collect())
+    b = sorted(r.id for r in stratified_fixed_sample(
+        df.repartition(7), id_col="id", strata_col="g", n_per_stratum=15
+    ).collect())
+    assert a == b
