@@ -3104,6 +3104,43 @@ QUERIES["doc_fixed_sample"] = QuerySpec(
 )
 
 
+def q_salted_priority_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicate-and-salt join through operators/skew.py::salted_join:
+    orders (5 priority values -> every key is hot) joined to a small
+    derived dim with the key spread over (key, salt) reducers, then
+    aggregated. The oracle is the PLAIN join+aggregate — equality is
+    the whole claim: salting changes the shuffle layout, never the
+    result."""
+    from data_pipeline_mlops_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .withColumn(
+            "priority_len", F.length("o_orderpriority").cast("long")
+        )
+    )
+    joined = salted_join(orders, dim, "o_orderpriority", n_salts=8)
+    return joined.groupBy("o_orderpriority", "priority_len").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum("o_totalprice", "revenue"),
+    )
+
+
+ORACLE_SALTED_PRIORITY_JOIN = f"""
+SELECT o_orderpriority,
+       CAST(LENGTH(o_orderpriority) AS BIGINT) AS priority_len,
+       COUNT(*) AS n_orders,
+       {_osum('o_totalprice', 'revenue')}
+FROM orders GROUP BY 1, 2
+"""
+
+QUERIES["salted_priority_join"] = QuerySpec(
+    q_salted_priority_join, ORACLE_SALTED_PRIORITY_JOIN
+)
+
+
 def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-order gap analysis: per customer, days since the previous
     and until the next order (lag/lead) plus an ntile quartile by
