@@ -3141,6 +3141,32 @@ QUERIES["salted_priority_join"] = QuerySpec(
 )
 
 
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: confusion matrix of the
+    marker-word language ID against the corpus's ground-truth lang
+    column — (actual, predicted, count). How a pipeline measures its
+    own heuristics at corpus scale (one aggregation over the scored
+    table)."""
+    docs = _docs(spark, sf_dir)
+    pred = text.with_lang_id(docs, "text")
+    return pred.groupBy(
+        F.col("lang").alias("actual_lang"),
+        "predicted_lang",
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+ORACLE_LANG_ID_CONFUSION = f"""
+WITH pred AS ({ORACLE_DOC_LANG_ID})
+SELECT d.lang AS actual_lang, p.predicted_lang, COUNT(*) AS n_docs
+FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+GROUP BY 1, 2
+"""
+
+QUERIES["lang_id_confusion"] = QuerySpec(
+    q_lang_id_confusion, ORACLE_LANG_ID_CONFUSION
+)
+
+
 def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-order gap analysis: per customer, days since the previous
     and until the next order (lag/lead) plus an ntile quartile by
