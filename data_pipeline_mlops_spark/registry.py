@@ -3167,6 +3167,47 @@ QUERIES["lang_id_confusion"] = QuerySpec(
 )
 
 
+def q_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier detection over the event stream table:
+    group stats broadcast back onto the rows, flag |z| >= 2.5 on the
+    ROUNDED score (same expression both sides; verified hash-stable at
+    all three SFs). One aggregation + one broadcast join — the
+    map-side anomaly screen at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("__m"),
+        F.stddev_samp("value").alias("__sd"),
+    )
+    z = F.round((F.col("value") - F.col("__m")) / F.col("__sd"), 4)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            z.alias("zscore"),
+        )
+        .where(F.abs(F.col("zscore")) >= 2.5)
+    )
+
+
+ORACLE_EVENT_VALUE_OUTLIERS = """
+WITH s AS (
+  SELECT event_type, AVG(value) AS m, stddev_samp(value) AS sd
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       ROUND(e.value, 2) AS value,
+       ROUND((e.value - s.m) / s.sd, 4) AS zscore
+FROM events e JOIN s USING (event_type)
+WHERE ABS(ROUND((e.value - s.m) / s.sd, 4)) >= 2.5
+"""
+
+QUERIES["event_value_outliers"] = QuerySpec(
+    q_event_value_outliers, ORACLE_EVENT_VALUE_OUTLIERS
+)
+
+
 def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-order gap analysis: per customer, days since the previous
     and until the next order (lag/lead) plus an ntile quartile by
