@@ -156,7 +156,15 @@ def webhook_foreach_sink(
 ):
     """K4/T6: per-record side-effect sink with at-least-once delivery
     and swallowed send errors — the reference's Telegram MapFunction
-    shape (flink_job_telegram_sender.py:36-52) as a foreachBatch."""
+    shape (flink_job_telegram_sender.py:36-52) as a foreachBatch.
+
+    Rows stream through the DRIVER (toLocalIterator) deliberately:
+    alerts are the post-filter residue (a handful per batch), and a
+    driver-side `send` keeps the callable an ordinary closure (rate
+    limiting, shared session, test observability). If the alert volume
+    ever approaches the input volume, switch to
+    `batch_df.foreachPartition(...)` so sends fan out on executors —
+    the callable then needs to be serializable and idempotent."""
 
     def process_batch(batch_df: DataFrame, _batch_id: int) -> None:
         for row in batch_df.toLocalIterator():
