@@ -278,3 +278,16 @@ def with_repetition(
             ).alias("top_ngram_share"),
         )
     )
+
+
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9]+"
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """GPT-2-style pre-tokenization, simplified to an engine-portable
+    regex (no lookahead — RE2-safe): letter runs, SINGLE digits (the
+    digit-splitting LLM tokenizers do), and punctuation runs. The
+    second token-counting mode next to whitespace `tokens()`
+    (SURVEY north star: "whitespace + a BPE-ish regex")."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0))

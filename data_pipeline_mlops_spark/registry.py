@@ -3208,6 +3208,38 @@ QUERIES["event_value_outliers"] = QuerySpec(
 )
 
 
+def q_customer_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (functions/text.py::bpe_ish_tokens)
+    over the one testdata column with real digit/punct structure:
+    letter runs, single digits, punct runs — the digit-splitting
+    behavior LLM tokenizers use, next to whitespace token counting
+    (doc_token_stats). Tokens serialized per the determinism rules."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") <= 200
+    )
+    toks = text.bpe_ish_tokens(F.col("c_name"))
+    return cust.select(
+        "c_custkey",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.concat_ws("|", toks).alias("tokens_joined"),
+    )
+
+
+ORACLE_CUSTOMER_NAME_TOKENS = r"""
+SELECT c_custkey,
+       len(regexp_extract_all(c_name, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9]+'))
+         AS n_tokens,
+       array_to_string(
+         regexp_extract_all(c_name, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9]+'),
+         '|') AS tokens_joined
+FROM customer WHERE c_custkey <= 200
+"""
+
+QUERIES["customer_name_tokens"] = QuerySpec(
+    q_customer_name_tokens, ORACLE_CUSTOMER_NAME_TOKENS
+)
+
+
 def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-order gap analysis: per customer, days since the previous
     and until the next order (lag/lead) plus an ntile quartile by
