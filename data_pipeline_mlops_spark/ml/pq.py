@@ -174,3 +174,89 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dot", "rank")
     )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    centroids: DataFrame,
+    assigned: DataFrame,
+    codebooks: DataFrame,
+    encoded: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    m: int = 4,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-PQ: coarse cells prune the corpus (ml/ivf.py index), PQ
+    codes score the survivors (ADC) — the standard billion-scale ANN
+    composition (FAISS IVFPQ). Per query: route to n_probe cells by
+    centroid dot product, restrict candidates to those cells'
+    members, then the same broadcast-LUT ADC scoring as pq_topk.
+    The corpus-side work is (n_probe / n_clusters) of the codes table,
+    and codes are M bytes per vector — both prunings compose."""
+    from data_pipeline_mlops_spark.functions.similarity import dot_d
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _to_double(F.col(vec_col)).alias("__qv"),
+    )
+    qc = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "cluster",
+        dot_d(F.col("__qv"), F.col("centroid")).alias("__sim_c"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__sim_c").desc(), F.col("cluster").asc()
+    )
+    probes = (
+        qc.withColumn("__pr", F.row_number().over(wq))
+        .where(F.col("__pr") <= n_probe)
+        .select("query_id", "cluster")
+    )
+    cand = (
+        assigned.select(F.col(id_col).alias("neighbor_id"), "cluster")
+        .join(F.broadcast(probes), "cluster")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+
+    dim = len(queries.select(_to_double(F.col(vec_col)).alias("v")).first()["v"])
+    seg_len = dim // m
+    qsub = q.select(
+        "query_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("__qv", i * seg_len + 1, seg_len)
+                    for i in range(m)
+                ]
+            )
+        ).alias("segment", "__qsub"),
+    )
+    dot = F.aggregate(
+        F.zip_with("__qsub", "centroid", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = qsub.join(F.broadcast(codebooks), "segment").select(
+        "query_id", "segment", "code", dot.alias("__pd")
+    )
+    joined = (
+        encoded.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "segment", "code"])
+    )
+    scored = joined.groupBy("query_id", "neighbor_id").agg(
+        F.round(F.sum("__pd"), 6).alias("adc_dot"),
+        F.count(F.lit(1)).alias("__m"),
+    ).where(F.col("__m") == m)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dot", "rank")
+    )

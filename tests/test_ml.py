@@ -266,3 +266,42 @@ def test_pq_adc_equals_exact_dot_on_clustered_data(spark):
         )
         want = [-neg_i for _, neg_i in scored[:5]]
         assert [got[(qid, r)] for r in range(1, 6)] == want, qid
+
+
+def test_ivf_pq_full_probe_equals_pq(spark):
+    """IVF-PQ with n_probe == n_clusters searches everything, so it
+    must return exactly the plain PQ ADC ranking — pinning that the
+    cell pruning composes with ADC scoring without changing scores."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_mlops_spark.ml.ivf import build_ivf_index
+    from data_pipeline_mlops_spark.ml.pq import (
+        build_pq_codebooks,
+        ivf_pq_topk,
+        pq_encode,
+        pq_topk,
+    )
+
+    rng = random.Random(11)
+    protos = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(8)]
+    df = spark.createDataFrame(
+        [(i, protos[i % 8]) for i in range(48)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = df.where(F.col("vec_id") < 3)
+    kw = dict(id_col="vec_id", vec_col="embedding")
+
+    books = build_pq_codebooks(df, vec_col="embedding", m=4, k=8)
+    codes = pq_encode(df, books, m=4, **kw)
+    centroids, assigned = build_ivf_index(df, n_clusters=4, **kw)
+
+    plain = {(r.query_id, r.rank): (r.neighbor_id, r.adc_dot)
+             for r in pq_topk(queries, books, codes, k=5, m=4, **kw)
+             .collect()}
+    ivfpq = {(r.query_id, r.rank): (r.neighbor_id, r.adc_dot)
+             for r in ivf_pq_topk(
+                 queries, centroids, assigned, books, codes,
+                 k=5, m=4, n_probe=4, **kw).collect()}
+    assert ivfpq == plain and len(plain) == 15
