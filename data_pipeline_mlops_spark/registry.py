@@ -3240,6 +3240,99 @@ QUERIES["customer_name_tokens"] = QuerySpec(
 )
 
 
+def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch theory, verified as a query: for every LSH candidate
+    pair, the MinHash slot-agreement fraction (the unbiased Jaccard
+    estimator) next to the exact candidate-only Jaccard and the
+    estimator's absolute error. All md5-portable, so the oracle
+    replays signatures bit-for-bit — numerically checking the
+    E[agreement] ~ J property this whole dedup tier rests on."""
+    pairs = dedup_text.minhash_dedup(
+        _docs(spark, sf_dir),
+        id_col="doc_id",
+        text_col="text",
+        num_hashes=64,
+        bands=16,
+        shingle_n=3,
+        verify_threshold=0.05,
+        hash_method="md5",
+    ).select("id_a", "id_b", "jaccard_exact")
+    sigs = dedup_text.minhash_signatures(
+        _docs(spark, sf_dir),
+        id_col="doc_id",
+        text_col="text",
+        num_hashes=64,
+        shingle_n=3,
+        hash_method="md5",
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"), F.col("signature").alias("__sa")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"), F.col("signature").alias("__sb")
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("__sa", "__sb", lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard_exact",
+            F.round(agree / 64.0, 6).alias("jaccard_est"),
+            F.round(
+                F.abs(agree / 64.0 - F.col("jaccard_exact")), 6
+            ).alias("est_abs_err"),
+        )
+    )
+
+
+ORACLE_MINHASH_JACCARD_ESTIMATE = f"""
+WITH cand AS ({ORACLE_MINHASH_LSH}),
+t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+shr AS (
+  SELECT doc_id, UNNEST(list_distinct(
+    list_transform(range(1, len(toks) - 1),
+      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM t WHERE len(toks) >= 3
+),
+shb AS (
+  SELECT doc_id,
+    ('0x' || substring(md5(shingle), 1, 15))::BIGINT % 2147483647 AS base
+  FROM shr
+),
+mh AS (
+  SELECT doc_id, i, MIN((a * base + b) % 2147483647) AS v
+  FROM shb CROSS JOIN (VALUES {_MINHASH_COEF_VALUES}) AS coef(i, a, b)
+  GROUP BY 1, 2
+),
+agree AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_agree
+  FROM cand c
+  JOIN mh ma ON ma.doc_id = c.id_a
+  JOIN mh mb ON mb.doc_id = c.id_b AND mb.i = ma.i AND mb.v = ma.v
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b, c.jaccard_exact,
+       ROUND(COALESCE(a.n_agree, 0) / 64.0, 6) AS jaccard_est,
+       ROUND(ABS(COALESCE(a.n_agree, 0) / 64.0 - c.jaccard_exact), 6)
+         AS est_abs_err
+FROM cand c LEFT JOIN agree a ON a.id_a = c.id_a AND a.id_b = c.id_b
+"""
+
+QUERIES["minhash_jaccard_estimate"] = QuerySpec(
+    q_minhash_jaccard_estimate, ORACLE_MINHASH_JACCARD_ESTIMATE
+)
+
+
 def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-order gap analysis: per customer, days since the previous
     and until the next order (lag/lead) plus an ntile quartile by
