@@ -3333,6 +3333,90 @@ QUERIES["minhash_jaccard_estimate"] = QuerySpec(
 )
 
 
+def q_pq_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization with FIXED corpus-seeded codebooks (the
+    subvectors of vec_id < 16 are the 16 codewords per segment):
+    deterministic, so the ENTIRE PQ path — argmin encoding, broadcast
+    ADC lookup tables, ranking — is replayed by the oracle. KMeans
+    codebooks (ml/pq.py::build_pq_codebooks) are the production
+    training step; the search machinery exercised here is identical."""
+    from data_pipeline_mlops_spark.ml.pq import pq_encode, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = similarity._to_double(F.col("embedding"))
+    cb = (
+        emb.where(F.col("vec_id") < 16)
+        .select(
+            F.col("vec_id").cast("int").alias("code"),
+            F.posexplode(
+                F.array(*[F.slice(v, i * 16 + 1, 16) for i in range(4)])
+            ).alias("segment", "centroid"),
+        )
+        .select("segment", "code", "centroid")
+    )
+    codes = pq_encode(emb, cb, id_col="vec_id", vec_col="embedding", m=4)
+    queries = emb.where(F.col("vec_id") < 5)
+    return pq_topk(
+        queries, cb, codes, id_col="vec_id", vec_col="embedding", k=5, m=4
+    )
+
+
+ORACLE_PQ_FIXED_TOPK = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+segs AS (SELECT unnest(range(4)) AS segment),
+cb AS (
+  SELECT s.segment, CAST(c.vec_id AS INTEGER) AS code,
+         c.e[s.segment*16+1 : s.segment*16+16] AS centroid
+  FROM segs s CROSS JOIN v c WHERE c.vec_id < 16
+),
+sub AS (
+  SELECT x.vec_id, s.segment,
+         x.e[s.segment*16+1 : s.segment*16+16] AS sv
+  FROM v x CROSS JOIN segs s
+),
+enc AS (
+  SELECT vec_id, segment, code FROM (
+    SELECT sub.vec_id, sub.segment, cb.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY sub.vec_id, sub.segment
+             ORDER BY list_reduce(
+               list_transform(range(1, 17),
+                 i -> (sub.sv[i] - cb.centroid[i])
+                      * (sub.sv[i] - cb.centroid[i])),
+               (a, b) -> a + b) ASC, cb.code ASC) AS rn
+    FROM sub JOIN cb ON cb.segment = sub.segment) z
+  WHERE rn = 1
+),
+lut AS (
+  SELECT su.vec_id AS query_id, cb.segment, cb.code,
+         list_reduce(list_transform(range(1, 17),
+           i -> su.sv[i] * cb.centroid[i]), (a, b) -> a + b) AS pd
+  FROM sub su JOIN cb ON cb.segment = su.segment
+  WHERE su.vec_id < 5
+),
+scored AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id,
+         ROUND(SUM(l.pd), 6) AS adc_dot
+  FROM enc e
+  JOIN lut l ON l.segment = e.segment AND l.code = e.code
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) = 4
+)
+SELECT query_id, neighbor_id, adc_dot,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id
+         ORDER BY adc_dot DESC, neighbor_id ASC) AS INTEGER) AS "rank"
+FROM scored
+QUALIFY "rank" <= 5
+"""
+
+QUERIES["pq_fixed_topk"] = QuerySpec(q_pq_fixed_topk, ORACLE_PQ_FIXED_TOPK)
+
+
 def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-order gap analysis: per customer, days since the previous
     and until the next order (lag/lead) plus an ntile quartile by
