@@ -32,11 +32,20 @@ def connected_components(
     vertex_col: str,
     src_col: str,
     dst_col: str,
-    max_iters: int = 20,
+    max_iters: int = 50,
 ) -> DataFrame:
     """(vertex, component) for every vertex; component = min vertex id
     reachable through undirected ``edges``. Isolated vertices label
-    themselves."""
+    themselves.
+
+    Raises ``RuntimeError`` if ``max_iters`` rounds pass without
+    convergence: hash-min needs O(component diameter) rounds, so a
+    chain-shaped component longer than ``max_iters`` hops would
+    otherwise yield silently-wrong partial labels (and wrong keep/drop
+    survivorship downstream). Extra rounds are cheap once most labels
+    are stable, so the default bound is generous; raise it for corpora
+    with pathological chain topologies.
+    """
     sym = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .union(
@@ -49,6 +58,7 @@ def connected_components(
         F.col(vertex_col).alias("v"), F.col(vertex_col).alias("label")
     ).localCheckpoint()
 
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["v"])
@@ -71,6 +81,13 @@ def connected_components(
         ).count()
         labels = stepped.drop("old_label")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(component diameter exceeds the bound); partial labels would "
+            "be silently wrong — raise max_iters"
+        )
     return labels.select(F.col("v").alias(vertex_col),
                          F.col("label").alias("component"))

@@ -28,9 +28,22 @@ from pyspark.sql import functions as F
 from data_pipeline_mlops_spark.functions.similarity import _to_double
 
 
+def _seg_len(dim: int, m: int) -> int:
+    """Segment width; dim must split evenly or the trailing dim % m
+    dimensions would be silently excluded from codebooks, codes, and
+    every ADC score (distances quietly ignoring part of each vector)."""
+    if dim % m != 0:
+        raise ValueError(
+            f"PQ requires dim divisible by m: dim={dim}, m={m} leaves "
+            f"{dim % m} trailing dimensions unencoded — pad the vectors "
+            "or pick an m that divides dim"
+        )
+    return dim // m
+
+
 def _segments(vec_col: str, m: int, dim: int):
     """Slice a vector column into m contiguous subvectors."""
-    seg_len = dim // m
+    seg_len = _seg_len(dim, m)
     return [
         F.slice(F.col(vec_col), i * seg_len + 1, seg_len).alias(f"__s{i}")
         for i in range(m)
@@ -41,6 +54,7 @@ def build_pq_codebooks(
     corpus: DataFrame,
     *,
     vec_col: str,
+    dim: int,
     m: int = 4,
     k: int = 16,
     seed: int = 42,
@@ -50,11 +64,12 @@ def build_pq_codebooks(
     One KMeans fit per segment over that segment's subvectors (m small,
     fixed; each fit is a distributed job — the driver loop is over
     SEGMENTS, not data). Codebooks are tiny (m*k rows) and broadcast
-    everywhere they are used."""
+    everywhere they are used. ``dim`` is the caller-declared vector
+    width (schema knowledge) — passing it avoids a per-call Spark job
+    probing the first row."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    dim = len(corpus.select(_to_double(F.col(vec_col)).alias("v")).first()["v"])
     segs = corpus.select(*_segments(vec_col, m, dim))
     spark = corpus.sparkSession
     rows = []
@@ -80,14 +95,14 @@ def pq_encode(
     *,
     id_col: str,
     vec_col: str,
+    dim: int,
     m: int = 4,
 ) -> DataFrame:
     """(id, segment, code): nearest codebook entry per segment.
 
     One explode to (id, segment, subvector), one broadcast join against
     the codebook, one argmin window — the corpus is touched once."""
-    dim = len(corpus.select(_to_double(F.col(vec_col)).alias("v")).first()["v"])
-    seg_len = dim // m
+    seg_len = _seg_len(dim, m)
     sub = corpus.select(
         F.col(id_col).alias("__id"), _to_double(F.col(vec_col)).alias("__v")
     ).select(
@@ -126,6 +141,7 @@ def pq_topk(
     *,
     id_col: str,
     vec_col: str,
+    dim: int,
     k: int = 5,
     m: int = 4,
 ) -> DataFrame:
@@ -135,8 +151,7 @@ def pq_topk(
     query·centroid). The per-query LUT (query x segment x code) is
     broadcast; the corpus side joins its (segment, code) pairs and
     sums M partials per (query, neighbor)."""
-    dim = len(queries.select(_to_double(F.col(vec_col)).alias("v")).first()["v"])
-    seg_len = dim // m
+    seg_len = _seg_len(dim, m)
     qsub = queries.select(
         F.col(id_col).alias("query_id"),
         _to_double(F.col(vec_col)).alias("__v"),
@@ -185,6 +200,7 @@ def ivf_pq_topk(
     *,
     id_col: str,
     vec_col: str,
+    dim: int,
     k: int = 5,
     m: int = 4,
     n_probe: int = 4,
@@ -222,8 +238,7 @@ def ivf_pq_topk(
         .select("query_id", "neighbor_id")
     )
 
-    dim = len(queries.select(_to_double(F.col(vec_col)).alias("v")).first()["v"])
-    seg_len = dim // m
+    seg_len = _seg_len(dim, m)
     qsub = q.select(
         "query_id",
         F.posexplode(

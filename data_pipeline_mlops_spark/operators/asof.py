@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 _T = "__asof_t"
 _SIDE = "__asof_side"
 _TIE = "__asof_tie"
-_RT = "__asof_right_ts"
+_PAY = "__asof_payload"
+_RTS_FIELD = "__asof_matched_ts"
 
 
 def asof_join(
@@ -60,19 +61,29 @@ def asof_join(
     # visible to the window); strict places them after (invisible).
     right_side, left_side = (1, 0) if strict else (0, 1)
 
+    # The matched right row's ts + payload travel as ONE struct so a
+    # single last(ignorenulls) carries them atomically: per-column
+    # carries would backfill a NULL payload field from an OLDER right
+    # row, tearing fields of different right rows into one result.
     r = right.select(
         F.col(on),
         F.col(right_ts).alias(_T),
         F.lit(right_side).alias(_SIDE),
         F.col(tiebreak).alias(_TIE),
-        F.col(right_ts).alias(_RT),
-        *[F.col(c).alias(out_payload[c]) for c in payload],
+        F.struct(
+            F.col(right_ts).alias(_RTS_FIELD),
+            *[F.col(c).alias(out_payload[c]) for c in payload],
+        ).alias(_PAY),
     )
+    # Null _TIE on the left must match the right tiebreak's real type:
+    # a hard-coded long would union-coerce (e.g. to string) and turn
+    # tie resolution lexicographic.
+    tie_type = right.schema[tiebreak].dataType
     l = left.select(
         "*",
         F.col(left_ts).alias(_T),
         F.lit(left_side).alias(_SIDE),
-        F.lit(None).cast("long").alias(_TIE),
+        F.lit(None).cast(tie_type).alias(_TIE),
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
 
@@ -82,12 +93,18 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = [out_ts] + list(out_payload.values())
-    for c in carried:
-        src = _RT if c == out_ts else c
-        unioned = unioned.withColumn(c, F.last(src, ignorenulls=True).over(w))
+    unioned = unioned.withColumn(_PAY, F.last(_PAY, ignorenulls=True).over(w))
 
-    result = unioned.where(F.col(_SIDE) == left_side).drop(
-        _T, _SIDE, _TIE, _RT
+    result = (
+        unioned.where(F.col(_SIDE) == left_side)
+        .select(
+            *left.columns,
+            F.col(_PAY).getField(_RTS_FIELD).alias(out_ts),
+            *[
+                F.col(_PAY).getField(out_payload[c]).alias(out_payload[c])
+                for c in payload
+            ],
+        )
     )
     if tolerance_sec is not None:
         too_old = (

@@ -3354,10 +3354,13 @@ def q_pq_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("segment", "code", "centroid")
     )
-    codes = pq_encode(emb, cb, id_col="vec_id", vec_col="embedding", m=4)
+    codes = pq_encode(
+        emb, cb, id_col="vec_id", vec_col="embedding", dim=64, m=4
+    )
     queries = emb.where(F.col("vec_id") < 5)
     return pq_topk(
-        queries, cb, codes, id_col="vec_id", vec_col="embedding", k=5, m=4
+        queries, cb, codes,
+        id_col="vec_id", vec_col="embedding", dim=64, k=5, m=4,
     )
 
 

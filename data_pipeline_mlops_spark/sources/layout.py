@@ -74,6 +74,18 @@ def compact_partition(
         )
     else:
         df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    # Swap via rename-aside, not rmtree-then-rename: a crash mid-swap
+    # leaves BOTH copies on disk (old aside, new in tmp) instead of a
+    # window where the live path is simply gone. Both renames are
+    # same-directory metadata ops (tmp/old are siblings of path), so
+    # no cross-filesystem rename and the no-data window shrinks to the
+    # instant between the two renames. True transactional swap with
+    # concurrent readers is what sources/txn.py's manifest commit is
+    # for.
+    old = path.rstrip("/") + "__compacting_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)  # leftover from a previous crashed swap
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return n_files

@@ -58,13 +58,22 @@ def upsert_batch(
         if "PATH_NOT_FOUND" not in str(ex) and "Path does not exist" not in str(ex):
             raise
         merged = batch
+    # Final tiebreak: two rows with the same key AND equal (order_col,
+    # __src) — e.g. duplicate keys within one batch — would otherwise
+    # tie completely and row_number would pick a nondeterministic
+    # winner, so replaying the same batch need not converge. A stable
+    # hash of the full payload makes the choice a pure function of row
+    # content (bit-identical duplicate rows still tie, but then every
+    # candidate winner IS the same row).
+    payload_cols = [c for c in merged.columns if c != "__src"]
+    merged = merged.withColumn("__tb", F.xxhash64(*payload_cols))
     w = Window.partitionBy(*key_cols).orderBy(
-        F.col(order_col).desc(), F.col("__src").desc()
+        F.col(order_col).desc(), F.col("__src").desc(), F.col("__tb").desc()
     )
     winners = (
         merged.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .drop("__rn", "__src")
+        .drop("__rn", "__src", "__tb")
         # the window repartitions by key; localCheckpoint materializes
         # the winners BEFORE the overwrite starts deleting the very
         # partitions the plan still needs to read

@@ -393,3 +393,33 @@ def test_resize_media_contract(spark):
     again = {r.media_id: r.content for r in multimodal.resize_media(
         media.repartition(3), target_w=8, target_h=4).collect()}
     assert {k: v.content for k, v in out.items()} == again
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    """A chain longer than max_iters hops cannot converge within the
+    bound; silently returning partially-propagated labels would give
+    wrong components (and wrong dedup survivorship downstream), so the
+    operator must raise instead."""
+    import pytest
+
+    from data_pipeline_mlops_spark.functions.graph import (
+        connected_components,
+    )
+
+    n = 8  # chain 0-1-...-7: diameter 7, needs ~7 hash-min rounds
+    vertices = spark.createDataFrame([(v,) for v in range(n)], "v long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    kw = dict(vertex_col="v", src_col="a", dst_col="b")
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(vertices, edges, max_iters=2, **kw)
+
+    got = {
+        r.v: r.component
+        for r in connected_components(
+            vertices, edges, max_iters=20, **kw
+        ).collect()
+    }
+    assert got == {v: 0 for v in range(n)}

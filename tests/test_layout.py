@@ -71,3 +71,22 @@ def test_compact_partition_reduces_file_count(spark, tmp_path):
     ordered = sorted(_file_ranges(path, "id"))
     for (_, prev_hi), (next_lo, _) in zip(ordered, ordered[1:]):
         assert prev_hi <= next_lo
+
+
+def test_compact_partition_leaves_no_swap_debris(spark, tmp_path):
+    """The rename-aside swap must clean up both the __compacting tmp
+    dir and the __compacting_old aside dir, and must tolerate a stale
+    aside dir left by a previously crashed swap."""
+    import os
+
+    from data_pipeline_mlops_spark.sources.layout import compact_partition
+
+    path = str(tmp_path / "frag")
+    spark.range(2_000).write.parquet(path)
+    # simulate debris from a previous crash mid-swap
+    os.makedirs(path + "__compacting_old/junk")
+
+    compact_partition(spark, path=path, target_rows_per_file=1_000)
+    assert not os.path.exists(path + "__compacting")
+    assert not os.path.exists(path + "__compacting_old")
+    assert spark.read.parquet(path).count() == 2_000

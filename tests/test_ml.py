@@ -240,15 +240,15 @@ def test_pq_adc_equals_exact_dot_on_clustered_data(spark):
     )
     queries = df.where(F.col("vec_id") < 3)
 
-    books = build_pq_codebooks(df, vec_col="embedding", m=4, k=8)
+    books = build_pq_codebooks(df, vec_col="embedding", dim=16, m=4, k=8)
     codes = pq_encode(
-        df, books, id_col="vec_id", vec_col="embedding", m=4
+        df, books, id_col="vec_id", vec_col="embedding", dim=16, m=4
     )
     got = {
         (r.query_id, r.rank): r.neighbor_id
         for r in pq_topk(
             queries, books, codes,
-            id_col="vec_id", vec_col="embedding", k=5, m=4,
+            id_col="vec_id", vec_col="embedding", dim=16, k=5, m=4,
         ).collect()
     }
 
@@ -293,15 +293,32 @@ def test_ivf_pq_full_probe_equals_pq(spark):
     queries = df.where(F.col("vec_id") < 3)
     kw = dict(id_col="vec_id", vec_col="embedding")
 
-    books = build_pq_codebooks(df, vec_col="embedding", m=4, k=8)
-    codes = pq_encode(df, books, m=4, **kw)
+    books = build_pq_codebooks(df, vec_col="embedding", dim=16, m=4, k=8)
+    codes = pq_encode(df, books, dim=16, m=4, **kw)
     centroids, assigned = build_ivf_index(df, n_clusters=4, **kw)
 
     plain = {(r.query_id, r.rank): (r.neighbor_id, r.adc_dot)
-             for r in pq_topk(queries, books, codes, k=5, m=4, **kw)
+             for r in pq_topk(queries, books, codes, dim=16, k=5, m=4,
+                              **kw)
              .collect()}
     ivfpq = {(r.query_id, r.rank): (r.neighbor_id, r.adc_dot)
              for r in ivf_pq_topk(
                  queries, centroids, assigned, books, codes,
-                 k=5, m=4, n_probe=4, **kw).collect()}
+                 dim=16, k=5, m=4, n_probe=4, **kw).collect()}
     assert ivfpq == plain and len(plain) == 15
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    """dim % m != 0 must raise instead of silently dropping the
+    trailing dimensions from codebooks, codes, and ADC scores."""
+    import pytest
+
+    from data_pipeline_mlops_spark.ml.pq import pq_encode
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 10)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        pq_encode(
+            df, df, id_col="vec_id", vec_col="embedding", dim=10, m=4
+        )

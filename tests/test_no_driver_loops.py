@@ -16,7 +16,6 @@ ALLOWED = {
     "serve.py": "serving boundary returns bounded top-k rows",
     "ml/evaluate.py": "scalar metrics (coverage/precision) by design",
     "ml/model_registry.py": "1-row metadata CAS probe",
-    "ml/pq.py": "vector-dim probe (first) + tiny codebook collect",
     "ml/ivf.py": "tiny centroid table collect",
     "plans/medallion.py": "1-row run-metrics emission",
     "streaming/upsert_sink.py": "touched-partition list (bounded by batch)",

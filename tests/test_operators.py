@@ -335,3 +335,57 @@ def test_scd2_apply_semantics(spark):
         (5, "e", D(2024, 1, 1), None, True),               # untouched
         (9, "new", eff, None, True),                       # brand new
     }
+
+
+def test_asof_join_carries_payload_atomically(spark):
+    """The matched right row travels as ONE struct: when the as-of
+    winner has a NULL payload field, that field must stay NULL in the
+    result — per-column carries would tear the row by backfilling the
+    NULL from an OLDER right row."""
+    import datetime as dt
+
+    from data_pipeline_mlops_spark.operators.asof import asof_join
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, T(10), "L")], "k long, ts timestamp, lbl string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, T(2), 100, "old-full"),   # older row, all fields set
+            (1, T(8), None, "new-holey"),  # the true match, rid NULL
+        ],
+        "k long, ts timestamp, rid long, rlbl string",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        payload=["rid", "rlbl"], tiebreak="ts", payload_prefix="m_",
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # rid stays NULL (from the ts=8 winner) — NOT 100 from ts=2
+    assert (r.m_rid, r.m_rlbl) == (None, "new-holey")
+    assert r.m_ts == T(8)
+
+
+def test_asof_join_non_integer_tiebreak_orders_numerically(spark):
+    """A double tiebreak must resolve ties numerically: the old
+    hard-coded long cast on the left union side coerced the column to
+    string and made 2.0 beat 10.0 lexicographically."""
+    import datetime as dt
+
+    from data_pipeline_mlops_spark.operators.asof import asof_join
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, T(10))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, T(5), 2.0, "lo"), (1, T(5), 10.0, "hi")],
+        "k long, ts timestamp, pri double, rlbl string",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        payload=["rlbl"], tiebreak="pri", payload_prefix="m_",
+    ).collect()
+    assert out[0].m_rlbl == "hi"  # 10.0 > 2.0 numerically

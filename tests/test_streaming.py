@@ -645,3 +645,27 @@ def test_incremental_cascade_matches_batch_rollup(spark, tmp_path):
     batch2 = spark.read.schema(schema).json(str(src / "b2.json"))
     writer(batch2, 1)
     check()
+
+
+def test_upsert_sink_equal_order_tie_is_deterministic(spark, tmp_path):
+    """Two rows with the same key AND equal order_col in one batch must
+    resolve to a content-determined winner so replays converge: apply
+    the identical batch to two fresh tables and after a replay — all
+    three states must match."""
+    from data_pipeline_mlops_spark.streaming.upsert_sink import upsert_batch
+
+    rows = [(1, 5, "x", "a"), (1, 5, "y", "a"), (2, 7, "z", "a")]
+    schema = "k long, v long, payload string, p string"
+    kw = dict(key_cols=["k"], order_col="v", partition_col="p")
+
+    states = []
+    for name in ("t1", "t2"):
+        path = str(tmp_path / name)
+        b = spark.createDataFrame(rows, schema)
+        upsert_batch(b, path=path, **kw)
+        upsert_batch(b, path=path, **kw)  # replay of the same batch
+        states.append(
+            {(r.k, r.v, r.payload) for r in spark.read.parquet(path).collect()}
+        )
+    assert states[0] == states[1]
+    assert len(states[0]) == 2  # one winner per key
