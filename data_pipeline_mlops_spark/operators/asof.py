@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_pipeline_mlops_spark.timeutil import epoch_us
+
 _T = "__asof_t"
 _SIDE = "__asof_side"
 _TIE = "__asof_tie"
@@ -108,7 +110,7 @@ def asof_join(
     )
     if tolerance_sec is not None:
         too_old = (
-            F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(out_ts))
+            epoch_us(left_ts) - epoch_us(out_ts)
         ) > int(tolerance_sec * 1_000_000)
         # single select: every null-out sees the ORIGINAL matched ts
         # (sequential withColumns would null out_ts first and blind the

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_pipeline_mlops_spark.timeutil import epoch_us
+
 _BAND = "__band"
 
 
@@ -39,14 +41,14 @@ def banded_interval_join(
     zero-match rows (anti-join on a unique key is null-safe; full-row
     equality would duplicate rows carrying nulls)."""
     width_us = max_diff_sec * 1_000_000
-    l_band = F.floor(F.unix_micros(F.col(left_ts)) / width_us)
+    l_band = F.floor(epoch_us(left_ts) / width_us)
     bands = F.array(l_band - 1, l_band, l_band + 1)
     l = left.withColumn(_BAND, F.explode(bands))
     r = right.withColumn(
-        _BAND, F.floor(F.unix_micros(F.col(right_ts)) / width_us)
+        _BAND, F.floor(epoch_us(right_ts) / width_us)
     )
     in_range = (
-        F.abs(F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(right_ts)))
+        F.abs(epoch_us(left_ts) - epoch_us(right_ts))
         <= width_us
     )
     if how == "inner":

@@ -37,6 +37,7 @@ from data_pipeline_mlops_spark.operators.exact import (
     money_sum,
 )
 from data_pipeline_mlops_spark.sources.tables import load_table
+from data_pipeline_mlops_spark.timeutil import epoch_s, epoch_us
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
@@ -2055,7 +2056,7 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     wo = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wo)
+    gap = epoch_s("ts") - F.lag(epoch_s("ts")).over(wo)
     flagged = ev.select(
         "user_id",
         "ts",
@@ -2195,7 +2196,7 @@ def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "touch_event_id",
         "touch_event_type",
-        (F.unix_micros("ts") - F.unix_micros("touch_ts")).alias("gap_us"),
+        (epoch_us("ts") - epoch_us("touch_ts")).alias("gap_us"),
     )
 
 

@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from data_pipeline_mlops_spark.timeutil import epoch_us
+
 ORDER_EVENT_SCHEMA = T.StructType(
     [
         T.StructField("order_id", T.StringType(), True),
@@ -76,7 +78,7 @@ def join_orders_payments(
         "method",
         "amount",
         (
-            F.unix_micros(F.col("pay_ts")) - F.unix_micros(F.col("order_ts"))
+            epoch_us("pay_ts") - epoch_us("order_ts")
         ).alias("pay_latency_us"),
     )
 
