@@ -103,8 +103,22 @@ def pq_encode(
     One explode to (id, segment, subvector), one broadcast join against
     the codebook, one argmin window — the corpus is touched once."""
     seg_len = _seg_len(dim, m)
+    # Guard: a declared dim smaller than the real vector width would
+    # silently truncate every vector (F.slice ignores trailing dims) —
+    # the same silent-wrongness class the dim % m check closes. Fail
+    # loudly on the first mismatched row instead.
+    dim_ok = F.size(F.col(vec_col)) == dim
+    checked = F.when(dim_ok, _to_double(F.col(vec_col))).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"pq_encode: declared dim={dim} but vector has "),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(" dims"),
+            )
+        )
+    )
     sub = corpus.select(
-        F.col(id_col).alias("__id"), _to_double(F.col(vec_col)).alias("__v")
+        F.col(id_col).alias("__id"), checked.alias("__v")
     ).select(
         "__id",
         F.posexplode(

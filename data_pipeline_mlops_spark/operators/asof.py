@@ -57,6 +57,16 @@ def asof_join(
     the matched row's timestamp (null when unmatched)."""
     out_ts = f"{payload_prefix}{right_ts}"
     out_payload = {c: f"{payload_prefix}{c}" for c in payload}
+    # Output names must not collide with left columns (e.g. an empty
+    # payload_prefix with left_ts == right_ts): the final select would
+    # emit two same-named columns and every downstream reference would
+    # die with AMBIGUOUS_REFERENCE far from the cause.
+    clash = {out_ts, *out_payload.values()} & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"as-of output column(s) {sorted(clash)} collide with left "
+            f"columns; pass a distinct payload_prefix"
+        )
 
     # Sort order within a key's timeline: time, then side. Non-strict
     # places right rows BEFORE left rows at equal ts (so they are

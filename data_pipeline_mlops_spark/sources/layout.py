@@ -64,6 +64,13 @@ def compact_partition(
     ceil(rows / target_rows_per_file) files; returns the new file
     count. Optionally range-sorts by `sort_col` while rewriting (free
     data-skipping from a rewrite you were doing anyway)."""
+    # Crash recovery: a crash BETWEEN the two renames below leaves the
+    # live path missing with the data parked in the __compacting_old
+    # aside — restore it before reading, or every subsequent run would
+    # fail at the scan and recovery would be manual.
+    old = path.rstrip("/") + "__compacting_old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
     df = spark.read.parquet(path)
     n_rows = df.count()
     n_files = max(1, math.ceil(n_rows / target_rows_per_file))
@@ -82,7 +89,6 @@ def compact_partition(
     # instant between the two renames. True transactional swap with
     # concurrent readers is what sources/txn.py's manifest commit is
     # for.
-    old = path.rstrip("/") + "__compacting_old"
     if os.path.exists(old):
         shutil.rmtree(old)  # leftover from a previous crashed swap
     os.rename(path, old)

@@ -65,8 +65,15 @@ def upsert_batch(
     # hash of the full payload makes the choice a pure function of row
     # content (bit-identical duplicate rows still tie, but then every
     # candidate winner IS the same row).
+    # Hash via to_json(struct(...)): xxhash64 directly on columns is
+    # prohibited for MapType (DATATYPE_MISMATCH.HASH_MAP_TYPE), and a
+    # map-typed payload column is a perfectly normal upsert table.
+    # JSON serialization is deterministic for a replayed batch (the
+    # same computation rebuilds the same map entry order).
     payload_cols = [c for c in merged.columns if c != "__src"]
-    merged = merged.withColumn("__tb", F.xxhash64(*payload_cols))
+    merged = merged.withColumn(
+        "__tb", F.xxhash64(F.to_json(F.struct(*payload_cols)))
+    )
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(order_col).desc(), F.col("__src").desc(), F.col("__tb").desc()
     )

@@ -90,3 +90,20 @@ def test_compact_partition_leaves_no_swap_debris(spark, tmp_path):
     assert not os.path.exists(path + "__compacting")
     assert not os.path.exists(path + "__compacting_old")
     assert spark.read.parquet(path).count() == 2_000
+
+
+def test_compact_partition_recovers_missing_path_from_aside(spark, tmp_path):
+    """Crash window between the two swap renames: live path gone, data
+    parked in __compacting_old. The next compaction run must restore
+    the aside and proceed instead of dying at the scan."""
+    import os
+
+    from data_pipeline_mlops_spark.sources.layout import compact_partition
+
+    path = str(tmp_path / "tbl")
+    spark.range(100).write.parquet(path)
+    os.rename(path, path + "__compacting_old")  # simulate mid-swap crash
+    assert not os.path.exists(path)
+    compact_partition(spark, path=path, target_rows_per_file=1_000)
+    assert spark.read.parquet(path).count() == 100
+    assert not os.path.exists(path + "__compacting_old")

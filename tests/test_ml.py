@@ -322,3 +322,24 @@ def test_pq_rejects_indivisible_dim(spark):
         pq_encode(
             df, df, id_col="vec_id", vec_col="embedding", dim=10, m=4
         )
+
+
+def test_pq_encode_rejects_wrong_width_vectors(spark):
+    """A declared dim smaller than the real vector width silently
+    truncates every vector via F.slice — must raise at execution."""
+    import pytest
+
+    from data_pipeline_mlops_spark.ml import pq
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0] * 16)], "vec_id long, embedding array<double>"
+    )
+    books = spark.createDataFrame(
+        [(s, c, [0.0, 0.0]) for s in range(4) for c in range(2)],
+        "segment int, code int, centroid array<double>",
+    )
+    enc = pq.pq_encode(
+        vecs, books, id_col="vec_id", vec_col="embedding", dim=8, m=4
+    )
+    with pytest.raises(Exception, match="declared dim"):
+        enc.collect()

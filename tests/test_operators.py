@@ -389,3 +389,24 @@ def test_asof_join_non_integer_tiebreak_orders_numerically(spark):
         payload=["rlbl"], tiebreak="pri", payload_prefix="m_",
     ).collect()
     assert out[0].m_rlbl == "hi"  # 10.0 > 2.0 numerically
+
+
+def test_asof_join_rejects_output_name_collision(spark):
+    """Empty payload_prefix with left_ts == right_ts would emit two
+    same-named columns (AMBIGUOUS_REFERENCE downstream); fail fast."""
+    import datetime as dt
+
+    import pytest
+
+    from data_pipeline_mlops_spark.operators.asof import asof_join
+
+    t = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, t)], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, t, 9)], "k long, ts timestamp, rid long"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            payload=["rid"], tiebreak="rid", payload_prefix="",
+        )

@@ -669,3 +669,23 @@ def test_upsert_sink_equal_order_tie_is_deterministic(spark, tmp_path):
         )
     assert states[0] == states[1]
     assert len(states[0]) == 2  # one winner per key
+
+
+def test_upsert_sink_map_column(spark, tmp_path):
+    """Map-typed payload columns must upsert: hash functions reject
+    MapType (HASH_MAP_TYPE), so the content tiebreak routes through
+    to_json — a regression for the round-3 xxhash64(*cols) tiebreak."""
+    from data_pipeline_mlops_spark.streaming.upsert_sink import upsert_batch
+
+    path = str(tmp_path / "tbl")
+    kw = dict(path=path, key_cols=["k"], order_col="v", partition_col="p")
+    schema = "k long, v long, attrs map<string,string>, p string"
+    b1 = spark.createDataFrame([(1, 1, {"a": "x"}, "d")], schema)
+    upsert_batch(b1, **kw)
+    b2 = spark.createDataFrame(
+        [(1, 2, {"a": "y"}, "d"), (2, 1, {"b": "z"}, "d")], schema
+    )
+    upsert_batch(b2, **kw)  # second batch exercises the merge+tiebreak
+    got = {(r.k, r.v, tuple(sorted(r.attrs.items())))
+           for r in spark.read.parquet(path).collect()}
+    assert got == {(1, 2, (("a", "y"),)), (2, 1, (("b", "z"),))}
