@@ -5,12 +5,28 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 Execution is forced with the `noop` datasource (full computation, no
 materialization cost), so timings measure the real plan — scan,
 shuffle, agg — not driver collect overhead.
+
+Measurement design (round-4 rework): per-query best-of-N where the N
+samples are INTERLEAVED — pass 1 runs every query once, then pass 2,
+... — instead of back-to-back repeats. Back-to-back best-of-3 left
+per-query spreads of 2-20 s on this box because a GC pause or external
+load burst poisons all three consecutive samples of whichever query it
+lands on; interleaving decorrelates samples of the same query, so the
+min converges on the plan's true cost. Additionally: one full COLD
+pass runs first and is discarded (it measures codegen/classload/page-
+cache warmup, not the plan — with it included, every spread was
+dominated by sample 1), and each timed pass visits queries in a
+seeded-shuffled order (plain rotation keeps cyclic adjacency, so a
+heavy query's GC residue lands on the same victim every pass). Median
+is reported alongside min; spread = max - min over timed samples.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import random
+import statistics
 import sys
 import time
 
@@ -36,8 +52,13 @@ R1_KEYS = [
 # md5-portable variant for oracle parity; production keeps xxhash64).
 # Plus the LLM training-data extensions: capped-pair dup clustering,
 # n-gram decontamination, and context-window sequence packing.
+# Round 4 adds recommendations_served: scoring against the PERSISTED
+# similarity model (ml/model_registry artifact, prebuilt untimed in
+# warmup) — the amortized serving cost, vs `recommendations` which
+# deliberately times the cold model build.
 HEADLINE = R1_KEYS + [
     "recommendations_capped",
+    "recommendations_served",
     "ngram_jaccard_capped",
     "minhash_lsh_fast",
     "doc_dup_components_capped",
@@ -50,8 +71,6 @@ HEADLINE = R1_KEYS + [
 def _minhash_fast(spark, sf_dir):
     """xxhash64 MinHash+LSH (production hot path; the registry's
     minhash_lsh_candidates uses the md5-portable twin for its oracle)."""
-    from pyspark.sql import functions as F
-
     from data_pipeline_mlops_spark.functions import dedup_text
     from data_pipeline_mlops_spark.sources.tables import load_table
 
@@ -81,26 +100,47 @@ def main() -> None:
     except ValueError:
         sf = None
 
-    # warm the JVM + parquet footers once so per-query times measure the
-    # plan, not first-touch classloading
+    # Warm-up: JVM + parquet footers, and one untimed run of the served
+    # path so the model artifact exists before timing starts (the first
+    # call trains and registers it; serving should time load + score).
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    QUERIES["recommendations_served"].spark(spark, sf_dir).write.mode(
+        "overwrite"
+    ).format("noop").save()
 
-    # best-of-3 per query: wall-clock on this box is noisy (external
-    # load); min is the stable estimator of the plan's true cost.
-    # Spread (max-min) is recorded so the noise is visible in the JSON.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
-    spreads: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = _minhash_fast if name == "minhash_lsh_fast" else QUERIES[name].spark
-        samples = []
-        for _ in range(runs):
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for p in range(runs + 1):  # pass 0 is the discarded cold pass
+        order = list(HEADLINE)
+        random.Random(p).shuffle(order)  # seeded: reproducible order
+        for name in order:
+            fn = (
+                _minhash_fast
+                if name == "minhash_lsh_fast"
+                else QUERIES[name].spark
+            )
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(min(samples), 3)
-        spreads[name] = round(max(samples) - min(samples), 3)
-        print(f"# {name}: {timings[name]}s (+{spreads[name]})", file=sys.stderr)
+            if p > 0:
+                samples[name].append(time.perf_counter() - t0)
+        print(
+            f"# pass {p}/{runs} done" + (" (cold, discarded)" if p == 0 else ""),
+            file=sys.stderr,
+        )
+
+    timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    for name in HEADLINE:
+        s = samples[name]
+        timings[name] = round(min(s), 3)
+        medians[name] = round(statistics.median(s), 3)
+        spreads[name] = round(max(s) - min(s), 3)
+        print(
+            f"# {name}: min={timings[name]}s med={medians[name]}s "
+            f"(+{spreads[name]})",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     r1_total = round(sum(timings[k] for k in R1_KEYS if k in timings), 3)
@@ -111,8 +151,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "median": medians,
                 "spread": spreads,
                 "runs": runs,
+                "interleaved": True,
                 "r1_comparable_total": r1_total,
                 "sf": sf,
             }

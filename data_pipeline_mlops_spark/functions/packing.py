@@ -48,6 +48,7 @@ def pack_greedy(
     capacity: int,
     num_groups: int = 32,
     order: str = "id",
+    order_col: str | None = None,
 ) -> DataFrame:
     """(id, pack_group, tokens, pack_bin, bin_fill) for every doc.
 
@@ -60,12 +61,18 @@ def pack_greedy(
     ``"length_desc"`` (longest-first ≈ first-fit-decreasing, the
     classic bin-packing heuristic — measurably less wasted budget, at
     the cost of correlating sample length within a window; id is the
-    tiebreak so the order stays a pure function of the data).
+    tiebreak so the order stays a pure function of the data) or
+    ``"column"`` (curriculum order: visit by ascending ``order_col`` —
+    e.g. a difficulty or quality score — id tiebreak, so each window
+    draws from one curriculum stage; standard curriculum-learning data
+    prep).
     """
     import pandas as pd
 
-    if order not in ("id", "length_desc"):
+    if order not in ("id", "length_desc", "column"):
         raise ValueError(f"unknown pack order: {order}")
+    if order == "column" and order_col is None:
+        raise ValueError("order='column' requires order_col")
     schema = PACK_SCHEMA.format(id=id_col)
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -73,6 +80,8 @@ def pack_greedy(
             pdf = pdf.sort_values(
                 ["tokens", id_col], ascending=[False, True]
             ).reset_index(drop=True)
+        elif order == "column":
+            pdf = pdf.sort_values(["__ord", id_col]).reset_index(drop=True)
         else:
             pdf = pdf.sort_values(id_col).reset_index(drop=True)
         bins, fills = [], []
@@ -88,7 +97,7 @@ def pack_greedy(
         pdf["bin_fill"] = pd.Series(fills, dtype="int64")
         return pdf[[id_col, "pack_group", "tokens", "pack_bin", "bin_fill"]]
 
-    prepared = docs.select(
+    cols = [
         F.col(id_col),
         F.pmod(F.col(id_col), F.lit(num_groups)).cast("int").alias(
             "pack_group"
@@ -96,7 +105,10 @@ def pack_greedy(
         F.least(F.col(tokens_col), F.lit(capacity))
         .cast("long")
         .alias("tokens"),
-    )
+    ]
+    if order == "column":
+        cols.append(F.col(order_col).alias("__ord"))
+    prepared = docs.select(*cols)
     return prepared.groupBy("pack_group").applyInPandas(pack, schema)
 
 

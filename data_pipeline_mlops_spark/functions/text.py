@@ -291,3 +291,57 @@ def bpe_ish_tokens(col: Column | str) -> Column:
     (SURVEY north star: "whitespace + a BPE-ish regex")."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0))
+
+
+# -- normalization tier (pre-shingling) ------------------------------------
+
+NONWORD_RUN = r"[^\p{L}\p{N}]+"
+
+
+def nfc(col: Column | str) -> Column:
+    """Unicode NFC normalization as an Arrow-batched pandas UDF.
+
+    Spark SQL has no built-in Unicode normalizer, so this is the one
+    deliberate Python hop in the text tier — vectorized (one
+    ``unicodedata.normalize`` per value inside an Arrow batch, never
+    per-row pickling). Equivalent to DuckDB's ``nfc_normalize``.
+    """
+    import pandas as pd  # noqa: F401  (typing only)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize("NFC", x)
+        )
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _nfc(c)
+
+
+def normalize_text(
+    col: Column | str,
+    *,
+    use_nfc: bool = True,
+    casefold: bool = True,
+    collapse_nonword: bool = True,
+) -> Column:
+    """Canonical text for dedup/shingling: lowercase -> Unicode NFC ->
+    collapse every non-letter/digit run to one space -> trim.
+
+    Without this tier, MinHash/SimHash/n-gram dedup treats "Hello,
+    World!" and "hello world" as different documents — the first thing
+    a mixed-case web corpus breaks. All steps except NFC are JVM
+    expressions; order matches the DuckDB oracle
+    (``nfc_normalize(lower(text))``) exactly.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if casefold:
+        c = F.lower(c)
+    if use_nfc:
+        c = nfc(c)
+    if collapse_nonword:
+        c = F.trim(F.regexp_replace(c, NONWORD_RUN, " "))
+    return c

@@ -289,3 +289,98 @@ def ivf_pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dot", "rank")
     )
+
+
+def lloyd_codebooks(
+    corpus: DataFrame,
+    seed_codebooks: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    iters: int = 2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Deterministic fixed-iteration Lloyd's k-means over subvectors:
+    trained PQ codebooks that an external SQL engine can REPLAY exactly
+    (unlike pyspark.ml KMeans, whose k-means|| init is implementation-
+    defined). Each iteration: argmin-assign every (id, segment,
+    subvector) to its nearest codeword (squared L2, code-asc tiebreak),
+    then re-center each codeword at the element-wise mean of its
+    members. Determinism comes from three choices:
+
+    - seeds are caller-provided (e.g. the subvectors of the k lowest
+      ids — pure data, no RNG);
+    - per-dimension means sum in DECIMAL (exact, order-independent —
+      a double sum would vary with partitioning) and round to
+      ``round_dp`` before re-entering double arithmetic;
+    - empty codewords carry their previous centroid forward.
+
+    Scale shape: the corpus explodes once to (id, segment, subvector)
+    and is lineage-truncated; each iteration is one broadcast join +
+    two aggregations — driver holds nothing but the loop counter.
+    """
+    seg_len = _seg_len(dim, m)
+    sub = corpus.select(
+        F.col(id_col).alias("__id"), _to_double(F.col(vec_col)).alias("__v")
+    ).select(
+        "__id",
+        F.posexplode(
+            F.array(
+                *[F.slice("__v", i * seg_len + 1, seg_len) for i in range(m)]
+            )
+        ).alias("segment", "__sub"),
+    ).localCheckpoint(eager=False)
+
+    dist2 = F.aggregate(
+        F.zip_with("__sub", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dec = "decimal(27,10)"
+    cb = seed_codebooks
+    for _ in range(iters):
+        scored = sub.join(F.broadcast(cb), "segment").select(
+            "__id", "segment", "code", "__sub", dist2.alias("__d2")
+        )
+        w = Window.partitionBy("__id", "segment").orderBy(
+            F.col("__d2").asc(), F.col("code").asc()
+        )
+        assigned = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("segment", "code", "__sub")
+        )
+        dim_means = (
+            assigned.select(
+                "segment", "code",
+                F.posexplode("__sub").alias("pos", "val"),
+            )
+            .groupBy("segment", "code", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("val").cast(dec)).cast("double")
+                    / F.count(F.lit(1)),
+                    round_dp,
+                ).alias("mv")
+            )
+        )
+        recentered = dim_means.groupBy("segment", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                lambda s: s["mv"],
+            ).alias("__new")
+        )
+        cb = (
+            cb.join(recentered, ["segment", "code"], "left")
+            .select(
+                "segment",
+                "code",
+                F.coalesce(F.col("__new"), F.col("centroid")).alias(
+                    "centroid"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cb

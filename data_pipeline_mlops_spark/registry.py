@@ -830,6 +830,62 @@ SELECT customer_id, product_id, score, "rank" FROM ranked WHERE "rank" <= 5
 """
 
 
+def _model_cache_root() -> str:
+    """On-disk cache for the serving-path model artifact; inside the
+    repo tree (the sandbox forbids writes elsewhere), gitignored."""
+    import os
+
+    return os.environ.get(
+        "SPARK_GRAFT_MODEL_REGISTRY",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     ".model_cache"),
+    )
+
+
+def q_recommendations_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7+M12+M13 amortized serving path: score against a PERSISTED
+    item-similarity model (ml/model_registry parquet artifact) instead
+    of rebuilding the model inside the query. First call per sf_dir
+    trains + registers the artifact; every later call loads it — the
+    honest serving cost (reference serves from a pickled numpy matrix
+    loaded once, dags/daily_pipeline.py:647-729 + api/main.py).
+    Results are identical to recommendations_capped (same model, same
+    cap), so the same oracle checks this path end to end."""
+    import os
+
+    from data_pipeline_mlops_spark.ml import model_registry
+
+    sf_key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    reg = os.path.join(_model_cache_root(), sf_key)
+    try:
+        sim = model_registry.load_production(
+            spark, registry_path=reg, name="item_similarity"
+        )
+    except Exception:
+        inter = _materialize(_interactions(spark, sf_dir))
+        sim = _materialize(
+            cf.item_similarity(
+                inter, user_col="customer_id", item_col="product_id",
+                min_cooccurrence=1,
+            )
+        )
+        model_registry.save_version(
+            spark, registry_path=reg, version="bench",
+            tables={"item_similarity": sim},
+            metrics={}, promote=True,
+        )
+        sim = model_registry.load_production(
+            spark, registry_path=reg, name="item_similarity"
+        )
+    inter = _materialize(_interactions(spark, sf_dir))
+    purchases = inter.where(F.col("customer_id") <= 50)
+    recs = cf.recommend(
+        purchases, sim, user_col="customer_id", item_col="product_id",
+        top_n=5, max_neighbors=20,
+    )
+    return recs.select("customer_id", "product_id", "score", "rank")
+
+
 def q_cf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M9: train/eval coverage metrics with a date-based split
     (reference dags/daily_pipeline.py:483-488). Train = interactions
@@ -914,6 +970,35 @@ SELECT md5(text) AS fingerprint,
        COUNT(*) AS n_docs,
        MIN(doc_id) AS keep_id
 FROM documents GROUP BY 1
+"""
+
+
+def q_doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization tier (pre-shingling): lowercase -> Unicode
+    NFC (Arrow-batched pandas UDF; Spark has no built-in normalizer) ->
+    collapse non-letter/digit runs -> trim. The canonical form every
+    dedup tier should shingle; a mixed-case Unicode corpus is the first
+    thing that breaks un-normalized MinHash/SimHash."""
+    out = _docs(spark, sf_dir).select(
+        "doc_id", text.normalize_text("text").alias("norm_text")
+    )
+    return out.select(
+        "doc_id",
+        "norm_text",
+        F.size(F.split("norm_text", " ")).cast("long").alias("n_tokens"),
+    )
+
+
+ORACLE_DOC_NORMALIZE = r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(nfc_normalize(lower(text)),
+                             '[^\p{L}\p{N}]+', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text,
+       len(string_split(norm_text, ' ')) AS n_tokens
+FROM n
 """
 
 
@@ -1437,8 +1522,12 @@ QUERIES: dict[str, QuerySpec] = {
     "recommendations_capped": QuerySpec(
         q_recommendations_capped, ORACLE_RECOMMENDATIONS_CAPPED
     ),
+    "recommendations_served": QuerySpec(
+        q_recommendations_served, ORACLE_RECOMMENDATIONS_CAPPED
+    ),
     "cf_coverage": QuerySpec(q_cf_coverage, ORACLE_CF_COVERAGE),
     "doc_exact_dedup": QuerySpec(q_doc_exact_dedup, ORACLE_DOC_EXACT_DEDUP),
+    "doc_normalize": QuerySpec(q_doc_normalize, ORACLE_DOC_NORMALIZE),
     "doc_token_stats": QuerySpec(q_doc_token_stats, ORACLE_DOC_TOKEN_STATS),
     "doc_quality": QuerySpec(q_doc_quality, ORACLE_DOC_QUALITY),
     "doc_lang_id": QuerySpec(q_doc_lang_id, ORACLE_DOC_LANG_ID),
@@ -3784,6 +3873,60 @@ FROM bins
 
 QUERIES["doc_pack_ffd_stats"] = QuerySpec(
     q_doc_pack_ffd_stats, ORACLE_DOC_PACK_FFD_STATS
+)
+
+
+def q_doc_pack_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered packing (order="column"): docs visited by
+    ascending n_chars (short -> long, the easy-to-hard proxy), doc_id
+    tiebreak, so each context window draws from one curriculum stage —
+    standard curriculum-learning data prep. Third packing order next to
+    arrival (doc_pack_sequences) and FFD (doc_pack_ffd); same
+    recursive-CTE oracle with the curriculum ROW_NUMBER ordering."""
+    from data_pipeline_mlops_spark.functions.packing import pack_greedy
+
+    docs = text.with_token_stats(_docs(spark, sf_dir), "text")
+    return pack_greedy(
+        docs, id_col="doc_id", tokens_col="n_tokens",
+        capacity=256, num_groups=8, order="column", order_col="n_chars",
+    )
+
+
+ORACLE_PACK_CURRICULUM_BASE = r"""
+t AS (
+  SELECT doc_id,
+         CAST(doc_id % 8 AS INTEGER) AS pack_group,
+         LEAST(len(regexp_split_to_array(trim(text), '\s+')), 256)
+           AS tokens,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 8
+                            ORDER BY n_chars ASC, doc_id ASC)
+           AS rn
+  FROM documents
+),
+pk(pack_group, rn, doc_id, tokens, pack_bin, bin_fill) AS (
+  SELECT pack_group, rn, doc_id, tokens, CAST(0 AS BIGINT),
+         CAST(tokens AS BIGINT)
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.pack_group, t.rn, t.doc_id, t.tokens,
+         CASE WHEN p.bin_fill + t.tokens > 256
+              THEN p.pack_bin + 1 ELSE p.pack_bin END,
+         CASE WHEN p.bin_fill + t.tokens > 256
+              THEN CAST(t.tokens AS BIGINT)
+              ELSE p.bin_fill + t.tokens END
+  FROM t JOIN pk p ON t.pack_group = p.pack_group AND t.rn = p.rn + 1
+)
+"""
+
+ORACLE_DOC_PACK_CURRICULUM = f"""
+WITH RECURSIVE {ORACLE_PACK_CURRICULUM_BASE}
+SELECT doc_id, pack_group, CAST(tokens AS BIGINT) AS tokens,
+       pack_bin, bin_fill
+FROM pk
+"""
+
+QUERIES["doc_pack_curriculum"] = QuerySpec(
+    q_doc_pack_curriculum, ORACLE_DOC_PACK_CURRICULUM
 )
 
 

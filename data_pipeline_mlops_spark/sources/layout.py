@@ -86,12 +86,40 @@ def compact_partition(
     # window where the live path is simply gone. Both renames are
     # same-directory metadata ops (tmp/old are siblings of path), so
     # no cross-filesystem rename and the no-data window shrinks to the
-    # instant between the two renames. True transactional swap with
-    # concurrent readers is what sources/txn.py's manifest commit is
-    # for.
+    # instant between the two renames (recovered on the next run by the
+    # entry check above). True transactional swap with concurrent
+    # readers is compact_table below, over sources/txn.py's manifest
+    # commit.
     if os.path.exists(old):
         shutil.rmtree(old)  # leftover from a previous crashed swap
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n_files
+
+
+def compact_table(
+    table,
+    spark: SparkSession,
+    *,
+    target_rows_per_file: int,
+    sort_col: str | None = None,
+    partition_col: str | None = None,
+) -> int:
+    """Transactional compaction over a
+    :class:`~data_pipeline_mlops_spark.sources.txn.ManifestTable`:
+    rewrite the snapshot into size-targeted (optionally range-sorted)
+    files and commit them as a new version. Concurrent readers keep
+    the old snapshot — its files stay on disk until ``vacuum`` — so
+    there is no swap window at all, unlike :func:`compact_partition`'s
+    rename dance. Returns the committed version."""
+    df = table.read(spark)
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    if sort_col is not None:
+        df = df.repartitionByRange(
+            n_files, F.col(sort_col)
+        ).sortWithinPartitions(sort_col)
+    else:
+        df = df.repartition(n_files)
+    return table.commit(df, partition_col=partition_col, mode="replace_all")

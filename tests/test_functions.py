@@ -423,3 +423,30 @@ def test_connected_components_raises_when_not_converged(spark):
         ).collect()
     }
     assert got == {v: 0 for v in range(n)}
+
+
+def test_normalize_text_unifies_case_punct_and_unicode_form(spark):
+    """Mixed-case + punctuation + NFD/NFC variants of the same words
+    must normalize to one canonical string, so exact dedup on the
+    normalized column groups them."""
+    from data_pipeline_mlops_spark.functions import dedup_text, text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Héllo,   World!!"),   # NFD e + combining accent
+            (2, "héllo world"),          # NFC precomposed
+            (3, "HELLO -- WORLD"),            # no accent: different doc
+        ],
+        "doc_id long, text string",
+    )
+    norm = docs.select(
+        "doc_id", text.normalize_text("text").alias("text")
+    )
+    vals = {r.doc_id: r.text for r in norm.collect()}
+    assert vals[1] == vals[2] == "héllo world"
+    assert vals[3] == "hello world"
+    groups = dedup_text.exact_dup_groups(
+        norm, id_col="doc_id", text_col="text"
+    )
+    by_n = sorted(r.n_docs for r in groups.collect())
+    assert by_n == [1, 2]

@@ -1,0 +1,150 @@
+"""Manifest-commit transactional tables (sources/txn.py): atomic
+version publish, partition-scoped replace, snapshot isolation, time
+travel, crash invisibility, conflict detection, vacuum, and the
+upsert/compaction integrations."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from data_pipeline_mlops_spark.sources.txn import CommitConflict, ManifestTable
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_commit_read_roundtrip_unpartitioned(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    assert t.latest_version() is None
+    v = t.commit(spark.range(5), mode="replace_all")
+    assert v == 0
+    assert t.read(spark).count() == 5
+    v2 = t.commit(spark.range(3), mode="replace_all")
+    assert v2 == 1
+    assert t.read(spark).count() == 3
+
+
+def test_replace_partitions_keeps_untouched(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    b1 = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "k long, p string"
+    )
+    t.commit(b1, partition_col="p", mode="replace_partitions")
+    b2 = spark.createDataFrame([(9, "a")], "k long, p string")
+    t.commit(b2, partition_col="p", mode="replace_partitions")
+    got = _rows(t.read(spark).select("k", "p"))
+    assert got == {(9, "a"), (3, "b")}
+    # manifest-side partition pruning
+    assert _rows(t.read(spark, partitions=["b"]).select("k", "p")) == {
+        (3, "b")
+    }
+
+
+def test_append_mode_accumulates(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    b = spark.createDataFrame([(1, "a")], "k long, p string")
+    t.commit(b, partition_col="p", mode="append")
+    t.commit(b, partition_col="p", mode="append")
+    assert t.read(spark).count() == 2
+
+
+def test_snapshot_isolation_and_time_travel(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    t.commit(spark.range(4), mode="replace_all")
+    old = t.read(spark)  # lazy plan pinned to v0's files
+    t.commit(spark.range(100), mode="replace_all")
+    assert old.count() == 4  # still reads v0 files — never deleted
+    assert t.read(spark, version=0).count() == 4
+    assert t.read(spark).count() == 100
+
+
+def test_crash_orphans_invisible_then_vacuumed(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    t.commit(spark.range(5), mode="replace_all")
+    # a writer that crashed after staging, before commit
+    orphan = tmp_path / "t" / "data" / "txn-deadbeef"
+    os.makedirs(orphan)
+    spark.range(99).write.mode("overwrite").parquet(str(orphan / "junk"))
+    assert t.read(spark).count() == 5  # orphan invisible
+    deleted = t.vacuum(keep_versions=1)
+    assert any("txn-deadbeef" in d for d in deleted)
+    assert t.read(spark).count() == 5
+
+
+def test_vacuum_drops_old_versions(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    t.commit(spark.range(4), mode="replace_all")
+    t.commit(spark.range(7), mode="replace_all")
+    t.vacuum(keep_versions=1)
+    assert t.versions() == [1]
+    assert t.read(spark).count() == 7
+    with pytest.raises(FileNotFoundError):
+        t._manifest(0)
+
+
+def test_commit_conflict_retries_to_next_version(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    t.commit(spark.range(2), mode="replace_all")
+    # another writer takes v1 out from under this commit
+    t._write_manifest(
+        1,
+        {
+            "version": 1,
+            "parent": 0,
+            "partition_col": None,
+            "partitions": t._manifest(0)["partitions"],
+            "committed_at": 0,
+        },
+    )
+    v = t.commit(spark.range(9), mode="replace_all")
+    assert v == 2  # retried against the new base
+    with pytest.raises(CommitConflict):
+        t._write_manifest(2, {"partitions": {}})
+
+
+def test_upsert_batch_txn_merge_and_replay(spark, tmp_path):
+    from data_pipeline_mlops_spark.streaming.upsert_sink import (
+        upsert_batch_txn,
+    )
+
+    t = ManifestTable(str(tmp_path / "t"))
+    kw = dict(key_cols=["k"], order_col="v", partition_col="p")
+    b1 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "a"), (3, 30, "b")], "k long, v long, p string"
+    )
+    upsert_batch_txn(b1, table=t, **kw)
+    b2 = spark.createDataFrame(
+        [(1, 11, "a"), (4, 40, "a")], "k long, v long, p string"
+    )
+    upsert_batch_txn(b2, table=t, **kw)
+    want = {(1, 11, "a"), (2, 20, "a"), (3, 30, "b"), (4, 40, "a")}
+    assert _rows(t.read(spark).select("k", "v", "p")) == want
+    upsert_batch_txn(b2, table=t, **kw)  # replay → same state, new version
+    assert _rows(t.read(spark).select("k", "v", "p")) == want
+    # partition b untouched since v0: its files were carried over, and
+    # readers of every prior version still resolve
+    assert t.read(spark, version=0).count() == 3
+
+
+def test_compact_table_transactional(spark, tmp_path):
+    from data_pipeline_mlops_spark.sources.layout import compact_table
+
+    t = ManifestTable(str(tmp_path / "t"))
+    for _ in range(3):
+        t.commit(
+            spark.range(1000).selectExpr("id", "id % 7 AS x"), mode="append"
+        )
+    before = t.read(spark)
+    v = compact_table(
+        t, spark, target_rows_per_file=2000, sort_col="id"
+    )
+    after = t.read(spark)
+    assert after.count() == 3000
+    assert _rows(after) == _rows(before)
+    # pre-compaction snapshot still readable (no swap window)
+    assert t.read(spark, version=v - 1).count() == 3000
+    t.vacuum(keep_versions=1)
+    assert t.read(spark).count() == 3000
