@@ -343,3 +343,56 @@ def test_pq_encode_rejects_wrong_width_vectors(spark):
     )
     with pytest.raises(Exception, match="declared dim"):
         enc.collect()
+
+
+def test_lloyd_training_reduces_quantization_error(spark):
+    """Two Lloyd iterations must not increase total squared
+    quantization error vs the seed codebooks (k-means monotonicity),
+    and on clustered data should strictly reduce it."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_pipeline_mlops_spark.ml import pq
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 16)) * 3.0
+    rows = [
+        (int(i), (centers[i % 4] + rng.normal(size=16) * 0.4).tolist())
+        for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    v = F.col("embedding")
+    seeds = (
+        emb.where(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").cast("int").alias("code"),
+            F.posexplode(
+                F.array(*[F.slice(v, i * 8 + 1, 8) for i in range(2)])
+            ).alias("segment", "centroid"),
+        )
+        .select("segment", "code", "centroid")
+    )
+
+    def total_err(cb):
+        sub = emb.select(
+            "vec_id",
+            F.posexplode(
+                F.array(*[F.slice(v, i * 8 + 1, 8) for i in range(2)])
+            ).alias("segment", "sv"),
+        )
+        d2 = F.aggregate(
+            F.zip_with("sv", "centroid", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        per = sub.join(cb, "segment").groupBy("vec_id", "segment").agg(
+            F.min(d2).alias("d")
+        )
+        return per.agg(F.sum("d")).collect()[0][0]
+
+    trained = pq.lloyd_codebooks(
+        emb, seeds, id_col="vec_id", vec_col="embedding",
+        dim=16, m=2, iters=2,
+    )
+    e0, e2 = total_err(seeds), total_err(trained)
+    assert e2 < e0 * 0.9  # strict improvement on clustered data
