@@ -1002,6 +1002,31 @@ FROM n
 """
 
 
+def q_doc_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization COMPOSED with exact dedup: fingerprint the
+    canonical form (lower -> NFC -> collapse non-word runs), so docs
+    differing only in case/punctuation/unicode composition land in one
+    group — the integration the normalization tier exists for."""
+    norm = _docs(spark, sf_dir).select(
+        "doc_id", text.normalize_text("text").alias("text")
+    )
+    return dedup_text.exact_dup_groups(norm, id_col="doc_id", text_col="text")
+
+
+ORACLE_DOC_DEDUP_NORMALIZED = r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(nfc_normalize(lower(text)),
+                             '[^\p{L}\p{N}]+', ' ', 'g')) AS text
+  FROM documents
+)
+SELECT md5(text) AS fingerprint,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS keep_id
+FROM n GROUP BY 1
+"""
+
+
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + length stats (text-analysis op)."""
     return text.with_token_stats(_docs(spark, sf_dir), "text").select(
@@ -1528,6 +1553,9 @@ QUERIES: dict[str, QuerySpec] = {
     "cf_coverage": QuerySpec(q_cf_coverage, ORACLE_CF_COVERAGE),
     "doc_exact_dedup": QuerySpec(q_doc_exact_dedup, ORACLE_DOC_EXACT_DEDUP),
     "doc_normalize": QuerySpec(q_doc_normalize, ORACLE_DOC_NORMALIZE),
+    "doc_dedup_normalized": QuerySpec(
+        q_doc_dedup_normalized, ORACLE_DOC_DEDUP_NORMALIZED
+    ),
     "doc_token_stats": QuerySpec(q_doc_token_stats, ORACLE_DOC_TOKEN_STATS),
     "doc_quality": QuerySpec(q_doc_quality, ORACLE_DOC_QUALITY),
     "doc_lang_id": QuerySpec(q_doc_lang_id, ORACLE_DOC_LANG_ID),

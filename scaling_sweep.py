@@ -1,0 +1,150 @@
+"""Scaling-exponent sweep: time the heavy queries at sf0.1 and at a
+10x id-shifted union of sf0.1, and record the time ratio per query.
+
+Writes SCALING_r4.json. A ratio near/below 10 on 10x data is ~linear
+(on a fixed 32-core box, perfect weak scaling shows up as ~10x wall
+time); materially above 10 flags a super-linear operator that would
+not survive a 100 TB corpus.
+
+Dataset construction: 10 copies of lineitem/orders/documents with all
+JOIN KEYS shifted per copy by (max_key + 1) * copy, so referential
+structure is preserved and each copy's keys are disjoint — the corpus
+gets 10x larger without creating degenerate cross-copy joins.
+Document text is perturbed per copy (" c<i>" suffix): without it every
+doc would gain 9 exact clones and the near-dup pair space would grow
+100x by CONSTRUCTION, measuring the synthetic corpus rather than the
+operator. Duplicate DENSITY stays constant; volume scales.
+
+Queries that filter to a fixed entity band (customer_id <= 50,
+vec_id < 5) keep that band from copy 0 only — the scan/shuffle side
+scales 10x while the output stays bounded, which is exactly the shape
+a 100 TB run has.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
+OUT = os.environ.get("SPARK_GRAFT_SCALE_OUT", "SCALING_r4.json")
+
+# the bench's most expensive queries + one pure-agg control
+QUERIES = [
+    "daily_summary",            # control: scan + groupBy only
+    "item_similarity",
+    "recommendations_capped",
+    "doc_dup_components_capped",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_capped",
+    "eval_decontamination",
+    "doc_pack_sequences",
+    "corpus_pipeline",
+]
+
+SHIFT_KEYS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "documents": ["doc_id"],
+}
+KEY_SPACES = {  # key column -> table that defines its domain size
+    "l_orderkey": ("orders", "o_orderkey"),
+    "o_orderkey": ("orders", "o_orderkey"),
+    "l_partkey": ("lineitem", "l_partkey"),
+    "l_suppkey": ("lineitem", "l_suppkey"),
+    "o_custkey": ("orders", "o_custkey"),
+    "doc_id": ("documents", "doc_id"),
+}
+
+
+def build_scaled(spark, scaled_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(scaled_dir, exist_ok=True)
+    base = {
+        t: spark.read.parquet(f"{BASE}/{t}.parquet")
+        for t in SHIFT_KEYS
+    }
+    offsets = {}
+    for key, (tbl, col) in KEY_SPACES.items():
+        offsets[key] = base[tbl].agg(F.max(col)).collect()[0][0] + 1
+    for t, keys in SHIFT_KEYS.items():
+        pieces = []
+        for i in range(COPIES):
+            df = base[t]
+            for k in keys:
+                df = df.withColumn(k, F.col(k) + F.lit(i * offsets[k]))
+            if t == "documents" and i > 0:
+                df = df.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" c{i}"))
+                )
+            pieces.append(df)
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{scaled_dir}/{t}.parquet")
+        print(f"# scaled {t} x{COPIES}", file=sys.stderr)
+    # remaining tables: verbatim copies (dims etc.)
+    for f in os.listdir(BASE):
+        dst = os.path.join(scaled_dir, f)
+        if f.endswith(".parquet") and not os.path.exists(dst):
+            src = os.path.join(BASE, f)
+            (shutil.copytree if os.path.isdir(src) else shutil.copy)(src, dst)
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    from data_pipeline_mlops_spark.registry import QUERIES as REG
+
+    best: dict[str, float] = {}
+    for p in range(RUNS + 1):  # pass 0 = cold, discarded
+        for name in QUERIES:
+            t0 = time.perf_counter()
+            REG[name].spark(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            dt = time.perf_counter() - t0
+            if p > 0:
+                best[name] = min(best.get(name, dt), dt)
+        print(f"# {sf_dir}: pass {p}/{RUNS}", file=sys.stderr)
+    return best
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+    from data_pipeline_mlops_spark.session import get_spark
+
+    spark = get_spark(app_name="scaling-sweep")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    scaled_dir = os.path.join(repo, ".scale_cache", f"sf0.1x{COPIES}")
+    if not os.path.exists(os.path.join(scaled_dir, "documents.parquet")):
+        build_scaled(spark, scaled_dir)
+
+    t1 = time_queries(spark, BASE)
+    t10 = time_queries(spark, scaled_dir)
+    report = {
+        "metric": "scaling_ratio_10x",
+        "copies": COPIES,
+        "runs": RUNS,
+        "base_sf_dir": BASE,
+        "queries": {
+            name: {
+                "t_1x_sec": round(t1[name], 3),
+                "t_10x_sec": round(t10[name], 3),
+                "ratio": round(t10[name] / t1[name], 2),
+                "super_linear": t10[name] / t1[name] > COPIES * 1.3,
+            }
+            for name in QUERIES
+        },
+    }
+    with open(os.path.join(repo, OUT), "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

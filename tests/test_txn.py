@@ -148,3 +148,51 @@ def test_compact_table_transactional(spark, tmp_path):
     assert t.read(spark, version=v - 1).count() == 3000
     t.vacuum(keep_versions=1)
     assert t.read(spark).count() == 3000
+
+
+def test_upsert_txn_driven_by_real_stream(spark, tmp_path):
+    """End-to-end: a file stream drives upsert_foreach_batch_txn; the
+    ManifestTable ends at the same state a batch upsert produces, and
+    every micro-batch committed a readable version."""
+    import json
+    import os
+
+    from data_pipeline_mlops_spark.streaming.upsert_sink import (
+        upsert_foreach_batch_txn,
+    )
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    with open(src / "b1.json", "w") as fh:
+        for rec in [
+            {"k": 1, "v": 10, "p": "a"},
+            {"k": 2, "v": 20, "p": "a"},
+            {"k": 3, "v": 30, "p": "b"},
+        ]:
+            fh.write(json.dumps(rec) + "\n")
+    with open(src / "b2.json", "w") as fh:
+        for rec in [{"k": 1, "v": 11, "p": "a"}, {"k": 4, "v": 40, "p": "a"}]:
+            fh.write(json.dumps(rec) + "\n")
+
+    stream = (
+        spark.readStream.schema("k long, v long, p string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    path = str(tmp_path / "tbl")
+    q = (
+        stream.writeStream.foreachBatch(
+            upsert_foreach_batch_txn(
+                path=path, key_cols=["k"], order_col="v", partition_col="p"
+            )
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    t = ManifestTable(path)
+    got = {(r.k, r.v, r.p) for r in t.read(spark).collect()}
+    assert got == {(1, 11, "a"), (2, 20, "a"), (3, 30, "b"), (4, 40, "a")}
+    assert t.latest_version() >= 1  # one commit per non-empty batch
