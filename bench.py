@@ -131,14 +131,22 @@ def main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    spreads_trim: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     for name in HEADLINE:
-        s = samples[name]
-        timings[name] = round(min(s), 3)
+        s = sorted(samples[name])
+        timings[name] = round(s[0], 3)
         medians[name] = round(statistics.median(s), 3)
-        spreads[name] = round(max(s) - min(s), 3)
+        spreads[name] = round(s[-1] - s[0], 3)
+        # spread with the single worst sample rejected: on a shared box
+        # one load burst per 5 samples is the norm, and max-min alone
+        # reads as instability when 4 of 5 samples agree tightly
+        trim = s[:-1] if len(s) > 2 else s
+        spreads_trim[name] = round(trim[-1] - trim[0], 3)
+        raw[name] = [round(x, 3) for x in s]
         print(
             f"# {name}: min={timings[name]}s med={medians[name]}s "
-            f"(+{spreads[name]})",
+            f"(+{spreads[name]}, trimmed +{spreads_trim[name]})",
             file=sys.stderr,
         )
 
@@ -153,6 +161,8 @@ def main() -> None:
                 "queries": timings,
                 "median": medians,
                 "spread": spreads,
+                "spread_trimmed": spreads_trim,
+                "samples": raw,
                 "runs": runs,
                 "interleaved": True,
                 "r1_comparable_total": r1_total,
