@@ -123,3 +123,32 @@ def compact_table(
     else:
         df = df.repartition(n_files)
     return table.commit(df, partition_col=partition_col, mode="replace_all")
+
+
+def compact_if_fragmented(
+    table,
+    spark: SparkSession,
+    *,
+    max_txn_dirs: int = 16,
+    target_rows_per_file: int,
+    sort_col: str | None = None,
+    partition_col: str | None = None,
+) -> int | None:
+    """Auto-compaction heuristic for ManifestTables: every committed
+    upsert batch adds one staging dir, and the read path unions one
+    scan per dir — after hundreds of micro-batches the snapshot is
+    wide and slow. Call this from a maintenance cadence (or every N
+    foreachBatch commits): when the latest snapshot references more
+    than ``max_txn_dirs`` staging dirs, rewrite it via
+    :func:`compact_table`. Returns the committed version, or None when
+    no compaction was needed. The same background-OPTIMIZE shape Delta
+    runs; readers are never blocked (snapshot isolation)."""
+    if table.fragmentation() <= max_txn_dirs:
+        return None
+    return compact_table(
+        table,
+        spark,
+        target_rows_per_file=target_rows_per_file,
+        sort_col=sort_col,
+        partition_col=partition_col,
+    )

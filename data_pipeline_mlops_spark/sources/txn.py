@@ -277,3 +277,16 @@ class ManifestTable:
                 os.unlink(mpath)
                 deleted.append(mpath)
         return deleted
+
+    def fragmentation(self) -> int:
+        """Distinct txn staging dirs referenced by the latest snapshot —
+        the read path unions one scan per dir, so this is the metric
+        that says "compact me". 0 when the table has no versions."""
+        v = self.latest_version()
+        if v is None:
+            return 0
+        bases = set()
+        for part_key, dirs in self._manifest(v)["partitions"].items():
+            for d in dirs:
+                bases.add(os.path.dirname(d) if part_key != _ROOT else d)
+        return len(bases)

@@ -196,3 +196,40 @@ def test_upsert_txn_driven_by_real_stream(spark, tmp_path):
     got = {(r.k, r.v, r.p) for r in t.read(spark).collect()}
     assert got == {(1, 11, "a"), (2, 20, "a"), (3, 30, "b"), (4, 40, "a")}
     assert t.latest_version() >= 1  # one commit per non-empty batch
+
+
+def test_compact_if_fragmented_threshold(spark, tmp_path):
+    from data_pipeline_mlops_spark.sources.layout import (
+        compact_if_fragmented,
+    )
+
+    t = ManifestTable(str(tmp_path / "t"))
+    for _ in range(4):
+        t.commit(spark.range(100), mode="append")
+    assert t.fragmentation() == 4
+    # under threshold: no-op
+    assert compact_if_fragmented(
+        t, spark, max_txn_dirs=8, target_rows_per_file=1000
+    ) is None
+    # over threshold: one compacting commit, fragmentation collapses
+    v = compact_if_fragmented(
+        t, spark, max_txn_dirs=3, target_rows_per_file=1000
+    )
+    assert v == 4
+    assert t.fragmentation() == 1
+    assert t.read(spark).count() == 400
+
+
+def test_txn_partition_pruning_reaches_scan(spark, tmp_path):
+    """partitions= prunes at the MANIFEST, so the resulting plan's
+    input files must all live under the requested partition dirs —
+    the other partitions' files are never even listed."""
+    t = ManifestTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, chr(97 + i % 3)) for i in range(30)], "k long, p string"
+    )
+    t.commit(df, partition_col="p", mode="replace_partitions")
+    pruned = t.read(spark, partitions=["b"])
+    files = pruned.inputFiles()
+    assert files and all("/p=b/" in f or "p=b" in f for f in files)
+    assert {r.p for r in pruned.collect()} == {"b"}
