@@ -3326,6 +3326,103 @@ QUERIES["event_value_outliers"] = QuerySpec(
 )
 
 
+def q_distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, evaluated as a
+    query: hash each user id to a uniform 60-bit value (md5-derived,
+    the engine's portable-hash idiom), keep the k smallest distinct
+    hashes, estimate |D| = (k-1) / h_k with h_k the k-th smallest
+    normalized hash (Bar-Yossef et al. 2002 — the same family behind
+    theta sketches). Built-in approx_count_distinct (HLL++) cannot be
+    oracled (DuckDB's HLL differs); KMV is pure deterministic SQL, so
+    the SKETCH ITSELF is hash-checked, alongside its exact twin and
+    realized relative error. Scale shape: the k smallest hashes come
+    from a TakeOrdered (per-partition top-k, no global sort shuffle);
+    k rows reach the final stage regardless of corpus size."""
+    k = 64
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashes = ev.select(h.alias("__h")).distinct()
+    smallest = hashes.orderBy(F.col("__h").asc()).limit(k)
+    kth = smallest.agg(
+        F.max("__h").alias("__hk"), F.count(F.lit(1)).alias("__k")
+    )
+    exact = ev.agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    est = F.round(
+        (F.col("__k") - 1) / (F.col("__hk") / F.lit(float(2**60))), 4
+    )
+    return (
+        kth.crossJoin(exact)
+        .select(
+            F.col("__k").alias("k"),
+            est.alias("kmv_estimate"),
+            "exact_distinct",
+            F.round(
+                F.abs(
+                    est - F.col("exact_distinct")
+                ) / F.col("exact_distinct"),
+                4,
+            ).alias("rel_error"),
+        )
+    )
+
+
+ORACLE_DISTINCT_USERS_KMV = """
+WITH h AS (
+  SELECT DISTINCT
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM events
+),
+small AS (SELECT hv FROM h ORDER BY hv ASC LIMIT 64),
+kth AS (SELECT MAX(hv) AS hk, COUNT(*) AS k FROM small),
+ex AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events)
+SELECT k.k,
+       ROUND((k.k - 1) / (k.hk / 1152921504606846976.0), 4)
+         AS kmv_estimate,
+       ex.exact_distinct,
+       ROUND(ABS(ROUND((k.k - 1) / (k.hk / 1152921504606846976.0), 4)
+                 - ex.exact_distinct) / ex.exact_distinct, 4)
+         AS rel_error
+FROM kth k CROSS JOIN ex
+"""
+
+QUERIES["distinct_users_kmv"] = QuerySpec(
+    q_distinct_users_kmv, ORACLE_DISTINCT_USERS_KMV
+)
+
+
+def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90/p99) of event value per
+    type — the quantile census row. Spark's `percentile` and DuckDB's
+    `quantile_cont` share the linear-interpolation definition, so the
+    values hash-match exactly; `percentile_approx` (GK sketch) is the
+    at-scale variant whose bounded error is pytest-checked against
+    this exact row."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+ORACLE_EVENT_VALUE_PERCENTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY 1
+"""
+
+QUERIES["event_value_percentiles"] = QuerySpec(
+    q_event_value_percentiles, ORACLE_EVENT_VALUE_PERCENTILES
+)
+
+
 def q_customer_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex tokenization (functions/text.py::bpe_ish_tokens)
     over the one testdata column with real digit/punct structure:

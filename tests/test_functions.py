@@ -450,3 +450,38 @@ def test_normalize_text_unifies_case_punct_and_unicode_form(spark):
     )
     by_n = sorted(r.n_docs for r in groups.collect())
     assert by_n == [1, 2]
+
+
+def test_percentile_approx_within_error_of_exact(spark):
+    """percentile_approx (GK sketch, the at-scale path) must land
+    within its accuracy envelope of the exact interpolated percentile
+    the oracled event_value_percentiles row checks."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_mlops_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    got = (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", F.lit(0.9), F.lit(10000)).alias(
+                "approx"
+            ),
+            F.sort_array(F.collect_list("value")).alias("vals"),
+        )
+        .collect()
+    )
+    assert got
+    for r in got:
+        # GK guarantees a RANK bound (|rank(approx) - 0.9n| <= n/acc),
+        # not a value bound — a heavy tail can put neighboring ranks
+        # far apart in value space. Check the rank of the returned
+        # value directly, with one extra rank of slack for boundary
+        # rounding.
+        n = len(r.vals)
+        target = 0.9 * (n - 1)
+        lo = sum(1 for v in r.vals if v < r.approx)
+        hi = sum(1 for v in r.vals if v <= r.approx) - 1
+        tol = n / 10000 + 1
+        assert lo - tol <= target <= hi + tol, (r.event_type, n, r.approx)
