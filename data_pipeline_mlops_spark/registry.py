@@ -638,6 +638,36 @@ JOIN cnt cb ON cb.product_id = item_b
 """
 
 
+def q_item_similarity_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 over a customer-bucketed interactions table: the user-keyed
+    self-join that dominates the CF build reads co-located buckets with
+    NO shuffle on the user key (plan-locked in tests/test_plans.py) —
+    the co-occurrence Exchange was the heaviest edge in SCALING_r4's
+    7.2x recommendations_capped ratio, and bucketing removes it for
+    every model rebuild after the one-time bucketed write. Results
+    identical to item_similarity (same oracle)."""
+    import os
+
+    from data_pipeline_mlops_spark.sources.bucketed import write_bucketed
+
+    key = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    mtime = int(os.path.getmtime(os.path.join(sf_dir, "lineitem.parquet")))
+    tbl = f"b_inter_{key}_{mtime}"
+    if not spark.catalog.tableExists(tbl):
+        write_bucketed(
+            _interactions(spark, sf_dir),
+            table=tbl,
+            bucket_col="customer_id",
+            n_buckets=8,
+        )
+    return cf.item_similarity(
+        spark.table(tbl),
+        user_col="customer_id",
+        item_col="product_id",
+        min_cooccurrence=3,
+    ).select("item_a", "item_b", "cooccurrence", "cosine_sim")
+
+
 def q_similar_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8: top-10 most similar items to one anchor item
     (reference recommendation/main.py:193-221)."""
@@ -1542,6 +1572,9 @@ QUERIES: dict[str, QuerySpec] = {
     "repeat_customers": QuerySpec(q_repeat_customers, ORACLE_REPEAT_CUSTOMERS),
     "event_alerts": QuerySpec(q_event_alerts, ORACLE_EVENT_ALERTS),
     "item_similarity": QuerySpec(q_item_similarity, ORACLE_ITEM_SIMILARITY),
+    "item_similarity_bucketed": QuerySpec(
+        q_item_similarity_bucketed, ORACLE_ITEM_SIMILARITY
+    ),
     "similar_items": QuerySpec(q_similar_items, ORACLE_SIMILAR_ITEMS),
     "recommendations": QuerySpec(q_recommendations, ORACLE_RECOMMENDATIONS),
     "recommendations_capped": QuerySpec(

@@ -192,3 +192,56 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_bucketed_item_similarity_no_user_shuffle(spark):
+    """The co-occurrence self-join over the customer-bucketed
+    interactions table must not shuffle on the user key: bucket
+    co-location replaces the Exchange that dominates the CF model
+    build (later item-pair aggregations still shuffle — that's the
+    algorithm, not the join)."""
+    from data_pipeline_mlops_spark.registry import QUERIES
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = QUERIES["item_similarity_bucketed"].spark(spark, SF_SMALL)
+        plan = _plan(df)
+        assert "SortMergeJoin [__u" in plan
+        # no hash-partitioning exchange on the user join key anywhere
+        assert "Exchange hashpartitioning(__u" not in plan
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_doc_normalize_single_python_boundary(spark):
+    """The normalization tier pays exactly ONE Arrow hop (the NFC
+    UDF); casefold feeds it JVM-side and the regex collapse + token
+    count run JVM-side on its output."""
+    from data_pipeline_mlops_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["doc_normalize"].spark(spark, SF_SMALL))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan  # no row-at-a-time fallback
+
+
+def test_kmv_uses_take_ordered(spark):
+    """The k smallest hashes must compile to TakeOrderedAndProject —
+    per-partition top-k, never a global sort."""
+    from data_pipeline_mlops_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["distinct_users_kmv"].spark(spark, SF_SMALL))
+    assert "TakeOrderedAndProject(limit=64" in plan
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_trained_pq_keeps_codebooks_broadcast(spark):
+    """Every codebook join in the trained-PQ pipeline (2 Lloyd
+    iterations + encode + LUT) must be broadcast — a SortMergeJoin
+    against the m*k-row codebook would shuffle the full corpus."""
+    from data_pipeline_mlops_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["pq_trained_topk"].spark(spark, SF_SMALL))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
