@@ -654,6 +654,17 @@ def q_item_similarity_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     mtime = int(os.path.getmtime(os.path.join(sf_dir, "lineitem.parquet")))
     tbl = f"b_inter_{key}_{mtime}"
     if not spark.catalog.tableExists(tbl):
+        # The catalog is per-session (in-memory) but the warehouse dir
+        # persists: a previous process may have left the managed
+        # location behind, and saveAsTable refuses to reuse it
+        # (LOCATION_ALREADY_EXISTS). It's derived cache — clear it.
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        loc = os.path.join(wh, tbl)
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
         write_bucketed(
             _interactions(spark, sf_dir),
             table=tbl,

@@ -219,13 +219,19 @@ class ManifestTable:
         if partitions is not None:
             if pcol is None:
                 raise ValueError("table is unpartitioned")
+            # Spark escapes special chars in hive partition dir names
+            # (escapePathName: "a b" -> "a%20b"); compare against the
+            # DECODED name so callers pass the logical value, not the
+            # encoded dir fragment.
             wanted = {f"{pcol}={p}" for p in partitions}
         # Partition dirs are grouped by their txn dir so each group
         # shares one basePath (restoring the partition column from the
         # hive dir name); groups union into one lazy plan.
         by_base: dict[str, list[str]] = {}
+        from urllib.parse import unquote
+
         for part_key, dirs in man["partitions"].items():
-            if wanted is not None and part_key not in wanted:
+            if wanted is not None and unquote(part_key) not in wanted:
                 continue
             for d in dirs:
                 base = os.path.dirname(d) if part_key != _ROOT else d

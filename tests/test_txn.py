@@ -233,3 +233,15 @@ def test_txn_partition_pruning_reaches_scan(spark, tmp_path):
     files = pruned.inputFiles()
     assert files and all("/p=b/" in f or "p=b" in f for f in files)
     assert {r.p for r in pruned.collect()} == {"b"}
+
+
+def test_partition_pruning_with_escaped_values(spark, tmp_path):
+    """Spark escapes special chars in partition dir names ("a b" ->
+    "a%20b"); pruning must accept the LOGICAL value."""
+    t = ManifestTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "plain")], "k long, p string"
+    )
+    t.commit(df, partition_col="p", mode="replace_partitions")
+    got = _rows(t.read(spark, partitions=["a b"]).select("k", "p"))
+    assert got == {(1, "a b")}
