@@ -207,6 +207,36 @@ def minhash_signatures(
     )
 
 
+def banded_signatures(
+    signatures: DataFrame,
+    *,
+    id_col: str,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    hash_method: str = "xxhash64",
+) -> DataFrame:
+    """Expand signatures to (id, band, band_hash) — the LSH index
+    relation. Shared by the batch candidate join
+    (lsh_candidate_pairs) and the incremental streaming index
+    (streaming/dedup_stream.py), so both paths bucket identically."""
+
+    def band_key(b: int) -> F.Column:
+        elems = [
+            F.element_at("signature", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        if hash_method == "md5":
+            return F.concat_ws(",", *[e.cast("string") for e in elems])
+        return F.xxhash64(F.lit(b), *elems).cast("string")
+
+    return signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[band_key(b) for b in range(bands)])
+        ).alias("band", "band_hash"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     *,
@@ -225,21 +255,13 @@ def lsh_candidate_pairs(
     of re-hashing with xxhash64 — same collision semantics, oracle-able.
     """
 
-    def band_key(b: int) -> F.Column:
-        elems = [
-            F.element_at("signature", b * rows_per_band + r + 1)
-            for r in range(rows_per_band)
-        ]
-        if hash_method == "md5":
-            return F.concat_ws(",", *[e.cast("string") for e in elems])
-        return F.xxhash64(F.lit(b), *elems).cast("string")
-
-    banded = signatures.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(
-            F.array(*[band_key(b) for b in range(bands)])
-        ).alias("band", "band_hash"),
-    )
+    banded = banded_signatures(
+        signatures,
+        id_col=id_col,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        hash_method=hash_method,
+    ).withColumnRenamed(id_col, "__id")
     a = banded.select(F.col("__id").alias("id_a"), "band", "band_hash")
     b = banded.select(F.col("__id").alias("id_b"), "band", "band_hash")
     return (

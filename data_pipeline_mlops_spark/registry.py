@@ -1409,6 +1409,151 @@ FROM ji WHERE ROUND(ix / (za + zb - ix), 6) >= 0.05
 """
 
 
+def q_incremental_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL dedup operator (streaming/dedup_stream.py) run
+    as two real batches against a fresh on-disk index: even doc_ids
+    arrive first and build the index, odd doc_ids are then deduped
+    against the accepted survivors + each other. The oracle replays
+    both rounds — signatures, banding, candidate joins, signature-
+    agreement verification, greedy verdicts — in one SQL query, so the
+    stateful streaming path gets the same hash-level check as the
+    batch tiers (md5-portable variant; production uses xxhash64)."""
+    import tempfile
+
+    from data_pipeline_mlops_spark.streaming.dedup_stream import (
+        DedupIndex,
+        dedup_batch,
+    )
+
+    docs = _docs(spark, sf_dir)
+    index = DedupIndex(tempfile.mkdtemp(prefix="dedup_idx_"))
+    kw = dict(
+        id_col="doc_id", num_hashes=64, bands=16, shingle_n=3,
+        min_agreement=0.25, hash_method="md5",
+    )
+    d1 = dedup_batch(
+        docs.where(F.col("doc_id") % 2 == 0), index, batch_id=1, **kw
+    )
+    d2 = dedup_batch(
+        docs.where(F.col("doc_id") % 2 == 1), index, batch_id=2, **kw
+    )
+    return d1.unionByName(d2).select(
+        "doc_id", "is_duplicate", "matched_id", "est_jaccard", "batch_id"
+    )
+
+
+ORACLE_INCREMENTAL_DEDUP = rf"""
+WITH t AS (
+  SELECT doc_id, doc_id % 2 AS b,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+sets AS (
+  SELECT doc_id, b,
+    CASE WHEN len(toks) >= 3 THEN list_distinct(
+      list_transform(range(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+    ELSE [] END AS shingles
+  FROM t
+),
+shr AS (SELECT doc_id, unnest(shingles) AS shingle FROM sets),
+shb AS (
+  SELECT doc_id,
+    ('0x' || substring(md5(shingle), 1, 15))::BIGINT % 2147483647 AS base
+  FROM shr
+),
+mh AS (
+  SELECT doc_id, i, MIN((a * base + b) % 2147483647) AS v
+  FROM shb CROSS JOIN (VALUES {_MINHASH_COEF_VALUES}) AS coef(i, a, b)
+  GROUP BY 1, 2
+),
+bnd AS (
+  SELECT doc_id, i // 4 AS band,
+         string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS sig
+  FROM mh GROUP BY 1, 2
+),
+-- candidate relation per round. Round 1 (even ids): within-batch,
+-- lower id wins. Round 2 (odd ids): against round-1 SURVIVORS plus
+-- within-batch lower ids.
+cand1 AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM bnd n
+  JOIN t tn ON tn.doc_id = n.doc_id AND tn.b = 0
+  JOIN bnd o ON o.band = n.band AND o.sig = n.sig
+  JOIN t toe ON toe.doc_id = o.doc_id AND toe.b = 0
+  WHERE o.doc_id < n.doc_id
+),
+agr1 AS (
+  SELECT c.new_id, c.old_id,
+         ROUND(SUM(CASE WHEN ma.v = mo.v THEN 1 ELSE 0 END) / 64.0, 6)
+           AS est
+  FROM cand1 c
+  JOIN mh ma ON ma.doc_id = c.new_id
+  JOIN mh mo ON mo.doc_id = c.old_id AND mo.i = ma.i
+  GROUP BY 1, 2
+  HAVING ROUND(SUM(CASE WHEN ma.v = mo.v THEN 1 ELSE 0 END) / 64.0, 6)
+         >= 0.25
+),
+dec1 AS (
+  SELECT s.doc_id,
+         best.old_id IS NOT NULL AS is_duplicate,
+         best.old_id AS matched_id,
+         best.est AS est_jaccard,
+         1 AS batch_id
+  FROM sets s
+  LEFT JOIN (
+    SELECT new_id, old_id, est FROM (
+      SELECT new_id, old_id, est,
+             ROW_NUMBER() OVER (PARTITION BY new_id
+                                ORDER BY est DESC, old_id DESC) AS rn
+      FROM agr1) z WHERE rn = 1
+  ) best ON best.new_id = s.doc_id
+  WHERE s.b = 0
+),
+surv1 AS (SELECT doc_id FROM dec1 WHERE NOT is_duplicate),
+cand2 AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM bnd n
+  JOIN t tn ON tn.doc_id = n.doc_id AND tn.b = 1
+  JOIN bnd o ON o.band = n.band AND o.sig = n.sig
+  JOIN t toe ON toe.doc_id = o.doc_id
+  WHERE (toe.b = 1 AND o.doc_id < n.doc_id)
+     OR (toe.b = 0 AND o.doc_id IN (SELECT doc_id FROM surv1))
+),
+agr2 AS (
+  SELECT c.new_id, c.old_id,
+         ROUND(SUM(CASE WHEN ma.v = mo.v THEN 1 ELSE 0 END) / 64.0, 6)
+           AS est
+  FROM cand2 c
+  JOIN mh ma ON ma.doc_id = c.new_id
+  JOIN mh mo ON mo.doc_id = c.old_id AND mo.i = ma.i
+  GROUP BY 1, 2
+  HAVING ROUND(SUM(CASE WHEN ma.v = mo.v THEN 1 ELSE 0 END) / 64.0, 6)
+         >= 0.25
+),
+dec2 AS (
+  SELECT s.doc_id,
+         best.old_id IS NOT NULL AS is_duplicate,
+         best.old_id AS matched_id,
+         best.est AS est_jaccard,
+         2 AS batch_id
+  FROM sets s
+  LEFT JOIN (
+    SELECT new_id, old_id, est FROM (
+      SELECT new_id, old_id, est,
+             ROW_NUMBER() OVER (PARTITION BY new_id
+                                ORDER BY est DESC, old_id DESC) AS rn
+      FROM agr2) z WHERE rn = 1
+  ) best ON best.new_id = s.doc_id
+  WHERE s.b = 1
+)
+SELECT doc_id, is_duplicate, matched_id, est_jaccard, batch_id
+FROM dec1
+UNION ALL
+SELECT doc_id, is_duplicate, matched_id, est_jaccard, batch_id
+FROM dec2
+"""
+
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints per document — md5-portable 60-bit variant
     (production path is the 63-bit xxhash64 one, pytest-covered)."""
@@ -1583,6 +1728,9 @@ QUERIES: dict[str, QuerySpec] = {
     "repeat_customers": QuerySpec(q_repeat_customers, ORACLE_REPEAT_CUSTOMERS),
     "event_alerts": QuerySpec(q_event_alerts, ORACLE_EVENT_ALERTS),
     "item_similarity": QuerySpec(q_item_similarity, ORACLE_ITEM_SIMILARITY),
+    "incremental_dedup_decisions": QuerySpec(
+        q_incremental_dedup_decisions, ORACLE_INCREMENTAL_DEDUP
+    ),
     "item_similarity_bucketed": QuerySpec(
         q_item_similarity_bucketed, ORACLE_ITEM_SIMILARITY
     ),
