@@ -152,3 +152,68 @@ def compact_if_fragmented(
         sort_col=sort_col,
         partition_col=partition_col,
     )
+
+
+def _spread_bits_16(c):
+    """Interleave-ready bit spread: 16-bit int -> 32-bit with a zero
+    between every bit (classic magic-number spread, pure Catalyst
+    integer ops — stays in whole-stage codegen)."""
+    x = c.cast("long")
+    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
+    x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def zorder_key(col_a, col_b, *, min_a, max_a, min_b, max_b) -> F.Column:
+    """Morton (z-order) key for two numeric columns: each value is
+    normalized to a 16-bit grid over its [min, max] range, bits are
+    spread and interleaved. Locality in the key preserves locality in
+    BOTH dimensions, so files cut from a z-sorted layout carry narrow
+    min/max footer ranges on EITHER column — multi-column data
+    skipping from one sort, the property Delta's OPTIMIZE ZORDER
+    sells. Pure expressions; ranges are caller-supplied scalars (one
+    tiny agg, amortized over the write)."""
+    def norm(c, lo, hi):
+        span = float(hi - lo) or 1.0
+        q = (c.cast("double") - F.lit(float(lo))) / F.lit(span)
+        return F.least(
+            F.greatest(F.round(q * 65535).cast("long"), F.lit(0)),
+            F.lit(65535),
+        )
+
+    return _spread_bits_16(norm(col_a, min_a, max_a)).bitwiseOR(
+        F.shiftleft(_spread_bits_16(norm(col_b, min_b, max_b)), 1)
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    *,
+    path: str,
+    col_a: str,
+    col_b: str,
+    num_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Write `df` z-ordered on (col_a, col_b): range-partition +
+    in-file sort by the Morton key, so every file covers a compact
+    2-D tile and footer min/max prunes on EITHER column. The 2-D
+    sibling of write_range_sorted (which optimizes exactly one
+    column at the other's expense)."""
+    stats = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).collect()[0]
+    key = zorder_key(
+        F.col(col_a), F.col(col_b),
+        min_a=stats[0], max_a=stats[1], min_b=stats[2], max_b=stats[3],
+    )
+    (
+        df.withColumn("__z", key)
+        .repartitionByRange(num_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -107,3 +107,62 @@ def test_compact_partition_recovers_missing_path_from_aside(spark, tmp_path):
     compact_partition(spark, path=path, target_rows_per_file=1_000)
     assert spark.read.parquet(path).count() == 100
     assert not os.path.exists(path + "__compacting_old")
+
+
+def test_zorder_write_skips_on_both_columns(spark, tmp_path):
+    """Z-ordered files must carry narrow footer ranges on BOTH
+    dimensions: a selective predicate on either column alone prunes a
+    majority of files from min/max stats, where a 1-D range sort gives
+    the second column nothing."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from data_pipeline_mlops_spark.sources.layout import (
+        write_range_sorted,
+        write_zordered,
+    )
+
+    df = spark.range(40_000).select(
+        (F.col("id") % 1000).alias("a"),
+        ((F.col("id") * 7919) % 1000).alias("b"),
+    )
+    zpath, rpath = str(tmp_path / "z"), str(tmp_path / "r")
+    write_zordered(df, path=zpath, col_a="a", col_b="b", num_files=64)
+    write_range_sorted(df, path=rpath, sort_col="a", num_files=64)
+
+    def surviving(path, col, lo, hi):
+        files = glob.glob(f"{path}/*.parquet")
+        keep = 0
+        for f in files:
+            md = pq.read_metadata(f)
+            fmin = min(
+                md.row_group(i).column(
+                    md.schema.names.index(col)
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(i).column(
+                    md.schema.names.index(col)
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            if fmax >= lo and fmin <= hi:
+                keep += 1
+        return keep, len(files)
+
+    # 10%-wide predicate on each column against the z-layout: a
+    # 64-file z-curve is ~an 8x8 tile grid, so a 10%-wide slab in
+    # either dimension intersects 1-2 of 8 tile rows (plus boundary
+    # straddlers) — well under half the files
+    for col in ("a", "b"):
+        keep, n = surviving(zpath, col, 450, 550)
+        assert n == 64
+        assert keep <= int(0.4 * n), (col, keep, n)
+    # the 1-D sort helps its own column but NOT the other
+    keep_a, n = surviving(rpath, "a", 450, 550)
+    assert keep_a <= 8
+    keep_b, _ = surviving(rpath, "b", 450, 550)
+    assert keep_b >= n - 2  # every file spans b's full range
