@@ -345,3 +345,63 @@ def normalize_text(
     if collapse_nonword:
         c = F.trim(F.regexp_replace(c, NONWORD_RUN, " "))
     return c
+
+
+# -- PII redaction (pre-training scrub) ------------------------------------
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (name, regex, replacement) — applied in order, all RE2-safe (no
+    # lookbehind) so the same patterns run on Spark, DuckDB, and RE2
+    # engines. Order matters: emails before bare domains would.
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}", "<PHONE>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Chained regexp_replace over the PII pattern table — emails,
+    phone numbers, IPv4s, SSNs to typed placeholders. Pure JVM
+    expressions (one codegen span); patterns are deliberately
+    lookaround-free so external engines replay them byte-for-byte.
+    The standard pre-training scrub pass (public corpora ship with
+    exactly this class of regex redaction)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pattern, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, repl)
+    return c
+
+
+def pii_counts(col: Column | str) -> list[Column]:
+    """Per-class match counts (audit trail for the scrub)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        F.size(F.regexp_extract_all(c, F.lit(p), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, p, _ in PII_PATTERNS
+    ]
+
+
+def char_entropy(col: Column | str, *, round_dp: int = 6) -> Column:
+    """Shannon entropy (bits/char) of the character distribution — the
+    cheap perplexity proxy: near-0 for degenerate repetition, ~4.2 for
+    typical English, higher for random bytes. Computed entirely with
+    array expressions: split to chars -> distinct -> per-char count via
+    filter+size -> -Σ p·log2 p. No shuffle, no UDF — runs at scan
+    speed per document."""
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.split(c, "")
+    n = F.size(chars)
+    # sorted fold: float addition isn't associative, so both this and
+    # the SQL oracle accumulate terms in ascending char order — the
+    # sums are then bit-identical, not merely close
+    uniq = F.array_sort(F.array_distinct(chars))
+    p = lambda ch: F.size(F.filter(chars, lambda x: x == ch)) / n  # noqa: E731
+    ent = F.aggregate(
+        uniq,
+        F.lit(0.0),
+        lambda acc, ch: acc - p(ch) * F.log2(p(ch)),
+    )
+    return F.round(F.when(n > 0, ent).otherwise(F.lit(0.0)), round_dp)

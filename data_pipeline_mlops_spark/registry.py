@@ -1068,6 +1068,131 @@ FROM n GROUP BY 1
 """
 
 
+def q_doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (pre-training): emails/phones/IPs/SSNs to typed
+    placeholders via a chained RE2-safe regex table, with per-class
+    audit counts. Testdata text carries no PII, so the query INJECTS a
+    deterministic contact line derived from doc_id before scrubbing —
+    both engines build the same dirty text, so the patterns are
+    exercised for real, not vacuously."""
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-123-4567 at 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+    )
+    base = _docs(spark, sf_dir).select("doc_id", dirty.alias("__dirty"))
+    return base.select(
+        "doc_id",
+        text.redact_pii("__dirty").alias("redacted"),
+        *text.pii_counts("__dirty"),
+    )
+
+
+ORACLE_DOC_PII_REDACTION = r"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-123-4567 at 10.0.0.'
+              || CAST(doc_id % 256 AS VARCHAR) AS d
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(d,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}',
+             '<PHONE>', 'g'),
+           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+         '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS redacted,
+       len(regexp_extract_all(d,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(d,
+         '\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}')) AS n_phone,
+       len(regexp_extract_all(d,
+         '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+       len(regexp_extract_all(d, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn
+FROM dirty
+"""
+
+
+def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (bits/char) — the
+    cheap perplexity proxy for quality filtering: degenerate repetition
+    scores near 0, ordinary prose ~4. Expression-only (split ->
+    sorted distinct -> fold); both engines accumulate terms in
+    ascending char order so the float sums match bit-for-bit."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", text.char_entropy("text").alias("entropy_bits")
+    )
+
+
+ORACLE_DOC_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+),
+freq AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY 1, 2),
+tot AS (SELECT doc_id, SUM(n) AS t FROM freq GROUP BY 1),
+terms AS (
+  SELECT f.doc_id,
+         list(-(f.n / CAST(tt.t AS DOUBLE))
+              * log2(f.n / CAST(tt.t AS DOUBLE)) ORDER BY f.c) AS lst
+  FROM freq f JOIN tot tt ON tt.doc_id = f.doc_id
+  GROUP BY 1
+)
+SELECT doc_id,
+       ROUND(list_reduce(list_prepend(0.0, lst), (a, b) -> a + b), 6)
+         AS entropy_bits
+FROM terms
+"""
+
+
+def q_doc_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (data mixing): per language, take
+    documents in descending-length order (doc_id tiebreak) until the
+    running whitespace-token total would exceed a 2000-token budget —
+    the greedy per-stratum selection every mixture-weighted training
+    corpus build runs. One window cumsum per stratum; no driver state."""
+    from pyspark.sql import Window
+
+    budget = 2000
+    d = text.with_token_stats(_docs(spark, sf_dir), "text").select(
+        "doc_id", "lang", "n_tokens"
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= budget)
+        .select("lang", "doc_id", "n_tokens", "cum_tokens")
+    )
+
+
+ORACLE_DOC_TOKEN_BUDGET = r"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT lang, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang
+                             ORDER BY n_tokens DESC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM d
+)
+SELECT lang, doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 2000
+"""
+
+
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + length stats (text-analysis op)."""
     return text.with_token_stats(_docs(spark, sf_dir), "text").select(
@@ -1747,6 +1872,15 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_normalize": QuerySpec(q_doc_normalize, ORACLE_DOC_NORMALIZE),
     "doc_dedup_normalized": QuerySpec(
         q_doc_dedup_normalized, ORACLE_DOC_DEDUP_NORMALIZED
+    ),
+    "doc_pii_redaction": QuerySpec(
+        q_doc_pii_redaction, ORACLE_DOC_PII_REDACTION
+    ),
+    "doc_char_entropy": QuerySpec(
+        q_doc_char_entropy, ORACLE_DOC_CHAR_ENTROPY
+    ),
+    "doc_token_budget_selection": QuerySpec(
+        q_doc_token_budget_selection, ORACLE_DOC_TOKEN_BUDGET
     ),
     "doc_token_stats": QuerySpec(q_doc_token_stats, ORACLE_DOC_TOKEN_STATS),
     "doc_quality": QuerySpec(q_doc_quality, ORACLE_DOC_QUALITY),

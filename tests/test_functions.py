@@ -485,3 +485,44 @@ def test_percentile_approx_within_error_of_exact(spark):
         hi = sum(1 for v in r.vals if v <= r.approx) - 1
         tol = n / 10000 + 1
         assert lo - tol <= target <= hi + tol, (r.event_type, n, r.approx)
+
+
+def test_redact_pii_all_classes(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_mlops_spark.functions import text
+
+    s = (
+        "mail a.user+tag@sub.example.org call +1 (555) 123-4567 "
+        "host 192.168.1.7 ssn 123-45-6789 done"
+    )
+    df = spark.createDataFrame([(s,)], "t string")
+    out = df.select(
+        text.redact_pii("t").alias("r"), *text.pii_counts("t")
+    ).collect()[0]
+    assert "<EMAIL>" in out.r and "<PHONE>" in out.r
+    assert "<IP>" in out.r and "<SSN>" in out.r
+    assert "example.org" not in out.r and "6789" not in out.r
+    assert (out.n_email, out.n_phone, out.n_ipv4, out.n_ssn) == (1, 1, 1, 1)
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from data_pipeline_mlops_spark.functions import text
+
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaa"), (2, "abababab"), (3, "abcdefgh"), (4, "")],
+        "i long, t string",
+    )
+    got = {
+        r.i: r.e
+        for r in df.select(
+            "i", text.char_entropy("t").alias("e")
+        ).collect()
+    }
+    assert got[1] == 0.0          # single symbol: zero entropy
+    assert abs(got[2] - 1.0) < 1e-9   # two equiprobable symbols: 1 bit
+    assert abs(got[3] - 3.0) < 1e-9   # eight equiprobable symbols: 3 bits
+    assert got[4] == 0.0 or got[4] == -0.0
+    assert math.isfinite(got[4])
