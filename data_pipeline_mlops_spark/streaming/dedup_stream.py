@@ -64,6 +64,29 @@ class DedupIndex:
     def has_state(self) -> bool:
         return self.bands.latest_version() is not None
 
+    def maintain(
+        self,
+        spark,
+        *,
+        max_txn_dirs: int = 16,
+        target_rows_per_file: int = 4_000_000,
+    ) -> None:
+        """Compact the index when fragmented: every accepted batch
+        appends one staging dir to bands and sigs, and the read path
+        unions one scan per dir — without maintenance a long-lived
+        stream degrades its own candidate join. Snapshot isolation
+        means in-flight readers are untouched."""
+        from data_pipeline_mlops_spark.sources.layout import (
+            compact_if_fragmented,
+        )
+
+        for t in (self.bands, self.sigs):
+            compact_if_fragmented(
+                t, spark,
+                max_txn_dirs=max_txn_dirs,
+                target_rows_per_file=target_rows_per_file,
+            )
+
 
 def dedup_batch(
     batch_df: DataFrame,
@@ -172,8 +195,12 @@ def dedup_batch(
         .localCheckpoint()  # pin before the index mutates beneath it
     )
     keep = decisions.where(~F.col("is_duplicate")).select(id_col)
-    index.bands.commit(new_bands.join(keep, id_col), mode="append")
-    index.sigs.commit(new_sigs.join(keep, id_col), mode="append")
+    # All-duplicate batches skip the index commits entirely: an empty
+    # append still stages a dir and bumps the version, and a dup-heavy
+    # stream would fragment its own index with garbage.
+    if not keep.isEmpty():
+        index.bands.commit(new_bands.join(keep, id_col), mode="append")
+        index.sigs.commit(new_sigs.join(keep, id_col), mode="append")
     index.decisions.commit(decisions, mode="append")
     return decisions
 
@@ -188,8 +215,11 @@ def dedup_foreach_batch(
     shingle_n: int = 3,
     min_agreement: float = 0.5,
     hash_method: str = "xxhash64",
+    maintain_every: int = 32,
 ):
-    """foreachBatch adapter: `stream.writeStream.foreachBatch(this)`."""
+    """foreachBatch adapter: `stream.writeStream.foreachBatch(this)`.
+    Every ``maintain_every`` batches the index self-compacts (0
+    disables)."""
     index = DedupIndex(index_root)
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
@@ -202,5 +232,7 @@ def dedup_foreach_batch(
             min_agreement=min_agreement, hash_method=hash_method,
             batch_id=batch_id,
         )
+        if maintain_every and batch_id > 0 and batch_id % maintain_every == 0:
+            index.maintain(batch_df.sparkSession)
 
     return body

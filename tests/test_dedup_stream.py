@@ -125,3 +125,16 @@ def test_dedup_stream_end_to_end(spark, tmp_path):
         for r in index.decisions.read(spark).collect()
     }
     assert sum(1 for v in dec.values() if v) == 1  # only doc 3 dropped
+
+
+def test_index_maintain_compacts_fragmentation(spark, index):
+    for b, txt in enumerate([BASE, OTHER, THIRD], start=1):
+        _decide(spark, index, [(b * 10, txt)], b)
+    assert index.bands.fragmentation() == 3
+    index.maintain(spark, max_txn_dirs=2)
+    assert index.bands.fragmentation() == 1
+    assert index.sigs.fragmentation() == 1
+    # contents survive compaction
+    assert {r.doc_id for r in index.sigs.read(spark).collect()} == {
+        10, 20, 30
+    }
