@@ -56,6 +56,10 @@ R1_KEYS = [
 # similarity model (ml/model_registry artifact, prebuilt untimed in
 # warmup) — the amortized serving cost, vs `recommendations` which
 # deliberately times the cold model build.
+# Round 4 also adds the two heaviest new pipelines: trained PQ (two
+# Lloyd iterations + encode + ADC rank) and incremental streaming
+# dedup (two real batches against a fresh on-disk index, commits
+# included).
 HEADLINE = R1_KEYS + [
     "recommendations_capped",
     "recommendations_served",
@@ -65,6 +69,8 @@ HEADLINE = R1_KEYS + [
     "eval_decontamination",
     "doc_pack_sequences",
     "corpus_pipeline",
+    "pq_trained_topk",
+    "incremental_dedup_decisions",
 ]
 
 
