@@ -1193,6 +1193,74 @@ SELECT lang, doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 2000
 """
 
 
+def q_doc_passage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage signal: per doc, the share of
+    its distinct 8-gram shingles that also occur in at least one OTHER
+    document — the intra-corpus twin of decontamination, and the
+    document-level approximation of suffix-array passage dedup
+    (boilerplate headers/footers and templated text light up first).
+    One shingle explode + one count-distinct-docs aggregation; the
+    shared-shingle relation is distinct-compressed before the join
+    back, so the shuffle carries shingle hashes, not text volume."""
+    sh = dedup_text.shingle_rows(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text", n=8
+    )
+    shared = (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("__id").alias("__nd"))
+        .where(F.col("__nd") >= 2)
+        .select("shingle")
+    )
+    per_doc = (
+        sh.join(shared.withColumn("__hit", F.lit(1)), "shingle", "left")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        F.col("__id").alias("doc_id"),
+        "n_shingles",
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias(
+            "shared_ratio"
+        ),
+    )
+
+
+ORACLE_DOC_PASSAGE_OVERLAP = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 8 THEN list_distinct(
+      list_transform(range(1, len(toks) - 6),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+             || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5]
+             || ' ' || toks[i+6] || ' ' || toks[i+7]))
+    ELSE [] END) AS shingle
+  FROM t
+),
+shared AS (
+  SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+),
+per_doc AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_shingles,
+         SUM(CASE WHEN sha.shingle IS NOT NULL THEN 1 ELSE 0 END)
+           AS n_shared
+  FROM sh s LEFT JOIN shared sha ON sha.shingle = s.shingle
+  GROUP BY 1
+)
+SELECT doc_id, n_shingles, n_shared,
+       ROUND(n_shared / CAST(n_shingles AS DOUBLE), 6) AS shared_ratio
+FROM per_doc
+"""
+
+
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + length stats (text-analysis op)."""
     return text.with_token_stats(_docs(spark, sf_dir), "text").select(
@@ -1881,6 +1949,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "doc_token_budget_selection": QuerySpec(
         q_doc_token_budget_selection, ORACLE_DOC_TOKEN_BUDGET
+    ),
+    "doc_passage_overlap": QuerySpec(
+        q_doc_passage_overlap, ORACLE_DOC_PASSAGE_OVERLAP
     ),
     "doc_token_stats": QuerySpec(q_doc_token_stats, ORACLE_DOC_TOKEN_STATS),
     "doc_quality": QuerySpec(q_doc_quality, ORACLE_DOC_QUALITY),
