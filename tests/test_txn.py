@@ -245,3 +245,65 @@ def test_partition_pruning_with_escaped_values(spark, tmp_path):
     t.commit(df, partition_col="p", mode="replace_partitions")
     got = _rows(t.read(spark, partitions=["a b"]).select("k", "p"))
     assert got == {(1, "a b")}
+
+
+def test_manifest_table_matches_model_on_random_histories(spark, tmp_path):
+    """Model-based check: random sequences of append / replace_all /
+    replace_partitions commits over two partitions must leave the
+    table equal to a dict model applying the same semantics — and
+    every historical version must replay its own model state."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    op = st.tuples(
+        st.sampled_from(["append", "replace_all", "replace_partitions"]),
+        st.lists(
+            st.tuples(st.integers(0, 9), st.sampled_from(["a", "b"])),
+            min_size=1,
+            max_size=3,
+        ),
+    )
+
+    counter = iter(range(10_000))
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(op, min_size=1, max_size=4))
+    def run(history):
+        from data_pipeline_mlops_spark.sources.txn import ManifestTable
+
+        t = ManifestTable(str(tmp_path / f"t{next(counter)}"))
+        model: dict[str, list] = {}
+        snapshots = []
+        for mode, rows in history:
+            df = spark.createDataFrame(rows, "k long, p string")
+            t.commit(df, partition_col="p", mode=mode)
+            if mode == "replace_all":
+                model = {}
+                for k, p in rows:
+                    model.setdefault(p, []).append(k)
+            elif mode == "replace_partitions":
+                for p in {p for _, p in rows}:
+                    model[p] = []
+                for k, p in rows:
+                    model[p].append(k)
+            else:
+                for k, p in rows:
+                    model.setdefault(p, []).append(k)
+            snapshots.append({p: sorted(v) for p, v in model.items()})
+        # latest state matches the model…
+        got = {}
+        for r in t.read(spark).collect():
+            got.setdefault(r.p, []).append(r.k)
+        assert {p: sorted(v) for p, v in got.items()} == snapshots[-1]
+        # …and so does every retained historical version (time travel)
+        for v, snap in enumerate(snapshots):
+            old = {}
+            for r in t.read(spark, version=v).collect():
+                old.setdefault(r.p, []).append(r.k)
+            assert {p: sorted(vv) for p, vv in old.items()} == snap
+
+    run()
