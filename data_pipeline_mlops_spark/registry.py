@@ -1184,9 +1184,10 @@ WITH d AS (
 ),
 c AS (
   SELECT lang, doc_id, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY lang
-                             ORDER BY n_tokens DESC, doc_id ASC
-                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang
+                                  ORDER BY n_tokens DESC, doc_id ASC
+                                  ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_tokens
   FROM d
 )
 SELECT lang, doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 2000
@@ -1199,20 +1200,25 @@ def q_doc_passage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     document — the intra-corpus twin of decontamination, and the
     document-level approximation of suffix-array passage dedup
     (boilerplate headers/footers and templated text light up first).
-    One shingle explode + one count-distinct-docs aggregation; the
-    shared-shingle relation is distinct-compressed before the join
-    back, so the shuffle carries shingle hashes, not text volume."""
+    The 8-gram strings are collapsed to xxhash64 int64 keys in the
+    same projection as the explode, so the groupBy and the join back
+    genuinely shuffle 8-byte hashes, not ~8x the corpus text (a 64-bit
+    collision would need ~2^32 distinct shingles per doc to matter for
+    a >=2-doc-occurrence count). Output is the exact integer pair
+    (n_shingles, n_shared); the ratio is derivable and intentionally
+    omitted — rounded doubles over integer division are hash-fragile
+    across engines."""
     sh = dedup_text.shingle_rows(
         _docs(spark, sf_dir), id_col="doc_id", text_col="text", n=8
-    )
+    ).select("__id", F.xxhash64("shingle").alias("__h"))
     shared = (
-        sh.groupBy("shingle")
+        sh.groupBy("__h")
         .agg(F.countDistinct("__id").alias("__nd"))
         .where(F.col("__nd") >= 2)
-        .select("shingle")
+        .select("__h")
     )
     per_doc = (
-        sh.join(shared.withColumn("__hit", F.lit(1)), "shingle", "left")
+        sh.join(shared.withColumn("__hit", F.lit(1)), "__h", "left")
         .groupBy("__id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
@@ -1220,12 +1226,7 @@ def q_doc_passage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_doc.select(
-        F.col("__id").alias("doc_id"),
-        "n_shingles",
-        "n_shared",
-        F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias(
-            "shared_ratio"
-        ),
+        F.col("__id").alias("doc_id"), "n_shingles", "n_shared"
     )
 
 
@@ -1250,14 +1251,12 @@ shared AS (
 per_doc AS (
   SELECT s.doc_id,
          COUNT(*) AS n_shingles,
-         SUM(CASE WHEN sha.shingle IS NOT NULL THEN 1 ELSE 0 END)
-           AS n_shared
+         CAST(SUM(CASE WHEN sha.shingle IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_shared
   FROM sh s LEFT JOIN shared sha ON sha.shingle = s.shingle
   GROUP BY 1
 )
-SELECT doc_id, n_shingles, n_shared,
-       ROUND(n_shared / CAST(n_shingles AS DOUBLE), 6) AS shared_ratio
-FROM per_doc
+SELECT doc_id, n_shingles, n_shared FROM per_doc
 """
 
 

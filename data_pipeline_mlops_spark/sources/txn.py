@@ -186,6 +186,10 @@ class ManifestTable:
                 "parent": base_v,
                 "partition_col": partition_col,
                 "partitions": parts,
+                # Stored so a zero-partition snapshot (replace_all of an
+                # empty partitioned df stages no dirs) stays readable as
+                # an empty frame instead of recursing on itself.
+                "schema": json.loads(df.schema.json()),
                 "committed_at": time.time(),
             }
             try:
@@ -243,7 +247,23 @@ class ManifestTable:
                 r = r.option("basePath", base)
             pieces.append(r.parquet(*sorted(dirs)))
         if not pieces:
-            # prune matched nothing: empty frame with the table schema
+            # Prune matched nothing — or the snapshot itself is empty
+            # (replace_all of an empty partitioned df stages no dirs).
+            # Reconstruct an empty frame from the manifest's stored
+            # schema; recursing into read() would loop forever on a
+            # zero-partition manifest.
+            if "schema" in man:
+                from pyspark.sql.types import StructType
+
+                return spark.createDataFrame(
+                    [], StructType.fromJson(man["schema"])
+                )
+            if not man["partitions"]:
+                raise ValueError(
+                    f"version {v} at {self.path} is an empty snapshot "
+                    "with no stored schema (pre-schema manifest); "
+                    "read an older version or recommit"
+                )
             return self.read(spark, version=v).limit(0)
         out = pieces[0]
         for p in pieces[1:]:
@@ -252,10 +272,19 @@ class ManifestTable:
 
     # -- maintenance -------------------------------------------------------
 
-    def vacuum(self, *, keep_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, *, keep_versions: int = 1, retention_seconds: float = 3600.0
+    ) -> list[str]:
         """Delete txn dirs unreferenced by the ``keep_versions`` newest
         manifests, and the manifests older than those. Returns deleted
-        paths. Run with a horizon longer than any in-flight read."""
+        paths. Run with a horizon longer than any in-flight read.
+
+        ``retention_seconds`` protects IN-FLIGHT commits: ``commit()``
+        stages data files BEFORE publishing the manifest, so a txn dir
+        can be legitimately unreferenced for the staging+retry window.
+        Dirs whose mtime is younger than the horizon are skipped (the
+        same writer-safety contract as Delta's vacuum retention). Pass
+        0.0 only when no writer can be concurrently committing."""
         import shutil
 
         vs = self.versions()
@@ -270,11 +299,17 @@ class ManifestTable:
                         else os.path.basename(d)
                     )
         deleted = []
+        horizon = time.time() - retention_seconds
         data_root = os.path.join(self.path, _DATA_DIR)
         if os.path.isdir(data_root):
             for d in os.listdir(data_root):
                 if d.startswith("txn-") and d not in live:
                     full = os.path.join(data_root, d)
+                    try:
+                        if os.path.getmtime(full) > horizon:
+                            continue  # possibly an in-flight commit
+                    except OSError:
+                        continue  # raced with its own writer/cleanup
                     shutil.rmtree(full)
                     deleted.append(full)
         for v in vs:

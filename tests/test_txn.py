@@ -69,9 +69,57 @@ def test_crash_orphans_invisible_then_vacuumed(spark, tmp_path):
     os.makedirs(orphan)
     spark.range(99).write.mode("overwrite").parquet(str(orphan / "junk"))
     assert t.read(spark).count() == 5  # orphan invisible
+    # default retention treats the fresh orphan as a possibly in-flight
+    # commit (files are staged BEFORE the manifest publishes) — kept
     deleted = t.vacuum(keep_versions=1)
+    assert not any("txn-deadbeef" in d for d in deleted)
+    # past the horizon (writer exclusivity asserted) it is reclaimed
+    deleted = t.vacuum(keep_versions=1, retention_seconds=0.0)
     assert any("txn-deadbeef" in d for d in deleted)
     assert t.read(spark).count() == 5
+
+
+def test_vacuum_retention_protects_inflight_staging(spark, tmp_path):
+    """A concurrent writer's staged-but-not-yet-committed txn dir must
+    survive vacuum: commit() stages data files before the manifest, so
+    an unreferenced young dir is NOT garbage. Simulated by staging via
+    the private hook, vacuuming, then publishing the commit."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.commit(spark.range(5), mode="replace_all")
+    staged = t._stage(spark.range(7), None)  # in-flight writer
+    t.vacuum(keep_versions=1)  # concurrent vacuum, default retention
+    # the in-flight commit can still publish and its files are intact
+    base_v = t.latest_version()
+    t._write_manifest(
+        base_v + 1,
+        {
+            "version": base_v + 1,
+            "parent": base_v,
+            "partition_col": None,
+            "partitions": {k: [d] for k, d in staged.items()},
+            "committed_at": 0,
+        },
+    )
+    assert t.read(spark).count() == 7
+
+
+def test_empty_replace_all_commit_readable(spark, tmp_path):
+    """replace_all of an EMPTY partitioned df stages zero partition
+    dirs; the resulting manifest must read back as an empty frame with
+    the committed schema (regression: this recursed forever)."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame([(1, "a")], "k long, p string"),
+        partition_col="p",
+        mode="replace_partitions",
+    )
+    empty = spark.createDataFrame([], "k long, p string")
+    v = t.commit(empty, partition_col="p", mode="replace_all")
+    got = t.read(spark)
+    assert got.count() == 0
+    assert set(got.columns) == {"k", "p"}
+    # time travel still sees the old data; latest is the empty snapshot
+    assert t.read(spark, version=v - 1).count() == 1
 
 
 def test_vacuum_drops_old_versions(spark, tmp_path):
