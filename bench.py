@@ -156,6 +156,33 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Regression gating: when SPARK_GRAFT_BENCH_BASELINE points at a
+    # previous round's bench JSON, print per-query deltas vs its
+    # per-query min so drifts (like r4's recommendations_capped
+    # 5.87->7.01 s) surface during the round, not at judging. Uses the
+    # trimmed comparison (current min vs baseline min): min-vs-min is
+    # the only pair that is noise-robust on a shared box.
+    baseline_path = os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
+    deltas: dict[str, float] | None = None
+    if baseline_path and os.path.exists(baseline_path):
+        try:
+            with open(baseline_path) as fh:
+                base_q = json.load(fh).get("queries", {})
+            deltas = {
+                name: round(timings[name] - base_q[name], 3)
+                for name in HEADLINE
+                if name in base_q
+            }
+            for name, d in sorted(deltas.items(), key=lambda kv: -kv[1]):
+                flag = " <-- DRIFT" if d > max(0.5, 0.2 * base_q[name]) else ""
+                print(
+                    f"# delta vs baseline {name}: {d:+.3f}s "
+                    f"(base {base_q[name]}s){flag}",
+                    file=sys.stderr,
+                )
+        except (json.JSONDecodeError, KeyError) as ex:
+            print(f"# baseline unreadable: {ex}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     r1_total = round(sum(timings[k] for k in R1_KEYS if k in timings), 3)
     print(
@@ -172,6 +199,7 @@ def main() -> None:
                 "runs": runs,
                 "interleaved": True,
                 "r1_comparable_total": r1_total,
+                **({"delta_vs_baseline": deltas} if deltas else {}),
                 "sf": sf,
             }
         )

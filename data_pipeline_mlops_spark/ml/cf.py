@@ -97,6 +97,7 @@ def recommend(
     item_col: str,
     top_n: int = 10,
     max_neighbors: int | None = None,
+    small_user_band: bool = False,
 ) -> DataFrame:
     """M7: score(user, candidate) = Σ sim(candidate, purchased) over the
     user's purchases; mask already-purchased (anti-join — the
@@ -108,9 +109,32 @@ def recommend(
     item-kNN pruning that bounds the scoring join's fan-out at corpus
     scale (full fan-out is |purchases| × avg item degree).
 
+    `small_user_band` (opt-in, values UNCHANGED) declares that
+    `purchases` covers a bounded set of users (a serving request batch,
+    an entity band) while `sim_upper` is corpus-sized. The plan then
+    (a) semi-join-prunes the symmetric similarity to the purchased
+    anchor items BEFORE the neighbor-cap window — per-item window
+    partitions stay intact, so row_number results are identical, but
+    the sort runs over |purchased items| partitions instead of every
+    item in the corpus — and (b) broadcasts the purchase set into the
+    scoring join and the ownership anti-join, so the similarity table
+    is never shuffled past its build. Without the flag (full-corpus
+    scoring, every user at once), the symmetric-hash plan is correct
+    and the co-location lever is bucketing both sides on the item key
+    (sources/bucketed.py; EXECUTION.md).
+
     Output: user_col, item_col (candidate), score, rank.
     """
     sim = symmetrize(sim_upper)
+    basket = purchases.select(
+        F.col(user_col).alias("__user"), F.col(item_col).alias("item_a")
+    )
+    if small_user_band:
+        sim = sim.join(
+            F.broadcast(basket.select("item_a").distinct()),
+            "item_a",
+            "left_semi",
+        )
     if max_neighbors is not None:
         wn = Window.partitionBy("item_a").orderBy(
             F.col("cosine_sim").desc(), F.col("item_b").asc()
@@ -121,9 +145,7 @@ def recommend(
             .drop("__nr")
         )
     scored = (
-        purchases.select(
-            F.col(user_col).alias("__user"), F.col(item_col).alias("item_a")
-        )
+        (F.broadcast(basket) if small_user_band else basket)
         .join(sim, "item_a")
         .groupBy(F.col("__user"), F.col("item_b").alias("__cand"))
         .agg(
@@ -133,6 +155,8 @@ def recommend(
     owned = purchases.select(
         F.col(user_col).alias("__user"), F.col(item_col).alias("__cand")
     )
+    if small_user_band:
+        owned = F.broadcast(owned)
     w = Window.partitionBy("__user").orderBy(
         F.col("__score_dec").desc(), F.col("__cand").asc()
     )

@@ -733,7 +733,7 @@ def q_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = inter.where(F.col("customer_id") <= 50)
     recs = cf.recommend(
         purchases, sim, user_col="customer_id", item_col="product_id",
-        top_n=5,
+        top_n=5, small_user_band=True,
     )
     return recs.select(
         "customer_id",
@@ -807,7 +807,7 @@ def q_recommendations_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = inter.where(F.col("customer_id") <= 50)
     recs = cf.recommend(
         purchases, sim, user_col="customer_id", item_col="product_id",
-        top_n=5, max_neighbors=20,
+        top_n=5, max_neighbors=20, small_user_band=True,
     )
     return recs.select(
         "customer_id",
@@ -887,42 +887,55 @@ def q_recommendations_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7+M12+M13 amortized serving path: score against a PERSISTED
     item-similarity model (ml/model_registry parquet artifact) instead
     of rebuilding the model inside the query. First call per sf_dir
-    trains + registers the artifact; every later call loads it — the
-    honest serving cost (reference serves from a pickled numpy matrix
-    loaded once, dags/daily_pipeline.py:647-729 + api/main.py).
-    Results are identical to recommendations_capped (same model, same
-    cap), so the same oracle checks this path end to end."""
+    trains + registers the artifact and pins (model, interactions) in
+    session memory (serve.session_serving_state); every later call
+    scores against the pinned state — the honest serving cost (the
+    reference serves from a pickled numpy matrix loaded once at API
+    startup, dags/daily_pipeline.py:647-729 +
+    recommendation/main.py:106-129; BENCH_r04's 24 s outlier was one
+    pass re-paying that load). Results are identical to
+    recommendations_capped (same model, same cap), so the same oracle
+    checks this path end to end."""
     import os
 
+    from data_pipeline_mlops_spark import serve
     from data_pipeline_mlops_spark.ml import model_registry
 
     sf_key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    reg = os.path.join(_model_cache_root(), sf_key)
-    try:
-        sim = model_registry.load_production(
-            spark, registry_path=reg, name="item_similarity"
-        )
-    except Exception:
-        inter = _materialize(_interactions(spark, sf_dir))
-        sim = _materialize(
-            cf.item_similarity(
-                inter, user_col="customer_id", item_col="product_id",
-                min_cooccurrence=1,
+
+    def _load_sim() -> DataFrame:
+        reg = os.path.join(_model_cache_root(), sf_key)
+        try:
+            return model_registry.load_production(
+                spark, registry_path=reg, name="item_similarity"
             )
-        )
-        model_registry.save_version(
-            spark, registry_path=reg, version="bench",
-            tables={"item_similarity": sim},
-            metrics={}, promote=True,
-        )
-        sim = model_registry.load_production(
-            spark, registry_path=reg, name="item_similarity"
-        )
-    inter = _materialize(_interactions(spark, sf_dir))
+        except Exception:
+            built = _materialize(
+                cf.item_similarity(
+                    _materialize(_interactions(spark, sf_dir)),
+                    user_col="customer_id", item_col="product_id",
+                    min_cooccurrence=1,
+                )
+            )
+            model_registry.save_version(
+                spark, registry_path=reg, version="bench",
+                tables={"item_similarity": built},
+                metrics={}, promote=True,
+            )
+            return model_registry.load_production(
+                spark, registry_path=reg, name="item_similarity"
+            )
+
+    sim, inter = serve.session_serving_state(
+        spark,
+        sf_key,
+        load_sim=_load_sim,
+        load_interactions=lambda: _interactions(spark, sf_dir),
+    )
     purchases = inter.where(F.col("customer_id") <= 50)
     recs = cf.recommend(
         purchases, sim, user_col="customer_id", item_col="product_id",
-        top_n=5, max_neighbors=20,
+        top_n=5, max_neighbors=20, small_user_band=True,
     )
     return recs.select("customer_id", "product_id", "score", "rank")
 
@@ -2221,6 +2234,7 @@ def q_cf_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         user_col="customer_id",
         item_col="product_id",
         top_n=5,
+        small_user_band=True,
     )
     hits = recs.join(ev, ["customer_id", "product_id"]).groupBy(
         "customer_id"
@@ -3431,7 +3445,7 @@ SELECT lang, source,
        COUNT(*) AS n_docs,
        CAST(ROUND(SUM(CAST(quality_score AS DECIMAL(38,6))) / COUNT(*),
                   6) AS DOUBLE) AS mean_quality,
-       SUM(CASE WHEN fpn > 1 THEN 1 ELSE 0 END) AS dup_docs,
+       CAST(SUM(CASE WHEN fpn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
        ROUND(SUM(CASE WHEN fpn > 1 THEN 1.0 ELSE 0.0 END) / COUNT(*), 6)
          AS dup_rate
 FROM scored JOIN fp ON fp.f = md5(scored.text)

@@ -16,6 +16,36 @@ from pyspark.sql import DataFrame, SparkSession
 from data_pipeline_mlops_spark.ml import cf
 
 
+# Session-scoped serving state: (sim, interactions) pinned in executor
+# memory ONCE per (session, corpus) — the contract the reference's
+# serving API has (model matrices read into process memory at startup,
+# recommendation/main.py:106-129). The count() calls populate the cache
+# eagerly so no serving request ever pays the one-time load; keyed by
+# applicationId so entries from stopped sessions are never reused.
+_SERVING_STATE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def session_serving_state(
+    spark: SparkSession,
+    corpus_key: str,
+    *,
+    load_sim: Callable[[], DataFrame],
+    load_interactions: Callable[[], DataFrame],
+) -> tuple[DataFrame, DataFrame]:
+    """Load-once accessor for the (similarity, interactions) pair a
+    serving path scores against. First call per (session, corpus_key)
+    runs the loaders, caches both frames and materializes the cache;
+    later calls return the pinned pair untouched."""
+    key = (spark.sparkContext.applicationId, corpus_key)
+    if key not in _SERVING_STATE:
+        sim = load_sim().cache()
+        inter = load_interactions().cache()
+        sim.count()
+        inter.count()
+        _SERVING_STATE[key] = (sim, inter)
+    return _SERVING_STATE[key]
+
+
 class Recommender:
     """Loads the model tables once, answers recommend/similar/stats.
 
@@ -55,6 +85,7 @@ class Recommender:
         recs = cf.recommend(
             purchases, self.sim,
             user_col=self.user_col, item_col=self.item_col, top_n=top_n,
+            small_user_band=True,  # one user: the smallest possible band
         )
         out = [
             {"item": r[self.item_col], "score": r["score"], "rank": r["rank"]}

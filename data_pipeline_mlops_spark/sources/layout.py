@@ -154,37 +154,66 @@ def compact_if_fragmented(
     )
 
 
-def _spread_bits_16(c):
-    """Interleave-ready bit spread: 16-bit int -> 32-bit with a zero
-    between every bit (classic magic-number spread, pure Catalyst
-    integer ops — stays in whole-stage codegen)."""
-    x = c.cast("long")
-    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
-    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
-    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
-    x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x55555555))
-    return x
+def zorder_key_n(
+    cols: list[F.Column],
+    *,
+    mins: list,
+    maxs: list,
+    bits: list[int] | None = None,
+) -> F.Column:
+    """Morton (z-order) key for N numeric columns: each value is
+    normalized to a ``2**bits[j]`` grid over its [min, max] range and
+    the grid bits are interleaved round-robin, most-significant first.
+    Locality in the key preserves locality in EVERY dimension, so
+    files cut from a z-sorted layout carry narrow min/max footer
+    ranges on ANY of the columns — multi-column data skipping from
+    one sort, the property Delta's OPTIMIZE ZORDER sells.
+
+    ``bits`` is the per-column bit budget (default: an equal split of
+    60 bits capped at 16 each — at 16 bits a dimension distinguishes
+    65k grid cells, far finer than any file count cuts). Columns with
+    larger budgets keep their extra LOW bits at the key's tail, so
+    unequal budgets bias fine-grained ordering toward the bigger
+    budget — the standard way to favor a higher-cardinality column.
+    Pure integer expressions (shift/and/or), stays inside whole-stage
+    codegen; ranges are caller-supplied scalars (one tiny agg,
+    amortized over the write)."""
+    n = len(cols)
+    if not (len(mins) == len(maxs) == n):
+        raise ValueError("cols/mins/maxs length mismatch")
+    if bits is None:
+        bits = [min(16, 60 // n)] * n
+    if len(bits) != n or min(bits) < 1:
+        raise ValueError("bits must give every column >= 1 bit")
+    if sum(bits) > 63:
+        raise ValueError(f"total bit budget {sum(bits)} exceeds 63")
+    grids = []
+    for c, lo, hi, b in zip(cols, mins, maxs, bits):
+        span = float(hi - lo) or 1.0
+        m = (1 << b) - 1
+        q = (c.cast("double") - F.lit(float(lo))) / F.lit(span)
+        grids.append(
+            F.least(
+                F.greatest(F.round(q * m).cast("long"), F.lit(0)),
+                F.lit(m),
+            )
+        )
+    key = F.lit(0).cast("long")
+    for level in range(max(bits)):
+        for j in range(n):
+            if bits[j] > level:
+                bit = F.shiftright(grids[j], bits[j] - 1 - level).bitwiseAND(
+                    F.lit(1)
+                )
+                key = F.shiftleft(key, 1).bitwiseOR(bit)
+    return key
 
 
 def zorder_key(col_a, col_b, *, min_a, max_a, min_b, max_b) -> F.Column:
-    """Morton (z-order) key for two numeric columns: each value is
-    normalized to a 16-bit grid over its [min, max] range, bits are
-    spread and interleaved. Locality in the key preserves locality in
-    BOTH dimensions, so files cut from a z-sorted layout carry narrow
-    min/max footer ranges on EITHER column — multi-column data
-    skipping from one sort, the property Delta's OPTIMIZE ZORDER
-    sells. Pure expressions; ranges are caller-supplied scalars (one
-    tiny agg, amortized over the write)."""
-    def norm(c, lo, hi):
-        span = float(hi - lo) or 1.0
-        q = (c.cast("double") - F.lit(float(lo))) / F.lit(span)
-        return F.least(
-            F.greatest(F.round(q * 65535).cast("long"), F.lit(0)),
-            F.lit(65535),
-        )
-
-    return _spread_bits_16(norm(col_a, min_a, max_a)).bitwiseOR(
-        F.shiftleft(_spread_bits_16(norm(col_b, min_b, max_b)), 1)
+    """Two-column Morton key (back-compat wrapper over zorder_key_n)."""
+    return zorder_key_n(
+        [col_a, col_b], mins=[min_a, min_b], maxs=[max_a, max_b],
+        bits=[16, 16],
     )
 
 
@@ -192,22 +221,30 @@ def write_zordered(
     df: DataFrame,
     *,
     path: str,
-    col_a: str,
-    col_b: str,
+    cols: list[str] | None = None,
+    col_a: str | None = None,
+    col_b: str | None = None,
     num_files: int,
     mode: str = "overwrite",
+    bits: list[int] | None = None,
 ) -> None:
-    """Write `df` z-ordered on (col_a, col_b): range-partition +
-    in-file sort by the Morton key, so every file covers a compact
-    2-D tile and footer min/max prunes on EITHER column. The 2-D
-    sibling of write_range_sorted (which optimizes exactly one
-    column at the other's expense)."""
+    """Write `df` z-ordered on ``cols`` (or legacy ``col_a``/``col_b``):
+    range-partition + in-file sort by the Morton key, so every file
+    covers a compact N-D tile and footer min/max prunes on ANY of the
+    z-columns. The N-D sibling of write_range_sorted (which optimizes
+    exactly one column at every other's expense)."""
+    if cols is None:
+        if col_a is None or col_b is None:
+            raise ValueError("pass cols=[...] or both col_a/col_b")
+        cols = [col_a, col_b]
     stats = df.agg(
-        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+        *[f(c) for c in cols for f in (F.min, F.max)]
     ).collect()[0]
-    key = zorder_key(
-        F.col(col_a), F.col(col_b),
-        min_a=stats[0], max_a=stats[1], min_b=stats[2], max_b=stats[3],
+    key = zorder_key_n(
+        [F.col(c) for c in cols],
+        mins=[stats[2 * i] for i in range(len(cols))],
+        maxs=[stats[2 * i + 1] for i in range(len(cols))],
+        bits=bits,
     )
     (
         df.withColumn("__z", key)

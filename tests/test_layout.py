@@ -166,3 +166,70 @@ def test_zorder_write_skips_on_both_columns(spark, tmp_path):
     assert keep_a <= 8
     keep_b, _ = surviving(rpath, "b", 450, 550)
     assert keep_b >= n - 2  # every file spans b's full range
+
+
+def test_zorder_n_write_skips_on_three_columns(spark, tmp_path):
+    """N-column z-order: a 64-file 3-D z-layout is ~a 4x4x4 tile grid,
+    so a slab predicate on ANY one of the three columns must prune a
+    majority of files from footer stats alone (a 1-D range sort gives
+    the other two columns nothing — covered by the 2-D test above)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from data_pipeline_mlops_spark.sources.layout import write_zordered
+
+    # three INDEPENDENT uniform dims (seeded hashes — modular
+    # multiples of one id would be functionally dependent and blur
+    # the tile grid with correlated straddle)
+    df = spark.range(60_000).select(
+        *[
+            F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(1000)).alias(name)
+            for name, seed in (("a", 1), ("b", 2), ("c", 3))
+        ]
+    )
+    zpath = str(tmp_path / "z3")
+    # 512 files = 9 z-prefix bits = 3 bits (8 tile layers) per dim.
+    # Range-partition cuts are sampled quantiles, so most files
+    # straddle two adjacent z-prefixes — survivors ~ double the pure
+    # tile share; 8 layers per dim leaves the margin decisive.
+    write_zordered(df, path=zpath, cols=["a", "b", "c"], num_files=512)
+
+    def surviving(col, lo, hi):
+        files = glob.glob(f"{zpath}/*.parquet")
+        keep = 0
+        for f in files:
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index(col)
+            fmin = min(
+                md.row_group(i).column(idx).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(i).column(idx).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            if fmax >= lo and fmin <= hi:
+                keep += 1
+        return keep, len(files)
+
+    # ~10%-wide slab inside ONE 8-way tile layer ([625, 750) in the
+    # 0-999 domain): intersects 1 of 8 layers plus prefix straddlers
+    for col in ("a", "b", "c"):
+        keep, n = surviving(col, 630, 740)
+        assert n == 512
+        assert keep <= int(0.4 * n), (col, keep, n)
+
+
+def test_zorder_n_bit_budget_validation(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_mlops_spark.sources.layout import zorder_key_n
+
+    with __import__("pytest").raises(ValueError):
+        zorder_key_n(
+            [F.col("x")] * 4, mins=[0] * 4, maxs=[1] * 4, bits=[16] * 4
+        )
+    with __import__("pytest").raises(ValueError):
+        zorder_key_n([F.col("x")], mins=[0], maxs=[1], bits=[0])

@@ -245,3 +245,31 @@ def test_trained_pq_keeps_codebooks_broadcast(spark):
     plan = _plan(QUERIES["pq_trained_topk"].spark(spark, SF_SMALL))
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_small_band_recommend_never_shuffles_similarity(spark):
+    """Bounded-user-band scoring (the serving shape): the purchase set
+    is broadcast into the scoring join, the ownership mask, and the
+    semi-join that prunes the similarity table before the neighbor-cap
+    window — so the corpus-sized similarity side is never re-shuffled
+    by a SortMergeJoin after its build. Even with the broadcast
+    threshold forced off, the explicit F.broadcast hints must hold."""
+    from data_pipeline_mlops_spark.registry import QUERIES
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = QUERIES["recommendations_capped"].spark(spark, SF_SMALL)
+        plan = _plan(df)
+        # scoring join + anti-join + semi-join prune are all broadcast
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "LeftSemi, BuildRight" in plan or re.search(
+            r"BroadcastHashJoin.*LeftSemi", plan
+        )
+        assert "LeftAnti" in plan
+        # the only SortMergeJoins permitted are the model build's own
+        # (count joins under forced-off threshold); the item_a scoring
+        # key must never appear as a SortMergeJoin key
+        assert not re.search(r"SortMergeJoin \[item_a", plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
