@@ -60,6 +60,10 @@ R1_KEYS = [
 # Lloyd iterations + encode + ADC rank) and incremental streaming
 # dedup (two real batches against a fresh on-disk index, commits
 # included).
+# Round 5 adds embedding_near_dups_fast: the SemDeDup-style
+# embedding-cosine dedup tier on its xxhash64 production buckets (the
+# registry's embedding_near_dups_lsh twin uses md5-portable buckets
+# for its oracle).
 HEADLINE = R1_KEYS + [
     "recommendations_capped",
     "recommendations_served",
@@ -71,6 +75,7 @@ HEADLINE = R1_KEYS + [
     "corpus_pipeline",
     "pq_trained_topk",
     "incremental_dedup_decisions",
+    "embedding_near_dups_fast",
 ]
 
 
@@ -90,6 +95,27 @@ def _minhash_fast(spark, sf_dir):
         verify_threshold=0.05,
         hash_method="xxhash64",
     )
+
+
+def _embedding_near_dups_fast(spark, sf_dir):
+    """xxhash64-bucketed embedding near-dup pairs (production hot
+    path; the registry's embedding_near_dups_lsh is the md5-portable
+    oracle twin)."""
+    from data_pipeline_mlops_spark.functions import similarity
+    from data_pipeline_mlops_spark.registry import _near_dup_corpus
+
+    return similarity.cosine_near_dup_pairs(
+        _near_dup_corpus(spark, sf_dir),
+        id_col="vec_id", vec_col="embedding",
+        threshold=0.98, method="xxhash64",
+        num_planes=6, num_tables=8,
+    )
+
+
+_EXTRA_FNS = {
+    "minhash_lsh_fast": _minhash_fast,
+    "embedding_near_dups_fast": _embedding_near_dups_fast,
+}
 
 
 def main() -> None:
@@ -120,11 +146,7 @@ def main() -> None:
         order = list(HEADLINE)
         random.Random(p).shuffle(order)  # seeded: reproducible order
         for name in order:
-            fn = (
-                _minhash_fast
-                if name == "minhash_lsh_fast"
-                else QUERIES[name].spark
-            )
+            fn = _EXTRA_FNS.get(name) or QUERIES[name].spark
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             if p > 0:

@@ -418,3 +418,101 @@ def quantized_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    method: str = "exact",
+    num_planes: int = 6,
+    num_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (the SemDeDup-style
+    dedup tier): every unordered pair (id_a < id_b) whose cosine
+    similarity rounds to >= ``threshold``. Output: id_a, id_b,
+    cosine_sim.
+
+    ``method``:
+    - ``"exact"``  — all-pairs verification tier. O(n^2); correct at
+      any n but only affordable on a bounded corpus slice (it is the
+      oracle the bucketed tiers are checked against).
+    - ``"md5"``    — hyperplane-LSH candidates via engine-portable md5
+      buckets (deterministic approximation, DuckDB-replayable — same
+      move as lsh_topk(method="md5")), then exact cosine verify.
+    - ``"xxhash64"`` — same shape on the fast bucket hash; the
+      production path. Candidates come from an OR-construction over
+      ``num_tables`` bucketings, so the pair join runs per bucket —
+      never all-pairs — and near pairs are missed only when they
+      collide in NO table (probability (1-p^k)^L, vanishing for
+      near-dup angles).
+    """
+    if method == "exact":
+        a = corpus.select(
+            F.col(id_col).alias("id_a"),
+            _to_double(F.col(vec_col)).alias("__va"),
+        ).select("id_a", "__va", l2_norm_d("__va").alias("__na"))
+        b = corpus.select(
+            F.col(id_col).alias("id_b"),
+            _to_double(F.col(vec_col)).alias("__vb"),
+        ).select("id_b", "__vb", l2_norm_d("__vb").alias("__nb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        def one_table(t: int) -> DataFrame:
+            if method == "md5":
+                return hyperplane_buckets_md5(
+                    corpus, id_col=id_col, vec_col=vec_col,
+                    num_planes=num_planes, table=t,
+                )
+            return hyperplane_lsh_buckets(
+                corpus, id_col=id_col, vec_col=vec_col,
+                num_planes=num_planes, seed=seed + 7919 * t,
+            )
+
+        tables = [
+            one_table(t).select(
+                F.col(id_col), F.col(vec_col), F.lit(t).alias("table"),
+                "bucket",
+            )
+            for t in range(num_tables)
+        ]
+        bucketed = tables[0]
+        for t in tables[1:]:
+            bucketed = bucketed.unionByName(t)
+        left = bucketed.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va_raw"),
+            "table", "bucket",
+        )
+        right = bucketed.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb_raw"),
+            "table", "bucket",
+        )
+        pairs = (
+            left.join(right, ["table", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .select(
+                "id_a",
+                "id_b",
+                _to_double(F.col("__va_raw")).alias("__va"),
+                _to_double(F.col("__vb_raw")).alias("__vb"),
+            )
+            .select(
+                "id_a", "id_b", "__va", "__vb",
+                l2_norm_d("__va").alias("__na"),
+                l2_norm_d("__vb").alias("__nb"),
+            )
+        )
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(
+            dot_d(F.col("__va"), F.col("__vb"))
+            / (F.col("__na") * F.col("__nb")),
+            COS_SCALE,
+        ).alias("cosine_sim"),
+    )
+    return scored.where(F.col("cosine_sim") >= F.lit(threshold))

@@ -4848,3 +4848,143 @@ FROM scored
 QUERIES["doc_quality_filter"] = QuerySpec(
     q_doc_quality_filter, ORACLE_DOC_QUALITY_FILTER
 )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-duplicate detection (the SemDeDup-style dedup
+# tier the MinHash/SimHash families cannot see: paraphrases and
+# re-encodings share no shingles but land at near-identical embeddings)
+# --------------------------------------------------------------------------
+
+
+def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic embeddings are near-orthogonal (max pairwise
+    cosine ~0.51 at sf0.01), so near-dup structure is PLANTED
+    deterministically: every tenth vector gets a copy (id + 100000)
+    with +0.02 added to each component — cosine(orig, copy) lands in
+    [0.987, 0.990], comfortably above the 0.98 threshold while random
+    pairs stay below 0.52. Both engines build the identical corpus, so
+    the oracle checks construction + detection end to end."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: (x.cast("double") + F.lit(0.02)).cast("float"),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(copies)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact verification tier: all (id_a < id_b) pairs with rounded
+    cosine >= 0.98 over the planted corpus. All-pairs by design — this
+    is the ground truth the bucketed tier is held to; the scale path
+    is embedding_near_dups_lsh below."""
+    return similarity.cosine_near_dup_pairs(
+        _near_dup_corpus(spark, sf_dir),
+        id_col="vec_id", vec_col="embedding",
+        threshold=0.98, method="exact",
+    )
+
+
+ORACLE_EMBEDDING_NEAR_DUPS_CORPUS = """
+base AS (SELECT vec_id, embedding FROM embeddings),
+pert AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(embedding,
+                        x -> CAST(CAST(x AS DOUBLE) + 0.02 AS FLOAT))
+           AS embedding
+  FROM base WHERE vec_id % 10 = 0
+),
+corpus AS (
+  SELECT * FROM base UNION ALL SELECT * FROM pert
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM corpus)
+"""
+
+ORACLE_EMBEDDING_NEAR_DUPS = f"""
+WITH {ORACLE_EMBEDDING_NEAR_DUPS_CORPUS},
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(a.v, b.v)
+               / (SQRT(list_dot_product(a.v, a.v))
+                  * SQRT(list_dot_product(b.v, b.v))), 4) AS cosine_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.98
+"""
+
+QUERIES["embedding_near_dups"] = QuerySpec(
+    q_embedding_near_dups, ORACLE_EMBEDDING_NEAR_DUPS
+)
+
+
+def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale tier: hyperplane-LSH OR-construction (6 planes x 8
+    tables) generates candidate pairs per bucket — never all-pairs —
+    then exact cosine verifies. The md5 bucket variant quantizes
+    vectors to integers so bucket signs are exact int64 arithmetic and
+    DuckDB replays the SAME buckets: the approximation is
+    deterministic, so even the approximate path is fully oracled (the
+    same move as lsh_ann_topk). Production uses the xxhash64 bucket
+    twin (bench: embedding_near_dups_fast)."""
+    return similarity.cosine_near_dup_pairs(
+        _near_dup_corpus(spark, sf_dir),
+        id_col="vec_id", vec_col="embedding",
+        threshold=0.98, method="md5",
+        num_planes=6, num_tables=8,
+    )
+
+
+ORACLE_EMBEDDING_NEAR_DUPS_LSH = f"""
+WITH {ORACLE_EMBEDDING_NEAR_DUPS_CORPUS},
+ei AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT))
+           AS vi
+  FROM e
+),
+tp AS (
+  SELECT t.t, p.p
+  FROM (SELECT unnest(range(8)) AS t) t
+  CROSS JOIN (SELECT unnest(range(6)) AS p) p
+),
+dots AS (
+  SELECT vec_id, t, p,
+    list_sum(list_transform(range(0, len(vi)),
+      i -> vi[i+1] * (
+        (('0x' || substring(md5(CAST(t AS VARCHAR) || ',' ||
+                                CAST(p AS VARCHAR) || ',' ||
+                                CAST(i AS VARCHAR)), 1, 15))::BIGINT
+         % 2001) - 1000)
+    )) AS d
+  FROM ei CROSS JOIN tp
+),
+buckets AS (
+  SELECT vec_id, t,
+         CAST(SUM(CASE WHEN d > 0
+                  THEN (1::BIGINT << CAST(p AS INTEGER)) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM dots GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT cd.id_a, cd.id_b,
+         ROUND(list_dot_product(av.v, bv.v)
+               / (SQRT(list_dot_product(av.v, av.v))
+                  * SQRT(list_dot_product(bv.v, bv.v))), 4) AS cosine_sim
+  FROM cand cd
+  JOIN e av ON av.vec_id = cd.id_a
+  JOIN e bv ON bv.vec_id = cd.id_b
+)
+SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.98
+"""
+
+QUERIES["embedding_near_dups_lsh"] = QuerySpec(
+    q_embedding_near_dups_lsh, ORACLE_EMBEDDING_NEAR_DUPS_LSH
+)

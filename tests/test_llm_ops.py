@@ -283,3 +283,34 @@ def test_stratified_fixed_sample_exact_counts(spark):
         df.repartition(7), id_col="id", strata_col="g", n_per_stratum=15
     ).collect())
     assert a == b
+
+
+def test_embedding_near_dup_lsh_recall_vs_exact(spark):
+    """The bucketed near-dup tier (both the md5 oracle twin and the
+    xxhash64 production path) must find exactly the pairs the exact
+    all-pairs tier finds on the planted corpus: at near-dup angles
+    (cosine ~0.99) the 6x8 OR-construction's miss probability is
+    ~(1-0.95^6)^8 ~ 3e-5 per pair, so full recall here is the expected
+    outcome, not luck — a drop below full recall means the bucketing
+    broke, not the corpus."""
+    from data_pipeline_mlops_spark.functions import similarity
+    from data_pipeline_mlops_spark.registry import _near_dup_corpus
+
+    corpus = _near_dup_corpus(spark, "/root/testdata/sf0.001").cache()
+    try:
+        def pairs(method):
+            df = similarity.cosine_near_dup_pairs(
+                corpus, id_col="vec_id", vec_col="embedding",
+                threshold=0.98, method=method,
+            )
+            return {
+                (r["id_a"], r["id_b"], r["cosine_sim"])
+                for r in df.collect()
+            }
+
+        exact = pairs("exact")
+        assert len(exact) == 50  # every planted copy, nothing else
+        assert pairs("md5") == exact
+        assert pairs("xxhash64") == exact
+    finally:
+        corpus.unpersist()
