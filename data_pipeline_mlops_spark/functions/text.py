@@ -405,3 +405,55 @@ def char_entropy(col: Column | str, *, round_dp: int = 6) -> Column:
         lambda acc, ch: acc - p(ch) * F.log2(p(ch)),
     )
     return F.round(F.when(n > 0, ent).otherwise(F.lit(0.0)), round_dp)
+
+
+def char_bigram_lm_score(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    head_chars: int = 1000,
+) -> DataFrame:
+    """Statistical LM quality score (the CCNet-style filter, made
+    integer-exact): train a character-bigram frequency table on the
+    corpus itself, then score each document by the corpus frequency of
+    its own bigrams — natural text reuses the corpus's common bigrams,
+    while mojibake/binary-spill/gibberish is built from rare ones and
+    scores low. The perplexity variant sums log-probs; summing raw
+    corpus COUNTS is monotone for filtering and keeps every value an
+    exact integer (no cross-engine float/log drift — the discipline the
+    oracle hash demands).
+
+    Scale shape: documents are truncated to ``head_chars`` before the
+    bigram explode (the standard LM-filter move — quality is a
+    property of the prose, not its length), the bigram LM is a tiny
+    aggregate (~|alphabet|^2 rows) joined BROADCAST so scoring never
+    shuffles bigram rows; the only wide exchange is the per-doc
+    re-aggregation, which partial-aggregates map-side to one row per
+    doc per partition.
+
+    Output: id_col, n_bigrams, freq_sum (both BIGINT; the mean
+    frequency freq_sum/n_bigrams is derivable and intentionally not
+    emitted as a rounded double).
+    """
+    d = df.select(
+        F.col(id_col),
+        F.substring(F.col(text_col), 1, head_chars).alias("__t"),
+    )
+    # sequence(1, n-1) would flip to a DESCENDING sequence when n < 2
+    # (Spark infers step -1), so short docs get an explicit empty array
+    bigrams = F.when(
+        F.char_length("__t") >= 2,
+        F.expr("transform(sequence(1, char_length(__t) - 1), "
+               "i -> substring(__t, i, 2))"),
+    ).otherwise(F.array().cast("array<string>"))
+    b = d.select(F.col(id_col), F.explode(bigrams).alias("__bg"))
+    lm = b.groupBy("__bg").agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        b.join(F.broadcast(lm), "__bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__c").alias("freq_sum"),
+        )
+    )

@@ -4988,3 +4988,40 @@ SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.98
 QUERIES["embedding_near_dups_lsh"] = QuerySpec(
     q_embedding_near_dups_lsh, ORACLE_EMBEDDING_NEAR_DUPS_LSH
 )
+
+
+def q_doc_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical LM quality filter (CCNet-style, integer-exact):
+    corpus-trained character-bigram frequency scoring — see
+    functions/text.py::char_bigram_lm_score for the scale shape
+    (broadcast LM join; the only wide exchange is the per-doc
+    re-aggregation). freq_sum/n_bigrams is the derivable mean
+    frequency; gibberish documents land at the bottom of it."""
+    return text.char_bigram_lm_score(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        head_chars=1000,
+    )
+
+
+ORACLE_DOC_CHAR_LM_SCORE = """
+WITH d AS (
+  SELECT doc_id, substring(text, 1, 1000) AS t FROM documents
+),
+b AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(t)),
+                               i -> substring(t, CAST(i AS INTEGER), 2)))
+           AS bg
+  FROM d
+),
+lm AS (SELECT bg, COUNT(*) AS c FROM b GROUP BY 1)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(lm.c) AS BIGINT) AS freq_sum
+FROM b JOIN lm ON lm.bg = b.bg
+GROUP BY 1
+"""
+
+QUERIES["doc_char_lm_score"] = QuerySpec(
+    q_doc_char_lm_score, ORACLE_DOC_CHAR_LM_SCORE
+)

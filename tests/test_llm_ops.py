@@ -314,3 +314,35 @@ def test_embedding_near_dup_lsh_recall_vs_exact(spark):
         assert pairs("xxhash64") == exact
     finally:
         corpus.unpersist()
+
+
+def test_char_bigram_lm_flags_gibberish(spark):
+    """The corpus-frequency LM score must rank natural prose above
+    gibberish: mojibake is built from bigrams the rest of the corpus
+    never uses, so its mean bigram frequency lands far below prose
+    drawn from the corpus's own phrasing. Also pins the short-doc
+    guard (len<2 docs drop out instead of exploding a descending
+    sequence)."""
+    from data_pipeline_mlops_spark.functions.text import (
+        char_bigram_lm_score,
+    )
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "the dog chases the fox over the hill and back again"
+    )
+    rows = [
+        (1, prose),
+        (2, "the dog and the fox run over the hill and the field"),
+        (3, "zqxvjkqzvxkjzwqvxkqzjxwvqzkwxjqzvkxqwjzx"),  # gibberish
+        (4, "x"),  # too short for any bigram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["freq_sum"])
+        for r in char_bigram_lm_score(df).collect()
+    }
+    assert 4 not in out  # no bigrams, no row
+    mean = {k: v[1] / v[0] for k, v in out.items()}
+    assert mean[1] > 2 * mean[3]
+    assert mean[2] > 2 * mean[3]
