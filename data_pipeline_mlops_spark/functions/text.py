@@ -457,3 +457,44 @@ def char_bigram_lm_score(
             F.sum("__c").alias("freq_sum"),
         )
     )
+
+
+BOILERPLATE_LINE = r"::(nav|footer)::"
+
+
+def trim_lines(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 4,
+    boilerplate_pattern: str = BOILERPLATE_LINE,
+) -> DataFrame:
+    """Line-level quality trimming (the C4/FineWeb move: most web junk
+    is line-granular — nav menus, cookie banners, footers — so filter
+    LINES, not whole documents, and reassemble the survivors).
+
+    A line is dropped when it has fewer than ``min_tokens`` whitespace
+    tokens or matches ``boilerplate_pattern``. Returns one row per doc:
+    (id, n_lines, n_kept, trimmed_text).
+
+    Scale shape: split -> filter -> array_join is a single narrow
+    projection — no explode, no shuffle, no UDF; text volume never
+    leaves its scan partition. Reference has no line-level stage (its
+    corpus is row-per-record pandas); this extends the training-data
+    surface per the LLM-pipeline brief.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: (
+            (F.size(F.split(F.trim(ln), r"\s+")) >= min_tokens)
+            & ~ln.rlike(boilerplate_pattern)
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, "\n").alias("trimmed_text"),
+    )

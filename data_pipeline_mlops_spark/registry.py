@@ -2396,50 +2396,6 @@ GROUP BY CUBE (1, 2)
 QUERIES["cube_revenue"] = QuerySpec(q_cube_revenue, ORACLE_CUBE_REVENUE)
 
 
-def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (the dedup tier for semantic
-    duplicates): exact all-pairs baseline with cosine >= 0.35. The
-    100 TB path buckets via hyperplane LSH / IVF first (lsh_ann_topk,
-    ivf_ann_topk) — this exact variant doubles as their oracle."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("id_a"),
-        similarity._to_double(F.col("embedding")).alias("__va"),
-    ).withColumn("__na", similarity.l2_norm_d("__va"))
-    b = emb.select(
-        F.col("vec_id").alias("id_b"),
-        similarity._to_double(F.col("embedding")).alias("__vb"),
-    ).withColumn("__nb", similarity.l2_norm_d("__vb"))
-    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.select(
-            "id_a",
-            "id_b",
-            F.round(
-                similarity.dot_d(F.col("__va"), F.col("__vb"))
-                / (F.col("__na") * F.col("__nb")),
-                4,
-            ).alias("cosine_sim"),
-        )
-        .where(F.col("cosine_sim") >= 0.35)
-    )
-
-
-ORACLE_EMBEDDING_NEAR_DUPS = """
-WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-),
-p AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         ROUND(list_dot_product(a.v, b.v)
-               / (SQRT(list_dot_product(a.v, a.v))
-                  * SQRT(list_dot_product(b.v, b.v))), 4) AS cosine_sim
-  FROM e a JOIN e b ON a.vec_id < b.vec_id
-)
-SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= 0.35
-"""
-
-
 def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-family window functions: percent_rank + ntile quartiles of
     event values within each event type (unique ordering => both
@@ -2469,9 +2425,6 @@ WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
 
 QUERIES.update(
     {
-        "embedding_near_dups": QuerySpec(
-            q_embedding_near_dups, ORACLE_EMBEDDING_NEAR_DUPS
-        ),
         "event_percentiles": QuerySpec(
             q_event_percentiles, ORACLE_EVENT_PERCENTILES
         ),
@@ -5025,3 +4978,104 @@ GROUP BY 1
 QUERIES["doc_char_lm_score"] = QuerySpec(
     q_doc_char_lm_score, ORACLE_DOC_CHAR_LM_SCORE
 )
+
+
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS IVFADC composition, ml/pq.py::ivf_pq_topk):
+    coarse KMeans cells prune the corpus, trained PQ codes score the
+    survivors via broadcast-LUT ADC. Registry config probes ALL cells
+    (n_probe = n_clusters) — there IVF-PQ equals pq_topk regardless of
+    the KMeans partition, so the trained-PQ oracle (which replays both
+    Lloyd iterations) value-checks the full routing + cell-restricted
+    ADC machinery. Partial-probe recall is pytest-covered
+    (tests/test_ml.py::test_ivf_pq_full_probe_equals_pq and the
+    partial-probe bound beneath it)."""
+    from data_pipeline_mlops_spark.ml import pq
+    from data_pipeline_mlops_spark.ml.ivf import build_ivf_index
+
+    emb, cb, codes, queries = _pq_trained_parts(spark, sf_dir)
+    centroids, assigned = build_ivf_index(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=8
+    )
+    return pq.ivf_pq_topk(
+        queries, centroids, assigned, cb, codes,
+        id_col="vec_id", vec_col="embedding",
+        dim=64, k=5, m=4, n_probe=8,
+    )
+
+
+QUERIES["ivf_pq_topk"] = QuerySpec(q_ivf_pq_topk, ORACLE_PQ_TRAINED_TOPK)
+
+
+def q_doc_line_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate trimming (functions/text.py::trim_lines,
+    the C4/FineWeb line-granular filter). The synthetic docs are
+    single-line word soup, so a multi-line corpus is PLANTED
+    deterministically (same move as the embedding near-dup tier):
+    tokens re-wrapped 8 per line, and every doc_id % 3 == 0 gets a
+    ::nav:: header + ::footer:: line injected. Both engines build the
+    identical corpus, so the oracle checks construction + trimming
+    end to end: the injected boilerplate must vanish, short tail lines
+    (< 4 tokens) must vanish, everything else must survive byte-exact
+    in trimmed_text."""
+    docs = _docs(spark, sf_dir)
+    toks = text.tokens(F.col("text"))
+    nlines = F.greatest(
+        F.ceil(F.size(toks) / F.lit(8.0)).cast("int"), F.lit(1)
+    )
+    wrapped = F.transform(
+        F.sequence(F.lit(0), nlines - 1),
+        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+    )
+    injected = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.array(F.lit("::nav:: home login")),
+            wrapped,
+            F.array(F.lit("::footer:: copyright")),
+        ),
+    ).otherwise(wrapped)
+    corpus = docs.select(
+        "doc_id", F.array_join(injected, "\n").alias("text")
+    )
+    return text.trim_lines(corpus, id_col="doc_id", text_col="text")
+
+
+ORACLE_DOC_LINE_TRIM = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+wrapped AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, GREATEST(CAST(CEIL(len(toks) / 8.0) AS BIGINT), 1)),
+           i -> array_to_string(
+             toks[CAST(i*8+1 AS INTEGER) : CAST(i*8+8 AS INTEGER)], ' ')
+         ) AS lines
+  FROM t
+),
+inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN list_concat(
+                     list_concat(['::nav:: home login'], lines),
+                     ['::footer:: copyright'])
+              ELSE lines END AS lines
+  FROM wrapped
+),
+kept AS (
+  SELECT doc_id, lines,
+         list_filter(lines,
+           x -> len(regexp_split_to_array(trim(x), '\s+')) >= 4
+                AND NOT regexp_matches(x, '::(nav|footer)::')) AS k
+  FROM inj
+)
+SELECT doc_id,
+       CAST(len(lines) AS INTEGER) AS n_lines,
+       CAST(len(k) AS INTEGER) AS n_kept,
+       array_to_string(k, chr(10)) AS trimmed_text
+FROM kept
+"""
+
+QUERIES["doc_line_trim"] = QuerySpec(q_doc_line_trim, ORACLE_DOC_LINE_TRIM)

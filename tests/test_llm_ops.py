@@ -346,3 +346,30 @@ def test_char_bigram_lm_flags_gibberish(spark):
     mean = {k: v[1] / v[0] for k, v in out.items()}
     assert mean[1] > 2 * mean[3]
     assert mean[2] > 2 * mean[3]
+
+
+def test_trim_lines_drops_boilerplate_and_short_lines(spark):
+    """C4/FineWeb line filter: boilerplate-marked lines and lines
+    under the token floor vanish; everything else survives byte-exact
+    and in order."""
+    from data_pipeline_mlops_spark.functions.text import trim_lines
+
+    doc = "\n".join(
+        [
+            "::nav:: home login signup",       # boilerplate marker
+            "the quick brown fox jumps here",  # kept
+            "too short",                       # < 4 tokens
+            "another perfectly fine body line",
+            "::footer:: copyright",            # boilerplate marker
+        ]
+    )
+    rows = [(1, doc), (2, "single good line of body text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in trim_lines(df).collect()}
+    assert out[1]["n_lines"] == 5 and out[1]["n_kept"] == 2
+    assert out[1]["trimmed_text"] == (
+        "the quick brown fox jumps here\n"
+        "another perfectly fine body line"
+    )
+    assert out[2]["n_kept"] == 1
+    assert out[2]["trimmed_text"] == "single good line of body text"
