@@ -446,3 +446,81 @@ def dedup_decisions(
         id_col,
         F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
     )
+
+
+def remove_repeated_passages(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level dedup: REMOVE cross-document repeated passages,
+    not just detect them (the approximate DataFrame form of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better" —
+    the reference has no passage-level stage; doc_passage_overlap is
+    the detection twin of this operator).
+
+    A token is removed when EVERY retained view of it is duplicated —
+    concretely, when some n-gram shingle containing it occurs in
+    >= ``min_docs`` distinct documents. Returns one row per doc:
+    (id, n_tokens, n_removed, cleaned_text) with the surviving tokens
+    rejoined in order.
+
+    Scale shape: shingles collapse to xxhash64 int64 in the same
+    projection as the position explode, so the dup-set groupBy and the
+    join back shuffle (id, pos, hash) longs — never text. The final
+    reconstruction joins the per-doc duplicated-start list back to the
+    token arrays on ``id_col``: one corpus-wide hash join (bucket the
+    doc table by id at 100 TB and it is co-located); the span-coverage
+    test and token filtering are pure array expressions after that.
+    A 64-bit shingle collision can only ever remove one extra span and
+    needs ~2^32 distinct shingles to become likely.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        toks.alias("__toks"),
+        F.size(toks).alias("__n"),
+    )
+    # per-position shingle hashes, exploded to (id, pos, hash) longs
+    sh = base.where(F.col("__n") >= n).select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__n") - (n - 1)),
+                lambda i: F.xxhash64(
+                    F.array_join(F.slice("__toks", i, n), " ")
+                ),
+            )
+        ).alias("__p0", "__h"),
+    ).select("__id", (F.col("__p0") + 1).alias("__pos"), "__h")
+    dup = (
+        sh.groupBy("__h")
+        .agg(F.countDistinct("__id").alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    starts = (
+        sh.join(dup, "__h")
+        .groupBy("__id")
+        .agg(F.array_sort(F.collect_list("__pos")).alias("__starts"))
+    )
+    joined = base.join(starts, "__id", "left").withColumn(
+        "__starts", F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
+    )
+    covered = lambda p: F.exists(  # noqa: E731
+        F.col("__starts"), lambda s: (s <= p) & (p <= s + (n - 1))
+    )
+    kept = F.filter(
+        F.sequence(F.lit(1), F.col("__n")), lambda p: ~covered(p)
+    )
+    return joined.select(
+        F.col("__id").alias(id_col),
+        F.col("__n").cast("long").alias("n_tokens"),
+        (F.col("__n") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(kept, lambda p: F.element_at("__toks", p)), " "
+        ).alias("cleaned_text"),
+    )

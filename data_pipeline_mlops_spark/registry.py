@@ -5079,3 +5079,77 @@ FROM kept
 """
 
 QUERIES["doc_line_trim"] = QuerySpec(q_doc_line_trim, ORACLE_DOC_LINE_TRIM)
+
+
+_PLANT_PASSAGE = (
+    "shared boilerplate passage tokens repeated verbatim "
+    "across many documents here"
+)  # 10 tokens
+
+
+def q_doc_passage_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-passage REMOVAL (Lee et al. 2022 substring dedup —
+    dedup_text.remove_repeated_passages; doc_passage_overlap is the
+    detection twin). A 10-token passage is PLANTED at the head of
+    every doc_id % 7 == 0 document (same deterministic-construction
+    move as the embedding near-dup tier); both engines rebuild the
+    corpus, so the oracle checks that exactly the duplicated spans
+    vanish and every surviving token is rejoined byte-exact. Shingle
+    hashes shuffle as int64; text shuffles once, on the doc-id
+    reconstruction join."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(_PLANT_PASSAGE + " "), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return dedup_text.remove_repeated_passages(
+        corpus, id_col="doc_id", text_col="text", n=8, min_docs=2
+    )
+
+
+ORACLE_DOC_PASSAGE_REMOVAL = rf"""
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN '{_PLANT_PASSAGE} ' || text
+              ELSE text END AS text
+  FROM documents
+),
+t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM src
+),
+sh AS (
+  SELECT doc_id,
+         unnest(range(1, len(toks) - 6)) AS pos,
+         unnest(list_transform(range(1, len(toks) - 6),
+           i -> array_to_string(toks[i : i+7], ' '))) AS s
+  FROM t WHERE len(toks) >= 8
+),
+dup AS (SELECT s FROM sh GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+st AS (
+  SELECT sh.doc_id, list(pos ORDER BY pos) AS starts
+  FROM sh JOIN dup USING (s) GROUP BY 1
+),
+fin AS (
+  SELECT t.doc_id, t.toks, len(t.toks) AS n_tokens,
+         list_filter(range(1, len(t.toks) + 1),
+           p -> len(list_filter(
+                  COALESCE(st.starts, CAST([] AS BIGINT[])),
+                  s -> s <= p AND p <= s + 7)) = 0) AS keep
+  FROM t LEFT JOIN st USING (doc_id)
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens - len(keep) AS BIGINT) AS n_removed,
+       COALESCE(array_to_string(list_transform(keep, p -> toks[p]), ' '),
+                '') AS cleaned_text
+FROM fin
+"""
+
+QUERIES["doc_passage_removal"] = QuerySpec(
+    q_doc_passage_removal, ORACLE_DOC_PASSAGE_REMOVAL
+)

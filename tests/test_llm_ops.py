@@ -373,3 +373,34 @@ def test_trim_lines_drops_boilerplate_and_short_lines(spark):
     )
     assert out[2]["n_kept"] == 1
     assert out[2]["trimmed_text"] == "single good line of body text"
+
+
+def test_remove_repeated_passages_exact_spans(spark):
+    """Lee-et-al-style substring dedup: a 10-token passage shared by
+    two docs vanishes from both (exactly the 10 planted tokens — the
+    straddling shingles are unique per doc, so body text survives);
+    unique docs and sub-n docs are untouched byte-exact."""
+    from data_pipeline_mlops_spark.functions.dedup_text import (
+        remove_repeated_passages,
+    )
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, passage + " unique body one with extra words here now"),
+        (2, passage + " another different body text for second doc"),
+        (3, "totally distinct document body with no shared passage at all"),
+        (4, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_repeated_passages(df, id_col="doc_id").collect()
+    }
+    assert out[1]["n_removed"] == 10
+    assert out[1]["cleaned_text"] == "unique body one with extra words here now"
+    assert out[2]["n_removed"] == 10
+    assert out[2]["cleaned_text"] == (
+        "another different body text for second doc"
+    )
+    assert out[3]["n_removed"] == 0
+    assert out[4]["n_removed"] == 0 and out[4]["cleaned_text"] == "short doc"
