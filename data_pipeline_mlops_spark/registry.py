@@ -5153,3 +5153,37 @@ FROM fin
 QUERIES["doc_passage_removal"] = QuerySpec(
     q_doc_passage_removal, ORACLE_DOC_PASSAGE_REMOVAL
 )
+
+
+def q_doc_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export assignment (sources/shards.py): global
+    hash shuffle + fixed shard membership + deterministic within-shard
+    order — the md5-portable tier so DuckDB replays the identical
+    (shard, pos) for every doc. Production uses hash_method="xxhash64"
+    (write_training_shards); the write path is pytest-covered."""
+    from data_pipeline_mlops_spark.sources.shards import assign_shards
+
+    return assign_shards(
+        _docs(spark, sf_dir).select("doc_id", "n_chars"),
+        id_col="doc_id", n_shards=8, hash_method="md5",
+    ).select("doc_id", "n_chars", "shard", "pos")
+
+
+ORACLE_DOC_TRAINING_SHARDS = """
+WITH h AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           AS hv
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       CAST(hv % 8 AS INTEGER) AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY hv % 8 ORDER BY hv ASC, doc_id ASC) - 1
+         AS BIGINT) AS pos
+FROM h
+"""
+
+QUERIES["doc_training_shards"] = QuerySpec(
+    q_doc_training_shards, ORACLE_DOC_TRAINING_SHARDS
+)

@@ -404,3 +404,37 @@ def test_remove_repeated_passages_exact_spans(spark):
     )
     assert out[3]["n_removed"] == 0
     assert out[4]["n_removed"] == 0 and out[4]["cleaned_text"] == "short doc"
+
+
+def test_training_shards_deterministic_and_complete(spark, tmp_path):
+    """Shard export: every doc lands in exactly one shard, within-shard
+    order is gapless from 0 and identical across reruns, and the
+    written layout reads back with the same (shard, pos) assignment."""
+    from data_pipeline_mlops_spark.sources.shards import (
+        assign_shards,
+        write_training_shards,
+    )
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 7 % 13).alias("payload"),
+    )
+    a1 = assign_shards(df, id_col="doc_id", n_shards=4).collect()
+    a2 = assign_shards(df, id_col="doc_id", n_shards=4).collect()
+    key = lambda rows: sorted((r["doc_id"], r["shard"], r["pos"]) for r in rows)  # noqa: E731
+    assert key(a1) == key(a2)
+    assert len({r["doc_id"] for r in a1}) == 200
+    by_shard = {}
+    for r in a1:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
+
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, id_col="doc_id", n_shards=4)
+    back = spark.read.parquet(path).collect()
+    assert key(back) == key(a1)
+    import os
+    assert sorted(os.listdir(path) )[0].startswith("shard=") or any(
+        d.startswith("shard=") for d in os.listdir(path)
+    )
