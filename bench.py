@@ -189,7 +189,29 @@ def main() -> None:
     if baseline_path and os.path.exists(baseline_path):
         try:
             with open(baseline_path) as fh:
-                base_q = json.load(fh).get("queries", {})
+                base = json.load(fh)
+            # Driver BENCH_r{N}.json wraps the real bench line: the
+            # payload sits in "parsed" or as the last JSON line of
+            # "tail". Accept raw bench output too.
+            if "queries" not in base:
+                if isinstance(base.get("parsed"), dict):
+                    base = base["parsed"]
+                elif isinstance(base.get("tail"), str):
+                    # The driver keeps only the TAIL of stdout, often
+                    # truncating the JSON line's head (the "queries"
+                    # min dict) — but the trailing "samples" object
+                    # survives; recover per-query mins from it.
+                    tail = base["tail"]
+                    ix = tail.find('"samples": {')
+                    samples, _ = json.JSONDecoder().raw_decode(
+                        tail, ix + len('"samples": ')
+                    )
+                    base = {
+                        "queries": {
+                            k: min(v) for k, v in samples.items() if v
+                        }
+                    }
+            base_q = base.get("queries", {})
             deltas = {
                 name: round(timings[name] - base_q[name], 3)
                 for name in HEADLINE
