@@ -1,0 +1,168 @@
+"""Mergeable frequency / membership sketches as DataFrame algebra:
+count-min (heavy-hitter frequency estimates) and Bloom filters
+(membership pre-joins).
+
+Both sketches are FIXED-SIZE aggregations regardless of input scale —
+the 100 TB story is that the shuffle reduces to depth*width (CMS) or
+n_words (Bloom) rows via map-side partial aggregation, after which the
+sketch is broadcast for lookups. Both are deterministic pure SQL over
+the engine's portable md5-60 hash (functions/dedup_text.py), so unlike
+approx_count_distinct (HLL++) the sketch CONTENTS are oracle-checkable
+bit-for-bit in DuckDB, the same adjudication as the KMV sketch
+(registry ``distinct_users_kmv``).
+
+Count-min (Cormode & Muthukrishnan 2005): depth d rows of width w
+counters; est(x) = min_i counter[i][h_i(x)] >= true count, with the
+overestimate bounded by collisions. Bloom (1970): k bit positions per
+key OR-ed into a bit array; membership test has no false negatives.
+Bits pack 63 per int64 word — the sign bit stays clear so every shift
+is portable (DuckDB raises on 1<<63).
+
+Reference parity: the reference has no sketch tier (eager pandas
+counts everything exactly); these are north-star scale operators per
+the build brief, mirroring what its dashboards would need at volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_pipeline_mlops_spark.functions.dedup_text import _md5_60
+
+BITS_PER_WORD = 63
+
+
+def _hash_mod(key: Column, salt: str, mod: int) -> Column:
+    """Portable uniform hash of (key, salt) into [0, mod)."""
+    return _md5_60(F.concat_ws("|", key.cast("string"), F.lit(salt))) % mod
+
+
+def cms_build(
+    df: DataFrame, key_col: str, *, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-min sketch of the key column's frequency distribution:
+    one row per non-zero counter ``(d, bucket, cnt)``.
+
+    Each input row contributes to ``depth`` counters (posexplode of
+    its row hashes); the groupBy then collapses to at most
+    depth*width rows with map-side partial sums — the reduce-side
+    volume is the SKETCH size, not the data size. Sketches from
+    disjoint inputs merge by summing counters (the property that
+    makes CMS work per-partition / per-day at scale).
+    """
+    key = F.col(key_col)
+    buckets = F.array(
+        *[_hash_mod(key, f"cms{d}", width) for d in range(depth)]
+    )
+    return (
+        df.select(F.posexplode(buckets).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-estimate each key's count: min over the depth counters.
+
+    The sketch side is depth*width rows at most — broadcast — so the
+    lookup is a map-side join however many keys are probed. Keys
+    whose counter was never touched estimate 0 (coalesce), keeping
+    the no-underestimate guarantee.
+    """
+    key = F.col(key_col)
+    probes = keys.select(
+        key_col,
+        F.posexplode(
+            F.array(
+                *[_hash_mod(key, f"cms{d}", width) for d in range(depth)]
+            )
+        ).alias("d", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("cms_estimate")
+        )
+    )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, *, n_words: int = 64, k: int = 5
+) -> DataFrame:
+    """Bloom filter over the key column: ``(word_idx, word)`` rows,
+    63 usable bits per int64 word (m = n_words * 63 bits total).
+
+    Each key sets k bit positions; the bit_or aggregation collapses
+    to at most n_words rows (map-side partials first), which is the
+    entire filter — small enough to broadcast at any input scale.
+    """
+    key = F.col(key_col)
+    m = n_words * BITS_PER_WORD
+    pos = F.explode(
+        F.array(*[_hash_mod(key, f"bloom{i}", m) for i in range(k)])
+    )
+    return (
+        df.select(pos.alias("pos"))
+        .select(
+            (F.col("pos") / BITS_PER_WORD).cast("long").alias("word_idx"),
+            F.expr(
+                f"shiftleft(1L, CAST(pos % {BITS_PER_WORD} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bloom_probe(
+    probe: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    *,
+    n_words: int = 64,
+    k: int = 5,
+) -> DataFrame:
+    """Test each probe key against the filter: ``maybe_member`` is
+    true iff ALL k bits are set (no false negatives; false positives
+    at the usual (1 - e^{-kn/m})^k rate).
+
+    The filter joins broadcast; the verdict is a bool_and over the
+    k probed bits — map-side end to end, which is what makes Bloom
+    pre-joins the cheap first stage of a semi-join at 100 TB (the
+    same structure as Spark's runtime bloom pruning, but explicit,
+    engine-portable, and reusable across jobs).
+    """
+    key = F.col(key_col)
+    m = n_words * BITS_PER_WORD
+    probes = probe.select(
+        key_col,
+        F.explode(
+            F.array(*[_hash_mod(key, f"bloom{i}", m) for i in range(k)])
+        ).alias("pos"),
+    ).select(
+        key_col,
+        (F.col("pos") / BITS_PER_WORD).cast("long").alias("word_idx"),
+        F.expr(
+            f"shiftleft(1L, CAST(pos % {BITS_PER_WORD} AS INT))"
+        ).alias("mask"),
+    )
+    hit = (
+        F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask"))
+        == F.col("mask")
+    )
+    return (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .groupBy(key_col)
+        .agg(F.bool_and(hit).alias("maybe_member"))
+    )

@@ -5187,3 +5187,372 @@ FROM h
 QUERIES["doc_training_shards"] = QuerySpec(
     q_doc_training_shards, ORACLE_DOC_TRAINING_SHARDS
 )
+
+
+# --------------------------------------------------------------------------
+# round 5 (cont.): mixture scheduling, sketches, BPE training
+# --------------------------------------------------------------------------
+
+_MIXTURE_WEIGHTS_PPM = {
+    "en": 500_000,
+    "zh": 200_000,
+    "de": 120_000,
+    "fr": 100_000,
+    "es": 80_000,
+}
+_MIXTURE_BUDGET = 40_000  # tokens
+
+
+def q_corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-recipe mixture scheduling (functions/mixture.py):
+    per-language token weights over a fixed budget -> integer plan
+    (full epochs + fractional-epoch ppm gate), then the plan is
+    MATERIALIZED (explode full epochs, hash-gate the fractional one)
+    and the realized per-stratum doc/token counts are reported next
+    to the targets. All arithmetic is int64 ppm floor division, and
+    the fractional subset is an id-hash property of the data — both
+    engines schedule the identical corpus. The reference consumes one
+    source whole (dags/daily_pipeline.py); this is the north-star
+    mixture stage a 100 TB recipe needs."""
+    from data_pipeline_mlops_spark.functions import mixture
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.size(text.tokens("text")).cast("long").alias("n_tokens"),
+    )
+    plan = mixture.mixture_plan(
+        toks,
+        strata_col="lang",
+        token_col="n_tokens",
+        weights_ppm=_MIXTURE_WEIGHTS_PPM,
+        budget_tokens=_MIXTURE_BUDGET,
+    )
+    sched = mixture.schedule_mixture(
+        toks, plan, id_col="doc_id", strata_col="lang", seed=42
+    )
+    stats = sched.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("scheduled_docs"),
+        F.sum("n_tokens").cast("long").alias("scheduled_tokens"),
+    )
+    return plan.join(stats, "lang", "left").select(
+        "lang",
+        "available_tokens",
+        "weight_ppm",
+        "target_tokens",
+        "epochs_full",
+        "frac_ppm",
+        F.coalesce("scheduled_docs", F.lit(0)).cast("long").alias(
+            "scheduled_docs"
+        ),
+        F.coalesce("scheduled_tokens", F.lit(0)).cast("long").alias(
+            "scheduled_tokens"
+        ),
+    )
+
+
+_MIXTURE_WEIGHT_SQL = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIXTURE_WEIGHTS_PPM.items())
+) + " ELSE 0 END"
+
+ORACLE_CORPUS_MIXTURE_PLAN = rf"""
+WITH tk AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+av AS (
+  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS available_tokens
+  FROM tk GROUP BY 1
+),
+pl AS (
+  SELECT lang, available_tokens,
+         CAST({_MIXTURE_WEIGHT_SQL} AS BIGINT) AS weight_ppm
+  FROM av
+),
+pl2 AS (
+  SELECT *,
+         CAST((weight_ppm * {_MIXTURE_BUDGET}) // 1000000 AS BIGINT)
+           AS target_tokens
+  FROM pl
+),
+pl3 AS (
+  SELECT *,
+         CAST(target_tokens // available_tokens AS BIGINT) AS epochs_full,
+         CAST(((target_tokens % available_tokens) * 1000000)
+              // available_tokens AS BIGINT) AS frac_ppm
+  FROM pl2
+),
+inst AS (
+  SELECT tk.lang, tk.n_tokens,
+         pl3.epochs_full
+         + CASE WHEN ('0x' || substring(
+               md5(CAST(tk.doc_id AS VARCHAR) || '|42'), 1, 15))::BIGINT
+               % 1000000 < pl3.frac_ppm
+             THEN 1 ELSE 0 END AS n_inst
+  FROM tk JOIN pl3 USING (lang)
+),
+st AS (
+  SELECT lang,
+         CAST(SUM(n_inst) AS BIGINT) AS scheduled_docs,
+         CAST(SUM(n_inst * n_tokens) AS BIGINT) AS scheduled_tokens
+  FROM inst GROUP BY 1
+)
+SELECT pl3.lang, available_tokens, weight_ppm, target_tokens,
+       epochs_full, frac_ppm,
+       CAST(COALESCE(scheduled_docs, 0) AS BIGINT) AS scheduled_docs,
+       CAST(COALESCE(scheduled_tokens, 0) AS BIGINT) AS scheduled_tokens
+FROM pl3 LEFT JOIN st USING (lang)
+"""
+
+QUERIES["corpus_mixture_plan"] = QuerySpec(
+    q_corpus_mixture_plan, ORACLE_CORPUS_MIXTURE_PLAN
+)
+
+
+def q_user_count_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters (functions/sketch.py): a depth-4 x
+    width-256 CMS of per-user event counts, probed for the top-20
+    exact heavy hitters. The sketch reduces to <=1024 counter rows
+    regardless of input scale (map-side partial sums), then
+    broadcasts for the lookup; the width is deliberately small so
+    collisions produce real overestimates — `overestimate` is the
+    honest error column, never negative (CMS guarantee). Unlike
+    HLL++, the entire sketch is deterministic md5-60 SQL, so DuckDB
+    replays the counters bit-for-bit (same adjudication as
+    distinct_users_kmv)."""
+    from data_pipeline_mlops_spark.functions import sketch as sk
+
+    ev = load_table(spark, sf_dir, "events")
+    cms = sk.cms_build(ev, "user_id", depth=4, width=256)
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    top = exact.orderBy(
+        F.desc("exact_cnt"), F.asc("user_id")
+    ).limit(20)
+    est = sk.cms_lookup(cms, top, "user_id", depth=4, width=256)
+    return top.join(est, "user_id").select(
+        "user_id",
+        "exact_cnt",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_cnt")).alias("overestimate"),
+    )
+
+
+ORACLE_USER_COUNT_CMS = """
+WITH cms AS (
+  SELECT d,
+         ('0x' || substring(md5(CAST(user_id AS VARCHAR) || '|cms' || d),
+            1, 15))::BIGINT % 256 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events, UNNEST([0, 1, 2, 3]) t(d)
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM events GROUP BY 1
+),
+top AS (SELECT * FROM ex ORDER BY exact_cnt DESC, user_id LIMIT 20),
+pr AS (
+  SELECT user_id, d,
+         ('0x' || substring(md5(CAST(user_id AS VARCHAR) || '|cms' || d),
+            1, 15))::BIGINT % 256 AS bucket
+  FROM top, UNNEST([0, 1, 2, 3]) t(d)
+),
+est AS (
+  SELECT user_id, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS cms_estimate
+  FROM pr LEFT JOIN cms USING (d, bucket)
+  GROUP BY 1
+)
+SELECT user_id, exact_cnt, cms_estimate,
+       cms_estimate - exact_cnt AS overestimate
+FROM top JOIN est USING (user_id)
+"""
+
+QUERIES["user_count_cms"] = QuerySpec(q_user_count_cms, ORACLE_USER_COUNT_CMS)
+
+
+def q_bloom_order_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter fact pruning (functions/sketch.py): build a
+    64-word (4032-bit, k=5) filter over ONE region's customer keys
+    (EUROPE, via the dim chain), probe the orders fact by custkey,
+    and audit the per-order verdicts against the exact semi-join.
+    One summary row: fact rows, true member rows, bloom-kept rows,
+    false-positive rows kept (collision cost, never underpruned —
+    `n_false_neg` is structurally 0 and the oracle proves it). The
+    filter is <=64 rows whatever the build-side cardinality — the
+    broadcastable pre-filter that prunes a 100 TB fact scan before
+    the real join, the explicit engine-portable twin of the runtime
+    bloom pruning already plan-locked in tests/test_plans.py."""
+    from data_pipeline_mlops_spark.functions import sketch as sk
+
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    members = (
+        cust.join(
+            F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+        )
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .where(F.col("r_name") == "EUROPE")
+        .select(F.col("c_custkey").alias("key"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    probe_keys = orders.select(
+        F.col("o_custkey").alias("key")
+    ).distinct()
+    bloom = sk.bloom_build(members, "key", n_words=64, k=5)
+    verdicts = sk.bloom_probe(probe_keys, bloom, "key", n_words=64, k=5)
+    truth = members.withColumn("is_member", F.lit(True))
+    audited = (
+        orders.select(F.col("o_custkey").alias("key"))
+        .join(F.broadcast(verdicts), "key")
+        .join(F.broadcast(truth), "key", "left")
+        .select(
+            "maybe_member",
+            F.coalesce("is_member", F.lit(False)).alias("is_member"),
+        )
+    )
+    b2l = lambda c: F.sum(c.cast("long")).cast("long")  # noqa: E731
+    return audited.agg(
+        F.count(F.lit(1)).cast("long").alias("n_fact_rows"),
+        b2l(F.col("is_member")).alias("n_member_rows"),
+        b2l(F.col("maybe_member")).alias("n_kept_rows"),
+        b2l(F.col("maybe_member") & ~F.col("is_member")).alias(
+            "n_false_pos_rows"
+        ),
+        b2l(~F.col("maybe_member") & F.col("is_member")).alias(
+            "n_false_neg"
+        ),
+    )
+
+
+ORACLE_BLOOM_ORDER_PRUNING = """
+WITH mem AS (
+  SELECT c_custkey AS key
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+bpos AS (
+  SELECT key,
+         ('0x' || substring(md5(CAST(key AS VARCHAR) || '|bloom' || i),
+            1, 15))::BIGINT % 4032 AS pos
+  FROM mem, UNNEST([0, 1, 2, 3, 4]) t(i)
+),
+bl AS (
+  SELECT pos // 63 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS word
+  FROM bpos GROUP BY 1
+),
+pk AS (SELECT DISTINCT o_custkey AS key FROM orders),
+pr AS (
+  SELECT key,
+         ('0x' || substring(md5(CAST(key AS VARCHAR) || '|bloom' || i),
+            1, 15))::BIGINT % 4032 AS pos
+  FROM pk, UNNEST([0, 1, 2, 3, 4]) t(i)
+),
+pv AS (
+  SELECT key,
+         bool_and(
+           (COALESCE(word, 0)
+              & (CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)))
+           = (CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER))
+         ) AS maybe_member
+  FROM pr LEFT JOIN bl ON pr.pos // 63 = bl.word_idx
+  GROUP BY 1
+),
+aud AS (
+  SELECT pv.maybe_member, mem.key IS NOT NULL AS is_member
+  FROM orders o
+  JOIN pv ON o.o_custkey = pv.key
+  LEFT JOIN mem ON o.o_custkey = mem.key
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_fact_rows,
+       CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_member_rows,
+       CAST(SUM(CASE WHEN maybe_member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept_rows,
+       CAST(SUM(CASE WHEN maybe_member AND NOT is_member THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_false_pos_rows,
+       CAST(SUM(CASE WHEN is_member AND NOT maybe_member THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_false_neg
+FROM aud
+"""
+
+QUERIES["bloom_order_pruning"] = QuerySpec(
+    q_bloom_order_pruning, ORACLE_BLOOM_ORDER_PRUNING
+)
+
+
+_BPE_MERGES = 4
+_BPE_MAX_CHARS = 120
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary training (functions/bpe.py): the
+    first 4 merge rounds over the documents corpus — per round, one
+    corpus-wide pair-count aggregation, a deterministic argmax
+    (cnt DESC, pair ASC), and a map-side greedy REPLACE merge whose
+    leftmost-non-overlapping semantics are identical in Spark and
+    DuckDB, so the oracle replays the whole training loop
+    bit-for-bit. The driver sees 4 scalar rows (the merges); corpus
+    text stays distributed throughout."""
+    from data_pipeline_mlops_spark.functions import bpe
+
+    merges, _ = bpe.bpe_train(
+        _docs(spark, sf_dir),
+        "text",
+        n_merges=_BPE_MERGES,
+        max_chars=_BPE_MAX_CHARS,
+    )
+    return spark.createDataFrame(
+        [(m.iteration, m.left_sym, m.right_sym, m.cnt) for m in merges],
+        schema="iteration int, left_sym string, right_sym string, cnt long",
+    )
+
+
+def _bpe_oracle() -> str:
+    base = rf"""
+WITH b0 AS (
+  SELECT left(seeded, length(seeded) - 1) AS s
+  FROM (
+    SELECT regexp_replace(
+             regexp_replace(lower(substring(text, 1, {_BPE_MAX_CHARS})),
+                            '[^a-z ]', '', 'g'),
+             '(.)', '\1' || chr(31), 'g') AS seeded
+    FROM documents) q
+  WHERE length(seeded) > 0
+)"""
+    parts = [base]
+    for i in range(_BPE_MERGES):
+        parts.append(f""",
+p{i} AS (
+  SELECT u.pr[1] AS a, u.pr[2] AS b, COUNT(*) AS cnt
+  FROM (SELECT string_split(s, chr(31)) AS l FROM b{i}) q,
+       UNNEST(list_zip(l[1:len(l) - 1], l[2:len(l)])) u(pr)
+  GROUP BY 1, 2
+),
+m{i} AS (
+  SELECT a, b, CAST(cnt AS BIGINT) AS cnt
+  FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1
+),
+b{i + 1} AS (
+  SELECT replace(s, (SELECT a || chr(31) || b FROM m{i}),
+                    (SELECT a || b FROM m{i})) AS s
+  FROM b{i}
+)""")
+    selects = [
+        f"SELECT {i} AS iteration, a AS left_sym, b AS right_sym, cnt"
+        f" FROM m{i}"
+        for i in range(_BPE_MERGES)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+ORACLE_BPE_MERGES = _bpe_oracle()
+
+QUERIES["bpe_merges"] = QuerySpec(q_bpe_merges, ORACLE_BPE_MERGES)

@@ -22,6 +22,10 @@ ALLOWED = {
     "streaming/microbatch.py": "bounded dashboard snapshot",
     "sources/layout.py": "row count to size compaction output",
     "functions/graph.py": "per-round convergence scalar (changed count)",
+    "functions/bpe.py": (
+        "per-iteration argmax merge pair: ONE row per BPE round "
+        "steers the next map-side merge (bounded by n_merges)"
+    ),
     "streaming/alert_stream.py": (
         "webhook sink iterates the post-filter alert residue on the "
         "driver by design (see its docstring for the executor-side "
