@@ -8,19 +8,26 @@ trained (Sennrich et al. 2016; GPT-2's byte-level variant) and it is
 inherently a corpus-scale aggregation — exactly the part that does
 not fit one machine at 100 TB. Here:
 
-- documents are symbolized into a single string with symbols joined
-  by an out-of-alphabet separator (U+001F), so the corpus text is
-  carried ONCE per doc, not exploded into per-symbol rows between
-  iterations;
+- documents are symbolized into an ``array<string>`` column, so the
+  corpus text is carried ONCE per doc, never exploded into
+  per-symbol rows between iterations;
 - pair counting explodes `zip(sym[:-1], sym[1:])` and groupBys —
   map-side partial counts make the reduce volume |vocab|^2 at most,
   independent of corpus size;
 - the winning pair per iteration is ONE driver scalar (argmax with
   cnt DESC, pair ASC tiebreak — reproducible across cluster sizes);
-- the merge itself is a literal `replace(sym, a⟂b, ab)` projection —
-  map-side, and its leftmost-non-overlapping greedy semantics are
-  identical in Spark and DuckDB/ANSI REPLACE, which is what makes
-  the whole training loop oracle-replayable bit-for-bit.
+- the merge is a pure-Catalyst ``aggregate`` left fold over the
+  symbol array (accumulator = emitted tokens + one pending token),
+  which implements EXACT greedy leftmost non-overlapping token
+  semantics — including the two cases a string REPLACE on a
+  delimiter-joined representation gets wrong: a run like
+  ``[a,a,a,a]`` with pair (a,a) must yield ``[aa,aa]``, and a pair
+  (x,a) must NOT fire against ``[x, ab]`` just because symbol ``ab``
+  starts with ``a``. The DuckDB oracle replays the identical
+  semantics via index arithmetic (greedy selection = pair positions
+  at even offset from their run start), so the whole training loop
+  is engine-checkable bit-for-bit despite the engines using
+  different algorithms.
 
 The reference repo has no tokenizer stage (its pandas pipeline
 consumes pre-tokenized interactions); this is a north-star
@@ -34,8 +41,6 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-SEP = "\x1f"  # unit separator: never appears in the cleaned alphabet
-
 
 @dataclass(frozen=True)
 class Merge:
@@ -48,28 +53,31 @@ class Merge:
 def symbolize(
     df: DataFrame, text_col: str = "text", *, max_chars: int = 200
 ) -> DataFrame:
-    """Project each doc to its initial symbol string: lowercase,
+    """Project each doc to its initial symbol array: lowercase,
     restrict to [a-z ] (engine-portable alphabet), cap at
-    ``max_chars``, and join the characters with SEP. Docs that clean
-    to empty are dropped (nothing to merge)."""
+    ``max_chars``, one single-char symbol per element. Docs that
+    clean to empty are dropped (nothing to merge)."""
     clean = F.regexp_replace(
         F.lower(F.substring(F.col(text_col), 1, max_chars)),
         "[^a-z ]",
         "",
     )
-    seeded = F.regexp_replace(clean, "(.)", "$1" + SEP)
-    sym = F.substring(seeded, 1, F.length(seeded) - 1)
-    return df.select(
-        "*", sym.alias("sym")
-    ).where(F.length("sym") > 0)
+    # split at every inter-char boundary; (?!$) emits no trailing "".
+    # The empty filter must run on the STRING: split('') is [''] (size
+    # 1), so a size guard on the array would keep empty docs.
+    return (
+        df.withColumn("__clean", clean)
+        .where(F.length("__clean") > 0)
+        .select("*", F.split(F.col("__clean"), r"(?!$)").alias("sym"))
+        .drop("__clean")
+    )
 
 
 def _pair_structs(sym: Column) -> Column:
-    arr = F.split(sym, SEP)
-    n = F.size(arr)
+    n = F.size(sym)
     return F.zip_with(
-        F.slice(arr, F.lit(1), n - 1),
-        F.slice(arr, F.lit(2), n - 1),
+        F.slice(sym, F.lit(1), n - 1),
+        F.slice(sym, F.lit(2), n - 1),
         lambda a, b: F.struct(a.alias("a"), b.alias("b")),
     )
 
@@ -87,13 +95,46 @@ def pair_counts(symbolized: DataFrame) -> DataFrame:
 
 
 def merge_pair(symbolized: DataFrame, left: str, right: str) -> DataFrame:
-    """Apply one merge everywhere: greedy leftmost non-overlapping,
-    the REPLACE semantics shared by Spark and ANSI SQL."""
+    """Apply one merge everywhere: exact greedy leftmost
+    non-overlapping TOKEN semantics, as a Catalyst ``aggregate``
+    fold (no UDF, whole-stage codegen). The accumulator carries the
+    emitted prefix plus one pending symbol; '' is a safe pending
+    sentinel because symbols are never empty."""
+    merged_tok = F.lit(left + right)
+
+    def step(acc: Column, x: Column) -> Column:
+        out, pend = acc["out"], acc["pend"]
+        return (
+            F.when(
+                pend == "",
+                F.struct(out.alias("out"), x.alias("pend")),
+            )
+            .when(
+                (pend == left) & (x == right),
+                F.struct(
+                    F.concat(out, F.array(merged_tok)).alias("out"),
+                    F.lit("").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(out, F.array(pend)).alias("out"),
+                    x.alias("pend"),
+                )
+            )
+        )
+
+    def finish(acc: Column) -> Column:
+        return F.when(acc["pend"] == "", acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pend"]))
+        )
+
+    init = F.struct(
+        F.expr("CAST(array() AS ARRAY<STRING>)").alias("out"),
+        F.lit("").alias("pend"),
+    )
     return symbolized.withColumn(
-        "sym",
-        F.replace(
-            F.col("sym"), F.lit(left + SEP + right), F.lit(left + right)
-        ),
+        "sym", F.aggregate(F.col("sym"), init, step, finish)
     )
 
 

@@ -5496,10 +5496,13 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary training (functions/bpe.py): the
     first 4 merge rounds over the documents corpus — per round, one
     corpus-wide pair-count aggregation, a deterministic argmax
-    (cnt DESC, pair ASC), and a map-side greedy REPLACE merge whose
-    leftmost-non-overlapping semantics are identical in Spark and
-    DuckDB, so the oracle replays the whole training loop
-    bit-for-bit. The driver sees 4 scalar rows (the merges); corpus
+    (cnt DESC, pair ASC), and a map-side merge with EXACT greedy
+    leftmost token semantics (Catalyst aggregate fold; see bpe.py
+    for why a delimiter REPLACE is not sound). The oracle replays
+    the same semantics with a different algorithm (greedy selection
+    = pair positions at even offset from their run start, pure index
+    arithmetic), so agreement checks the SEMANTICS, not a shared
+    shortcut. The driver sees 4 scalar rows (the merges); corpus
     text stays distributed throughout."""
     from data_pipeline_mlops_spark.functions import bpe
 
@@ -5518,21 +5521,19 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_oracle() -> str:
     base = rf"""
 WITH b0 AS (
-  SELECT left(seeded, length(seeded) - 1) AS s
+  SELECT string_split(c, '') AS l
   FROM (
-    SELECT regexp_replace(
-             regexp_replace(lower(substring(text, 1, {_BPE_MAX_CHARS})),
-                            '[^a-z ]', '', 'g'),
-             '(.)', '\1' || chr(31), 'g') AS seeded
+    SELECT regexp_replace(lower(substring(text, 1, {_BPE_MAX_CHARS})),
+                          '[^a-z ]', '', 'g') AS c
     FROM documents) q
-  WHERE length(seeded) > 0
+  WHERE length(c) > 0
 )"""
     parts = [base]
     for i in range(_BPE_MERGES):
         parts.append(f""",
 p{i} AS (
   SELECT u.pr[1] AS a, u.pr[2] AS b, COUNT(*) AS cnt
-  FROM (SELECT string_split(s, chr(31)) AS l FROM b{i}) q,
+  FROM (SELECT l FROM b{i}) q,
        UNNEST(list_zip(l[1:len(l) - 1], l[2:len(l)])) u(pr)
   GROUP BY 1, 2
 ),
@@ -5541,9 +5542,24 @@ m{i} AS (
   FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1
 ),
 b{i + 1} AS (
-  SELECT replace(s, (SELECT a || chr(31) || b FROM m{i}),
-                    (SELECT a || b FROM m{i})) AS s
-  FROM b{i}
+  SELECT list_filter(
+           list_transform(range(1, len(l) + 1), k ->
+             CASE WHEN list_contains(s, k) THEN a || b
+                  WHEN list_contains(s, k - 1) THEN NULL
+                  ELSE l[k] END),
+           x -> x IS NOT NULL) AS l
+  FROM (
+    SELECT l, a, b,
+           list_filter(
+             list_filter(range(1, len(l)),
+                         k -> l[k] = a AND l[k + 1] = b),
+             k -> (k - (list_max(list_filter(
+                     [0] || list_filter(
+                              range(1, len(l)),
+                              j -> NOT (l[j] = a AND l[j + 1] = b)),
+                     j -> j < k)) + 1)) % 2 = 0) AS s
+    FROM b{i}, m{i}
+  ) q{i}
 )""")
     selects = [
         f"SELECT {i} AS iteration, a AS left_sym, b AS right_sym, cnt"

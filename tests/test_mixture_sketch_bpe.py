@@ -135,11 +135,38 @@ def test_bloom_no_false_negatives_and_some_rejections(spark):
 
 
 def test_bpe_merge_is_greedy_leftmost(spark):
-    df = spark.createDataFrame([(1, "aaa")], "id long, text string")
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaaa")], "id long, text string"
+    )
     sym = bpe.symbolize(df, "text", max_chars=10)
-    merged = bpe.merge_pair(sym, "a", "a")
-    # 'a|a|a' -> 'aa|a' (leftmost pair wins; no overlapping merge)
-    assert merged.collect()[0]["sym"] == "aa" + bpe.SEP + "a"
+    merged = {
+        r["id"]: r["sym"]
+        for r in bpe.merge_pair(sym, "a", "a").collect()
+    }
+    # run parity: leftmost non-overlapping
+    assert merged[1] == ["aa", "a"]
+    assert merged[2] == ["aa", "aa"]
+
+
+def test_bpe_merge_prefix_hazard(spark):
+    """A merged symbol that merely STARTS with the pair's right side
+    must not fire: after merge (a,b) creates 'ab', applying merge
+    (x,a) to [x, ab] must leave it untouched. (A delimiter-string
+    REPLACE gets this wrong — it would fuse 'x|ab' into 'xab'.)"""
+    df = spark.createDataFrame(
+        [(1, "abababab"), (2, "xaxaxaxa"), (3, "xab")],
+        "id long, text string",
+    )
+    merges, final = bpe.bpe_train(df, "text", n_merges=2)
+    assert (merges[0].left_sym, merges[0].right_sym, merges[0].cnt) == (
+        "a", "b", 5,
+    )
+    assert (merges[1].left_sym, merges[1].right_sym, merges[1].cnt) == (
+        "x", "a", 4,
+    )
+    syms = {r["id"]: r["sym"] for r in final.collect()}
+    assert syms[3] == ["x", "ab"]  # NOT ['xab']
+    assert syms[2] == ["xa", "xa", "xa", "xa"]
 
 
 def test_bpe_train_known_trace(spark):
@@ -154,15 +181,76 @@ def test_bpe_train_known_trace(spark):
         merges[0].right_sym,
         merges[0].cnt,
     ) == ("a", "b", 5)
-    # after merge0: ab|ab, ab|ab, ab|b|a -> top pair (ab,ab) cnt 2
+    # after merge0: [ab,ab] x2, [ab,b,a] -> top pair (ab,ab) cnt 2
     assert (
         merges[1].left_sym,
         merges[1].right_sym,
         merges[1].cnt,
     ) == ("ab", "ab", 2)
     syms = {r["id"]: r["sym"] for r in final.collect()}
-    assert syms[1] == "abab"
-    assert syms[3] == "ab" + bpe.SEP + "b" + bpe.SEP + "a"
+    assert syms[1] == ["abab"]
+    assert syms[3] == ["ab", "b", "a"]
+
+
+def _naive_bpe(texts, n_merges, max_chars):
+    """Token-greedy reference implementation (pure Python)."""
+    import re
+    from collections import Counter
+
+    seqs = []
+    for t in texts:
+        c = re.sub("[^a-z ]", "", t[:max_chars].lower())
+        if c:
+            seqs.append(list(c))
+    merges = []
+    for it in range(n_merges):
+        counts = Counter()
+        for s in seqs:
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] += 1
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((it, a, b, cnt))
+        nxt = []
+        for s in seqs:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            nxt.append(out)
+        seqs = nxt
+    return merges, sorted(map(tuple, seqs))
+
+
+def test_bpe_matches_naive_reference_on_random_corpora(spark):
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        texts = [
+            "".join(rng.choice("aab b") for _ in range(rng.randint(1, 30)))
+            for _ in range(12)
+        ]
+        want_merges, want_seqs = _naive_bpe(texts, 3, 50)
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "id long, text string"
+        )
+        merges, final = bpe.bpe_train(df, "text", n_merges=3, max_chars=50)
+        got_merges = [
+            (m.iteration, m.left_sym, m.right_sym, m.cnt) for m in merges
+        ]
+        assert got_merges == want_merges, (seed, got_merges, want_merges)
+        got_seqs = sorted(
+            tuple(r["sym"]) for r in final.select("sym").collect()
+        )
+        assert got_seqs == want_seqs, seed
 
 
 def test_bpe_symbolize_drops_empty_and_caps(spark):
@@ -172,4 +260,4 @@ def test_bpe_symbolize_drops_empty_and_caps(spark):
     sym = bpe.symbolize(df, "text", max_chars=6)
     rows = {r["id"]: r["sym"] for r in sym.collect()}
     assert 1 not in rows  # cleans to empty -> dropped
-    assert rows[2] == bpe.SEP.join(list("xyxyxy"))
+    assert rows[2] == list("xyxyxy")
