@@ -137,11 +137,13 @@ def bloom_probe(
     true iff ALL k bits are set (no false negatives; false positives
     at the usual (1 - e^{-kn/m})^k rate).
 
-    The filter joins broadcast; the verdict is a bool_and over the
-    k probed bits — map-side end to end, which is what makes Bloom
-    pre-joins the cheap first stage of a semi-join at 100 TB (the
-    same structure as Spark's runtime bloom pruning, but explicit,
-    engine-portable, and reusable across jobs).
+    The filter joins broadcast (map-side), then the k per-key bit
+    verdicts combine in a bool_and groupBy — ONE shuffle of distinct
+    probe keys (the k bits of a key are row-co-located, so partial
+    aggregation collapses them before the exchange). When the probe
+    side must stay shuffle-free entirely, use ``bloom_probe_inline``,
+    which embeds the filter as a plan literal — the same structure as
+    Spark's runtime bloom pruning.
     """
     key = F.col(key_col)
     m = n_words * BITS_PER_WORD
@@ -166,3 +168,42 @@ def bloom_probe(
         .groupBy(key_col)
         .agg(F.bool_and(hit).alias("maybe_member"))
     )
+
+
+def bloom_probe_inline(
+    probe: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    *,
+    n_words: int = 64,
+    k: int = 5,
+) -> DataFrame:
+    """ZERO-shuffle membership test: the filter (bounded at
+    ``n_words`` int64 rows by construction — bytes, not data-scale)
+    is collected and inlined as a literal boolean bit array in the
+    plan, so the probe is a pure projection that composes with any
+    downstream filter at scan speed. This is exactly how Spark's
+    runtime bloom pruning ships its filter to the fact scan; the
+    collect is the same bounded-sketch adjudication as ml/ivf.py's
+    centroid table (see tests/test_no_driver_loops.py).
+
+    Adds a boolean ``maybe_member`` column to ``probe`` (all other
+    columns pass through, unlike the aggregating ``bloom_probe``).
+    """
+    m = n_words * BITS_PER_WORD
+    bits = [False] * m
+    for r in bloom.collect():
+        word = int(r["word"])
+        base = int(r["word_idx"]) * BITS_PER_WORD
+        for b in range(BITS_PER_WORD):
+            if (word >> b) & 1:
+                bits[base + b] = True
+    bit_arr = F.array(*[F.lit(b) for b in bits])
+    key = F.col(key_col)
+    verdict = F.lit(True)
+    for i in range(k):
+        pos = _hash_mod(key, f"bloom{i}", m)
+        verdict = verdict & F.element_at(
+            bit_arr, (pos + 1).cast("int")  # element_at is 1-based
+        )
+    return probe.withColumn("maybe_member", verdict)

@@ -261,3 +261,40 @@ def test_bpe_symbolize_drops_empty_and_caps(spark):
     rows = {r["id"]: r["sym"] for r in sym.collect()}
     assert 1 not in rows  # cleans to empty -> dropped
     assert rows[2] == list("xyxyxy")
+
+
+def test_bloom_probe_inline_matches_join_probe_and_is_shuffle_free(spark):
+    members = spark.range(0, 300).select(F.col("id").alias("k"))
+    bloom = sketch.bloom_build(members, "k", n_words=64, k=5)
+    probe = spark.range(0, 2000).select(F.col("id").alias("k"))
+    via_join = {
+        r["k"]: r["maybe_member"]
+        for r in sketch.bloom_probe(
+            probe, bloom, "k", n_words=64, k=5
+        ).collect()
+    }
+    inline = sketch.bloom_probe_inline(probe, bloom, "k", n_words=64, k=5)
+    via_inline = {r["k"]: r["maybe_member"] for r in inline.collect()}
+    assert via_inline == via_join
+    # the filter rides the plan as a literal: pure projection, no
+    # exchange of the probe side at all
+    plan = inline._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_mixture_schedule_is_shuffle_free_given_plan(spark):
+    docs = _toy_docs(spark)
+    plan_rows = [
+        ("a", 1, 250_000),
+        ("b", 5, 0),
+    ]
+    plan = spark.createDataFrame(
+        plan_rows, "lang string, epochs_full long, frac_ppm long"
+    )
+    sched = mixture.schedule_mixture(
+        docs, plan, id_col="doc_id", strata_col="lang"
+    )
+    phys = sched._jdf.queryExecution().executedPlan().toString()
+    # broadcast the |strata|-row plan; the corpus side never shuffles
+    assert "BroadcastHashJoin" in phys
+    assert "Exchange hashpartitioning" not in phys

@@ -26,6 +26,11 @@ ALLOWED = {
         "per-iteration argmax merge pair: ONE row per BPE round "
         "steers the next map-side merge (bounded by n_merges)"
     ),
+    "functions/sketch.py": (
+        "bloom_probe_inline collects the <=n_words-row filter to "
+        "inline it as a plan literal (bounded by construction, same "
+        "adjudication as ml/ivf.py's centroid collect)"
+    ),
     "streaming/alert_stream.py": (
         "webhook sink iterates the post-filter alert residue on the "
         "driver by design (see its docstring for the executor-side "
