@@ -88,6 +88,39 @@ class DedupIndex:
             )
 
 
+def bulk_seed(
+    docs: DataFrame,
+    index: DedupIndex,
+    *,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    hash_method: str = "xxhash64",
+) -> None:
+    """Bootstrap the index from an EXISTING corpus, indexing every
+    document unconditionally (no dedup decisions): the operation that
+    turns a historical corpus into a live index before the stream
+    starts. One signature pass + two manifest commits; use
+    ``dedup_batch`` afterwards for arriving batches. (Seeding through
+    dedup_batch instead would drop any near-dups already inside the
+    historical corpus — correct for a CLEANED corpus, but a bootstrap
+    must represent what is actually there.)"""
+    rows_per_band = num_hashes // bands
+    sigs = dedup_text.minhash_signatures(
+        docs, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, shingle_n=shingle_n,
+        hash_method=hash_method,
+    ).localCheckpoint()
+    banded = dedup_text.banded_signatures(
+        sigs, id_col=id_col, bands=bands,
+        rows_per_band=rows_per_band, hash_method=hash_method,
+    )
+    index.bands.commit(banded, mode="append")
+    index.sigs.commit(sigs, mode="append")
+
+
 def dedup_batch(
     batch_df: DataFrame,
     index: DedupIndex,

@@ -129,6 +129,7 @@ def time_dedup_batch(spark, sf_dir: str, index_root: str) -> dict:
 
     from data_pipeline_mlops_spark.streaming.dedup_stream import (
         DedupIndex,
+        bulk_seed,
         dedup_batch,
     )
 
@@ -137,10 +138,11 @@ def time_dedup_batch(spark, sf_dir: str, index_root: str) -> dict:
         "doc_id", "text"
     )
     index = DedupIndex(index_root)
-    # seed: the whole historical corpus as batch 0 (untimed)
-    dedup_batch(
-        docs, index, id_col="doc_id", batch_id=0
-    ).write.mode("overwrite").format("noop").save()
+    # seed: bulk-index the WHOLE historical corpus, unconditionally
+    # (untimed). Seeding via dedup_batch would drop the scaled copies
+    # as near-dups of copy 0 and the 10x index would silently stay
+    # 1x-sized -- exactly what the r5 session-1 sweep recorded.
+    bulk_seed(docs, index, id_col="doc_id")
     index.maintain(spark)
     band_rows = index.bands.read(spark).count()
 
@@ -182,6 +184,25 @@ def main() -> None:
     scaled_dir = os.path.join(repo, ".scale_cache", f"sf0.1x{COPIES}")
     if not os.path.exists(os.path.join(scaled_dir, "documents.parquet")):
         build_scaled(spark, scaled_dir)
+
+    only = os.environ.get("SPARK_GRAFT_SCALE_ONLY", "")
+    if only == "dedup":
+        ded_root = os.path.join(repo, ".scale_cache", "dedup_index")
+        ded1 = time_dedup_batch(spark, BASE, f"{ded_root}_1x")
+        ded10 = time_dedup_batch(spark, scaled_dir, f"{ded_root}_10x")
+        prev = json.load(open(OUT)) if os.path.exists(OUT) else {}
+        prev["incremental_dedup_batch"] = {
+            "probe_docs": 500,
+            "vs_1x_index": ded1,
+            "vs_10x_index": ded10,
+            "ratio": round(
+                ded10["t_batch_sec"] / ded1["t_batch_sec"], 2
+            ),
+        }
+        with open(OUT, "w") as f:
+            json.dump(prev, f, indent=1)
+        print(json.dumps(prev["incremental_dedup_batch"]))
+        return
 
     t1 = time_queries(spark, BASE)
     t10 = time_queries(spark, scaled_dir)

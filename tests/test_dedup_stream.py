@@ -138,3 +138,26 @@ def test_index_maintain_compacts_fragmentation(spark, index):
     assert {r.doc_id for r in index.sigs.read(spark).collect()} == {
         10, 20, 30
     }
+
+
+def test_bulk_seed_indexes_everything_including_near_dups(spark, index):
+    """Bootstrap must represent the corpus AS IS: near-identical docs
+    all land in the index (unlike dedup_batch seeding, which would
+    collapse them and silently shrink the index — the failure mode
+    the r5 scaling sweep exposed)."""
+    from data_pipeline_mlops_spark.streaming.dedup_stream import bulk_seed
+
+    rows = [
+        (1, BASE),
+        (2, BASE + " tiny suffix"),  # near-dup of 1: still indexed
+        (3, OTHER),
+    ]
+    bulk_seed(_docs(spark, rows), index, id_col="doc_id")
+    indexed = {
+        r.doc_id for r in index.sigs.read(spark).select("doc_id").collect()
+    }
+    assert indexed == {1, 2, 3}
+    # the seeded index then drives normal batch decisions
+    verdicts = _decide(spark, index, [(10, BASE), (11, THIRD)], batch_id=1)
+    assert verdicts[10][0] and verdicts[10][1] in (1, 2)
+    assert not verdicts[11][0]
