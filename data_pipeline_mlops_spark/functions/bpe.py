@@ -138,6 +138,31 @@ def merge_pair(symbolized: DataFrame, left: str, right: str) -> DataFrame:
     )
 
 
+def bpe_encode(
+    df: DataFrame,
+    merges: list[Merge],
+    text_col: str = "text",
+    *,
+    max_chars: int = 200,
+) -> DataFrame:
+    """Tokenize NEW text with an already-trained merge table: the
+    serving half of BPE (train once on the corpus, encode everything
+    afterwards — including tables the vocab never saw). Applies the
+    merges in training order, each as the same exact-greedy Catalyst
+    fold used during training, so encode(train_corpus) reproduces the
+    trainer's final symbolization bit-for-bit.
+
+    Scale shape: merges arrive as a driver-side list (the vocab is
+    tiny — thousands of rows at real scale, a broadcast at most); the
+    text is symbolized once and every merge is a map-side fold with no
+    shuffle, so encoding N docs is embarrassingly parallel.
+    """
+    cur = symbolize(df, text_col, max_chars=max_chars)
+    for m in merges:
+        cur = merge_pair(cur, m.left_sym, m.right_sym)
+    return cur
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",

@@ -91,3 +91,84 @@ def connected_components(
         )
     return labels.select(F.col("v").alias(vertex_col),
                          F.col("label").alias("component"))
+
+
+def pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    vertex_col: str,
+    src_col: str,
+    dst_col: str,
+    iters: int = 3,
+    damping: float = 0.85,
+    round_dp: int = 10,
+) -> DataFrame:
+    """Fixed-iteration PageRank with engine-replayable arithmetic:
+    (vertex, pr) after ``iters`` power iterations of
+    pr(v) = (1-d)/N + d * sum_{u->v} pr(u)/outdeg(u).
+
+    Determinism discipline: each contribution pr(u)/outdeg(u) is
+    scaled to a FIXED-POINT integer (round(pr * 1e12 / outdeg)) before
+    the neighbor sum, so the reduce is an exact BIGINT sum —
+    order/partitioning-independent — and the int -> double conversion
+    after the sum is exact as long as total scaled mass stays below
+    2^53 (total rank mass is ~1.0, i.e. ~1e12 scaled: 4000x headroom).
+    A plain double sum would drift with shuffle order; a DECIMAL sum
+    is exact too but its decimal->double CAST rounds differently
+    across engines at the last ulp (observed vs DuckDB at sf0.01),
+    which the integer path avoids. The new rank rounds to
+    ``round_dp``.
+
+    Scale shape: one join edges x (deg, pr) + one groupBy(dst) per
+    iteration — the standard shuffle-bound power iteration; lineage is
+    truncated per round. The vertex-count scalar N stays distributed
+    (broadcast 1-row frame). Vertices with no outgoing edges simply
+    contribute nothing (classic dangling-mass simplification, noted so
+    the oracle replays the same recurrence).
+    """
+    v = vertices.select(F.col(vertex_col).alias("v")).distinct()
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    deg = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    n_df = v.agg(F.count(F.lit(1)).cast("long").alias("N"))
+    pr = v.crossJoin(F.broadcast(n_df)).select(
+        "v",
+        F.round(F.lit(1.0) / F.col("N"), round_dp).alias("pr"),
+    ).localCheckpoint(eager=False)
+    base = F.lit(1.0) - F.lit(damping)
+    for _ in range(iters):
+        contrib = (
+            e.join(deg, "src")
+            .join(pr.withColumnRenamed("v", "src"), "src")
+            .select(
+                "dst",
+                F.round(F.col("pr") * F.lit(1e12) / F.col("outdeg"), 0)
+                .cast("long")
+                .alias("contrib"),
+            )
+        )
+        sums = contrib.groupBy("dst").agg(
+            F.sum("contrib").cast("long").alias("s")
+        )
+        pr = (
+            v.join(sums, v.v == sums.dst, "left")
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "v",
+                F.round(
+                    base / F.col("N")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                        / F.lit(1e12)
+                    ),
+                    round_dp,
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr

@@ -5572,3 +5572,737 @@ b{i + 1} AS (
 ORACLE_BPE_MERGES = _bpe_oracle()
 
 QUERIES["bpe_merges"] = QuerySpec(q_bpe_merges, ORACLE_BPE_MERGES)
+
+
+def q_bpe_encode_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY (functions/bpe.py::bpe_encode): train the
+    merge table on the documents corpus, then encode a table the
+    vocab never saw (part names) — the serving half of the tokenizer
+    story (train -> encode -> count). Emits the full token sequence
+    per part ('|'-joined) so the hash checks every token boundary,
+    not just counts. Encoding is shuffle-free: merges are 4 driver
+    scalars, each applied as a map-side exact-greedy fold."""
+    from data_pipeline_mlops_spark.functions import bpe
+
+    merges, _ = bpe.bpe_train(
+        _docs(spark, sf_dir),
+        "text",
+        n_merges=_BPE_MERGES,
+        max_chars=_BPE_MAX_CHARS,
+    )
+    part = load_table(spark, sf_dir, "part")
+    enc = bpe.bpe_encode(part, merges, "p_name", max_chars=_BPE_MAX_CHARS)
+    return enc.select(
+        "p_partkey",
+        F.size("sym").cast("long").alias("n_tokens"),
+        F.size(F.filter("sym", lambda x: F.length(x) > 1))
+        .cast("long")
+        .alias("n_merged"),
+        F.array_join("sym", "|").alias("toks"),
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    """Replays the documents-corpus training chain (same CTEs as
+    ORACLE_BPE_MERGES), then applies each m{i} to the part-name
+    symbol arrays with the identical index-arithmetic greedy
+    transform, carrying p_partkey through."""
+    train = _bpe_oracle().rsplit("\nSELECT 0 AS iteration", 1)[0]
+    # train ends with the b{n} CTE; append the encode chain.
+    parts = [
+        train,
+        f""",
+e0 AS (
+  SELECT p_partkey, string_split(c, '') AS l
+  FROM (
+    SELECT p_partkey,
+           regexp_replace(lower(substring(p_name, 1, {_BPE_MAX_CHARS})),
+                          '[^a-z ]', '', 'g') AS c
+    FROM part) q
+  WHERE length(c) > 0
+)""",
+    ]
+    for i in range(_BPE_MERGES):
+        parts.append(f""",
+e{i + 1} AS (
+  SELECT p_partkey,
+         list_filter(
+           list_transform(range(1, len(l) + 1), k ->
+             CASE WHEN list_contains(s, k) THEN a || b
+                  WHEN list_contains(s, k - 1) THEN NULL
+                  ELSE l[k] END),
+           x -> x IS NOT NULL) AS l
+  FROM (
+    SELECT p_partkey, l, a, b,
+           list_filter(
+             list_filter(range(1, len(l)),
+                         k -> l[k] = a AND l[k + 1] = b),
+             k -> (k - (list_max(list_filter(
+                     [0] || list_filter(
+                              range(1, len(l)),
+                              j -> NOT (l[j] = a AND l[j + 1] = b)),
+                     j -> j < k)) + 1)) % 2 = 0) AS s
+    FROM e{i}, m{i}
+  ) qe{i}
+)""")
+    parts.append(f"""
+SELECT p_partkey,
+       CAST(len(l) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(l, x -> length(x) > 1)) AS BIGINT)
+         AS n_merged,
+       array_to_string(l, '|') AS toks
+FROM e{_BPE_MERGES}""")
+    return "".join(parts)
+
+
+QUERIES["bpe_encode_parts"] = QuerySpec(
+    q_bpe_encode_parts, _bpe_encode_oracle()
+)
+
+
+# --------------------------------------------------------------------------
+# feature engineering / entity resolution / data quality (round 5,
+# session 3: beyond-reference operators a pipeline user needs)
+# --------------------------------------------------------------------------
+
+
+def q_customer_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time rolling features (the feature-store shape): for
+    every order, the customer's trailing-90-day and lifetime order
+    count/spend AS OF that order — no leakage from the future. RANGE
+    frames over an integer day key make the result deterministic
+    under same-day ties (all peers join the frame in both engines);
+    sums route through DECIMAL so frame totals are order-independent.
+    One shuffle on customer; each frame is computed in the same
+    window pass. Day arithmetic goes through timeutil.epoch_s so the
+    result is identical under any driver session timezone."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(epoch_s("o_orderdate") / F.lit(86400))
+        .cast("long")
+        .alias("day"),
+        "o_totalprice",
+    )
+    w90 = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-90, 0)
+    wlife = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    spend = F.col("o_totalprice").cast("decimal(38,6)")
+    return d.select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        F.count(F.lit(1)).over(w90).cast("long").alias("orders_90d"),
+        F.round(F.sum(spend).over(w90).cast("double"), 2).alias("spend_90d"),
+        F.count(F.lit(1)).over(wlife).cast("long").alias("orders_lifetime"),
+        F.round(F.sum(spend).over(wlife).cast("double"), 2).alias(
+            "spend_lifetime"
+        ),
+    )
+
+
+ORACLE_CUSTOMER_ROLLING_FEATURES = """
+SELECT o_orderkey, o_custkey, day,
+       CAST(COUNT(*) OVER w90 AS BIGINT) AS orders_90d,
+       CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w90
+                       AS DOUBLE), 2) AS DOUBLE) AS spend_90d,
+       CAST(COUNT(*) OVER wlife AS BIGINT) AS orders_lifetime,
+       CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER wlife
+                       AS DOUBLE), 2) AS DOUBLE) AS spend_lifetime
+FROM (SELECT o_orderkey, o_custkey,
+             CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT)
+               AS day,
+             o_totalprice
+      FROM orders) t
+WINDOW w90 AS (PARTITION BY o_custkey ORDER BY day
+               RANGE BETWEEN 90 PRECEDING AND CURRENT ROW),
+       wlife AS (PARTITION BY o_custkey ORDER BY day
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES["customer_rolling_features"] = QuerySpec(
+    q_customer_rolling_features, ORACLE_CUSTOMER_ROLLING_FEATURES
+)
+
+
+def q_fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching (operators/fuzzy.py): candidate
+    duplicate part listings within levenshtein distance 3, blocked
+    on the name's last token so the verifier never sees all-pairs.
+    Dedupes to distinct names (with row counts) BEFORE the join —
+    at 100 TB the distinct-name relation is what shuffles, not the
+    fact table."""
+    from data_pipeline_mlops_spark.operators import fuzzy
+
+    p = load_table(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    return fuzzy.blocked_levenshtein_pairs(
+        names,
+        "p_name",
+        F.element_at(F.split("p_name", " "), -1),
+        max_dist=3,
+        carry=["n_rows"],
+    ).select("name_a", "name_b", "dist", "n_rows_a", "n_rows_b")
+
+
+ORACLE_FUZZY_PART_MATCHES = """
+WITH n AS (
+  SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         string_split(p_name, ' ')[-1] AS block
+  FROM part GROUP BY 1
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+       a.n_rows AS n_rows_a, b.n_rows AS n_rows_b
+FROM n a JOIN n b ON a.block = b.block AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+QUERIES["fuzzy_part_matches"] = QuerySpec(
+    q_fuzzy_part_matches, ORACLE_FUZZY_PART_MATCHES
+)
+
+
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative DQ expectation suite (operators/expectations.py)
+    over the lineitem fact: four row-level predicates evaluated in
+    ONE shared aggregation pass, a composite-key uniqueness check
+    (the one with real violations in the testdata), and a
+    referential probe against orders (broadcast left_anti).
+    Generalizes the reference's ad-hoc quality gate
+    (dags/daily_pipeline.py:120-135) into a reusable suite."""
+    from data_pipeline_mlops_spark.operators import expectations as X
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return X.run_expectations(
+        li,
+        row_checks=[
+            X.RowCheck("not_null:l_orderkey", F.col("l_orderkey").isNotNull()),
+            X.RowCheck("positive:l_quantity", F.col("l_quantity") > 0),
+            X.RowCheck(
+                "nonempty:l_returnflag",
+                F.col("l_returnflag").isNotNull()
+                & (F.col("l_returnflag") != ""),
+            ),
+            X.RowCheck(
+                "range:l_discount",
+                (F.col("l_discount") >= 0) & (F.col("l_discount") <= 1),
+            ),
+        ],
+        unique_checks=[
+            X.UniqueCheck(
+                "unique:l_orderkey,l_linenumber",
+                ["l_orderkey", "l_linenumber"],
+            )
+        ],
+        ref_checks=[
+            X.RefCheck("ref:l_orderkey->orders", "l_orderkey", o, "o_orderkey")
+        ],
+    )
+
+
+ORACLE_DQ_EXPECTATIONS = """
+WITH rowagg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+         CAST(COUNT(*) FILTER (WHERE (l_orderkey IS NOT NULL)
+                               IS NOT TRUE) AS BIGINT) AS v0,
+         CAST(COUNT(*) FILTER (WHERE (l_quantity > 0)
+                               IS NOT TRUE) AS BIGINT) AS v1,
+         CAST(COUNT(*) FILTER (WHERE (l_returnflag IS NOT NULL
+                                      AND l_returnflag <> '')
+                               IS NOT TRUE) AS BIGINT) AS v2,
+         CAST(COUNT(*) FILTER (WHERE (l_discount >= 0 AND l_discount <= 1)
+                               IS NOT TRUE) AS BIGINT) AS v3,
+         CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+              AS BIGINT) AS vu
+  FROM lineitem
+),
+orph AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS vr
+  FROM lineitem t
+  WHERE l_orderkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_orderkey = t.l_orderkey)
+)
+SELECT 'not_null:l_orderkey' AS constraint_name, total,
+       v0 AS violations, v0 = 0 AS passed FROM rowagg
+UNION ALL
+SELECT 'positive:l_quantity', total, v1, v1 = 0 FROM rowagg
+UNION ALL
+SELECT 'nonempty:l_returnflag', total, v2, v2 = 0 FROM rowagg
+UNION ALL
+SELECT 'range:l_discount', total, v3, v3 = 0 FROM rowagg
+UNION ALL
+SELECT 'unique:l_orderkey,l_linenumber', total, vu, vu = 0 FROM rowagg
+UNION ALL
+SELECT 'ref:l_orderkey->orders', total, vr, vr = 0 FROM rowagg, orph
+"""
+
+QUERIES["dq_expectations"] = QuerySpec(
+    q_dq_expectations, ORACLE_DQ_EXPECTATIONS
+)
+
+
+def q_dup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster canonicalization: after clustering near-dups
+    (capped-pair connected components), keep the BEST-quality doc per
+    cluster instead of the arbitrary min-id — the survivorship rule a
+    real corpus pipeline wants (cluster -> canonical doc). Argmax is
+    a per-component window on (quality DESC, doc_id ASC); quality is
+    the deterministic 6-dp composite from functions/text.py, so the
+    tiebreak is engine-portable. Adds one join + one window shuffle
+    on component over the clustering cost."""
+    from pyspark.sql import Window
+
+    from data_pipeline_mlops_spark.functions.graph import (
+        connected_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup_text.ngram_jaccard_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        n=3,
+        threshold=0.05,
+        max_shingle_freq=50,
+    )
+    cc = connected_components(
+        docs, pairs, vertex_col="doc_id", src_col="id_a", dst_col="id_b"
+    )
+    q = text.with_quality_score(docs, "text").select(
+        "doc_id", "quality_score"
+    )
+    j = cc.join(q, "doc_id")
+    w = (
+        Window.partitionBy("component")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    kept = F.first("doc_id").over(w)
+    return j.select(
+        "doc_id",
+        "component",
+        "quality_score",
+        kept.alias("kept_doc"),
+        (F.col("doc_id") == kept).alias("keep"),
+    )
+
+
+ORACLE_DUP_CLUSTER_KEEP_BEST = f"""
+WITH RECURSIVE pairs AS ({{ngram_capped}}),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(v, label) AS (
+  SELECT doc_id AS v, doc_id AS label FROM documents
+  UNION
+  SELECT s.a AS v, r.label FROM sym s JOIN reach r ON r.v = s.b
+),
+comp AS (
+  SELECT v AS doc_id, MIN(label) AS component FROM reach GROUP BY v
+),
+q AS (
+  SELECT doc_id, quality_score FROM ({{doc_quality}}) qq
+)
+SELECT c.doc_id, c.component, q.quality_score,
+       FIRST_VALUE(c.doc_id) OVER w AS kept_doc,
+       c.doc_id = FIRST_VALUE(c.doc_id) OVER w AS keep
+FROM comp c JOIN q ON q.doc_id = c.doc_id
+WINDOW w AS (PARTITION BY c.component
+             ORDER BY q.quality_score DESC, c.doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+QUERIES["dup_cluster_keep_best"] = QuerySpec(
+    q_dup_cluster_keep_best,
+    ORACLE_DUP_CLUSTER_KEEP_BEST.format(
+        ngram_capped=ORACLE_NGRAM_JACCARD_CAPPED,
+        doc_quality=ORACLE_DOC_QUALITY,
+    ),
+)
+
+
+def _emb_cluster_parts(spark: SparkSession, sf_dir: str):
+    """Full-vector k-means over the embeddings (k=8, 2 deterministic
+    Lloyd iterations): ml/pq.py::lloyd_codebooks with m=1 IS k-means
+    on the whole vector (one segment = the full 64 dims), so the
+    trained-PQ machinery (decimal-exact means, code-asc tiebreak,
+    empty-cluster carry-forward) is reused verbatim. Seeds are the 8
+    lowest-id vectors — pure data, no RNG."""
+    from data_pipeline_mlops_spark.ml import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = similarity._to_double(F.col("embedding"))
+    seeds = emb.where(F.col("vec_id") < 8).select(
+        F.lit(0).cast("int").alias("segment"),
+        F.col("vec_id").cast("int").alias("code"),
+        v.alias("centroid"),
+    )
+    cb = pq.lloyd_codebooks(
+        emb, seeds, id_col="vec_id", vec_col="embedding",
+        dim=64, m=1, iters=2,
+    )
+    assigned = pq.pq_encode(
+        emb, cb, id_col="vec_id", vec_col="embedding", dim=64, m=1
+    ).select("vec_id", F.col("code").cast("int").alias("cluster"))
+    return emb, assigned
+
+
+def q_embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic corpus clustering: every embedding assigned to one of
+    8 trained k-means cells (the SemDeDup / cluster-curation
+    building block). The oracle replays BOTH Lloyd iterations and
+    the final assignment in SQL — training checked, not just the
+    argmin."""
+    _, assigned = _emb_cluster_parts(spark, sf_dir)
+    return assigned
+
+
+def _kmeans_lloyd_sql() -> str:
+    """Unrolled 2-iteration full-vector Lloyd replay (the m=1 twin of
+    _pq_lloyd_iteration_sql, 64 dims, k=8 lowest-id seeds)."""
+    dist = """list_reduce(
+               list_transform(range(1, 65),
+                 j -> (v.e[j] - cb.centroid[j])
+                      * (v.e[j] - cb.centroid[j])),
+               (a, b) -> a + b)"""
+    parts = ["""
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+cb0 AS (
+  SELECT CAST(vec_id AS INTEGER) AS code, e AS centroid
+  FROM v WHERE vec_id < 8
+)"""]
+    for i in range(2):
+        parts.append(f""",
+a{i} AS (
+  SELECT vec_id, code, e FROM (
+    SELECT v.vec_id, cb.code, v.e,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {dist} ASC, cb.code ASC) AS rn
+    FROM v JOIN cb{i} cb ON TRUE) z
+  WHERE rn = 1
+),
+mean{i} AS (
+  SELECT code, d.pos,
+         ROUND(CAST(SUM(CAST(e[d.pos] AS DECIMAL(27,10))) AS DOUBLE)
+               / COUNT(*), 6) AS mv
+  FROM a{i} CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) d
+  GROUP BY 1, 2
+),
+cb{i + 1} AS (
+  SELECT o.code, COALESCE(n.centroid, o.centroid) AS centroid
+  FROM cb{i} o LEFT JOIN (
+    SELECT code, list(mv ORDER BY pos) AS centroid
+    FROM mean{i} GROUP BY 1) n
+  ON n.code = o.code
+)""")
+    parts.append(f""",
+enc AS (
+  SELECT vec_id, code FROM (
+    SELECT v.vec_id, cb.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {dist} ASC, cb.code ASC) AS rn
+    FROM v JOIN cb2 cb ON TRUE) z
+  WHERE rn = 1
+)""")
+    return "".join(parts)
+
+
+ORACLE_EMBEDDING_KMEANS = (
+    "WITH "
+    + _kmeans_lloyd_sql()
+    + "\nSELECT vec_id, CAST(code AS INTEGER) AS cluster FROM enc"
+)
+
+QUERIES["embedding_kmeans_clusters"] = QuerySpec(
+    q_embedding_kmeans_clusters, ORACLE_EMBEDDING_KMEANS
+)
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling: 5 vectors per trained
+    k-means cell, chosen by deterministic md5-rank (the portable
+    hash-reservoir from operators/sample.py) — the curation step that
+    flattens a skewed topic distribution before training. Per-cluster
+    rank is one window over the assignment; nothing leaves the
+    executors but the winners."""
+    from pyspark.sql import Window
+
+    from data_pipeline_mlops_spark.functions.dedup_text import _md5_60
+
+    emb, assigned = _emb_cluster_parts(spark, sf_dir)
+    j = assigned.join(emb.select("vec_id", "label"), "vec_id")
+    w = Window.partitionBy("cluster").orderBy(
+        _md5_60(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc()
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("cluster", "vec_id", "label", "rank")
+    )
+
+
+ORACLE_CLUSTER_BALANCED_SAMPLE = (
+    "WITH "
+    + _kmeans_lloyd_sql()
+    + """
+SELECT cluster, vec_id, label, "rank" AS rank FROM (
+  SELECT CAST(e.code AS INTEGER) AS cluster, e.vec_id, b.label,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY e.code
+           ORDER BY CAST('0x' || substring(
+                      md5(CAST(e.vec_id AS VARCHAR)), 1, 15) AS BIGINT)
+                    ASC, e.vec_id ASC) AS INTEGER) AS "rank"
+  FROM enc e JOIN embeddings b ON b.vec_id = e.vec_id) z
+WHERE "rank" <= 5
+"""
+)
+
+QUERIES["cluster_balanced_sample"] = QuerySpec(
+    q_cluster_balanced_sample, ORACLE_CLUSTER_BALANCED_SAMPLE
+)
+
+
+def q_doc_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 adjacent word pairs by PMI
+    (min count 5) over the documents corpus — the classic corpus
+    statistic for multi-word expressions. Unigram and bigram counts
+    are map-side-combined groupBys; the PMI needs only the two tiny
+    total scalars (broadcast), and the top-k is TakeOrdered (no
+    global shuffle of the pair relation). The log-sum form
+    ln(c_ab)-ln(B)-ln(c_a)-ln(c_b)+2ln(T) is written with the same
+    association order in both engines so the rounded doubles agree."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    tk = _materialize(docs.select(text.tokens("text").alias("tk")))
+    uni = _materialize(
+        tk.select(F.explode("tk").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = uni.agg(F.sum("cnt").cast("long").alias("n_tok_total"))
+    n = F.size(F.col("tk"))
+    pairs = tk.select(
+        F.explode(
+            F.zip_with(
+                F.slice("tk", F.lit(1), n - 1),
+                F.slice("tk", F.lit(2), n - 1),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    big = _materialize(
+        pairs.groupBy("a", "b").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt_ab")
+        )
+    )
+    btot = big.agg(F.sum("cnt_ab").cast("long").alias("n_big_total"))
+    ub = uni.select(
+        F.col("tok").alias("__tok_b"), F.col("cnt").alias("cnt_b")
+    )
+    j = (
+        big.where(F.col("cnt_ab") >= 5)
+        .join(
+            uni.select(F.col("tok").alias("a"), F.col("cnt").alias("cnt_a")),
+            "a",
+        )
+        .join(ub, F.col("b") == F.col("__tok_b"))
+        .drop("__tok_b")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+    )
+    pmi = F.round(
+        F.log("cnt_ab")
+        - F.log("n_big_total")
+        - F.log("cnt_a")
+        - F.log("cnt_b")
+        + F.log("n_tok_total")
+        + F.log("n_tok_total"),
+        6,
+    )
+    s = j.select(
+        "a", "b", "cnt_ab", "cnt_a", "cnt_b", pmi.alias("pmi")
+    )
+    top = s.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b")).limit(20)
+    w = Window.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+ORACLE_DOC_COLLOCATIONS = r"""
+WITH tks AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
+),
+uni AS (
+  SELECT u.t AS tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tks, UNNEST(tk) u(t) GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS T FROM uni),
+big AS (
+  SELECT u.pr[1] AS a, u.pr[2] AS b, CAST(COUNT(*) AS BIGINT) AS cnt_ab
+  FROM tks, UNNEST(list_zip(tk[1:len(tk) - 1], tk[2:len(tk)])) u(pr)
+  GROUP BY 1, 2
+),
+btot AS (SELECT CAST(SUM(cnt_ab) AS BIGINT) AS B FROM big),
+s AS (
+  SELECT g.a, g.b, g.cnt_ab, ua.cnt AS cnt_a, ub.cnt AS cnt_b,
+         ROUND(ln(g.cnt_ab) - ln(bt.B) - ln(ua.cnt) - ln(ub.cnt)
+               + ln(t.T) + ln(t.T), 6) AS pmi
+  FROM big g
+  JOIN uni ua ON ua.tok = g.a
+  JOIN uni ub ON ub.tok = g.b, tot t, btot bt
+  WHERE g.cnt_ab >= 5
+)
+SELECT a, b, cnt_ab, cnt_a, cnt_b, pmi,
+       CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, a, b) AS INTEGER)
+         AS "rank"
+FROM s
+QUALIFY "rank" <= 20
+"""
+
+QUERIES["doc_collocations"] = QuerySpec(
+    q_doc_collocations, ORACLE_DOC_COLLOCATIONS
+)
+
+
+def q_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the item co-purchase graph (functions/graph.py::
+    pagerank): items are vertices, edges connect items bought in the
+    same order — 3 deterministic power iterations with decimal-exact
+    neighbor sums, so the DuckDB oracle replays every iteration
+    bit-for-bit (the second iterative-graph algorithm next to
+    connected components). The co-purchase self-join is the same
+    bounded basket join the CF tier uses."""
+    from data_pipeline_mlops_spark.functions.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    inter = _materialize(
+        li.select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_partkey").alias("item"),
+        ).distinct()
+    )
+    edges = (
+        inter.alias("a")
+        .join(inter.alias("b"), "ok")
+        .where(F.col("a.item") != F.col("b.item"))
+        .select(
+            F.col("a.item").alias("src"), F.col("b.item").alias("dst")
+        )
+    )
+    verts = inter.select("item").distinct()
+    pr = pagerank(
+        verts, edges, vertex_col="item", src_col="src", dst_col="dst",
+        iters=3,
+    )
+    return pr.select(F.col("v").alias("item"), "pr")
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    parts = ["""
+WITH inter AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+),
+ed AS (
+  SELECT DISTINCT a.item AS src, b.item AS dst
+  FROM inter a JOIN inter b ON a.ok = b.ok AND a.item <> b.item
+),
+deg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM ed GROUP BY 1
+),
+verts AS (SELECT DISTINCT item AS v FROM inter),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM verts),
+pr0 AS (
+  SELECT v, ROUND(CAST(1.0 AS DOUBLE) / nn.N, 10) AS pr FROM verts, nn
+)"""]
+    for i in range(iters):
+        parts.append(f""",
+c{i} AS (
+  SELECT e.dst,
+         CAST(ROUND(p.pr * 1e12 / d.outdeg, 0) AS BIGINT) AS contrib
+  FROM ed e JOIN deg d ON d.src = e.src JOIN pr{i} p ON p.v = e.src
+),
+s{i} AS (
+  SELECT dst, CAST(SUM(contrib) AS BIGINT) AS s FROM c{i} GROUP BY 1
+),
+pr{i + 1} AS (
+  SELECT v.v,
+         ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.N
+               + CAST(0.85 AS DOUBLE)
+                 * (CAST(COALESCE(s.s, 0) AS DOUBLE) / 1e12),
+               10) AS pr
+  FROM verts v LEFT JOIN s{i} s ON s.dst = v.v, nn
+)""")
+    parts.append(f"\nSELECT v AS item, pr FROM pr{iters}")
+    return "".join(parts)
+
+
+QUERIES["item_pagerank"] = QuerySpec(q_item_pagerank, _pagerank_oracle())
+
+
+def q_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (the search-side building block):
+    one row per (term, doc) with term frequency, first position
+    (1-based), and document frequency — i.e. the postings relation a
+    full-text index materializes. Shape: posexplode -> one groupBy on
+    (term, doc) -> df via a window on term. Terms with df < 2 are
+    dropped (hapax legomena dominate the vocabulary but serve no
+    lookup). At skew (stopword terms) the term-window partition is
+    the hot spot — cap or salt in a real deployment; noted here
+    because the synthetic vocabulary is small."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id", F.posexplode(text.tokens("text")).alias("pos", "term")
+    )
+    g = t.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        (F.min("pos") + 1).cast("long").alias("first_pos"),
+    )
+    w = Window.partitionBy("term")
+    return (
+        g.withColumn("df", F.count(F.lit(1)).over(w).cast("long"))
+        .where(F.col("df") >= 2)
+        .select("term", "doc_id", "tf", "first_pos", "df")
+    )
+
+
+ORACLE_TERM_POSTINGS = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents
+),
+t AS (
+  SELECT doc_id, tk[r.i] AS term, r.i AS ord
+  FROM d, UNNEST(range(1, len(tk) + 1)) r(i)
+),
+g AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
+         CAST(MIN(ord) AS BIGINT) AS first_pos
+  FROM t GROUP BY 1, 2
+)
+SELECT term, doc_id, tf, first_pos,
+       CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+FROM g
+QUALIFY df >= 2
+"""
+
+QUERIES["term_postings"] = QuerySpec(q_term_postings, ORACLE_TERM_POSTINGS)
