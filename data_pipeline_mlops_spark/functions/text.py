@@ -498,3 +498,42 @@ def trim_lines(
         F.size(kept).alias("n_kept"),
         F.array_join(kept, "\n").alias("trimmed_text"),
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Fixed-size token windows with overlap (window - stride tokens):
+    the standard context-window chunking step before embedding or LM
+    training when documents exceed the model's sequence length.
+
+    One narrow projection + one explode — no shuffle, no UDF: chunk
+    starts are a `sequence(1, n_tokens, stride)` array, each chunk a
+    `slice` of the (aliased-once) token array. Output one row per
+    chunk: (id, chunk_id, start_pos, n_tokens, chunk_text) with
+    1-based start positions; the trailing chunk is shorter than
+    `window` rather than dropped (nothing is lost; dedupe downstream
+    handles near-identical tails).
+    """
+    t = df.withColumn("__toks", tokens(text_col))
+    n = F.size("__toks")
+    ch = t.select(
+        id_col,
+        "__toks",
+        F.posexplode(F.sequence(F.lit(1), n, F.lit(stride))).alias(
+            "chunk_id", "start_pos"
+        ),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("start_pos"), window)
+    return ch.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start_pos").cast("long").alias("start_pos"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -6306,3 +6306,36 @@ QUALIFY df >= 2
 """
 
 QUERIES["term_postings"] = QuerySpec(q_term_postings, ORACLE_TERM_POSTINGS)
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (functions/text.py::chunk_tokens):
+    64-token windows at stride 48 (16-token overlap) — the sequence-
+    length prep step before embedding/LM training. Zero-shuffle
+    (explode of a start-sequence + slices of the aliased token
+    array); the full chunk text is emitted so the hash checks every
+    window boundary."""
+    return text.chunk_tokens(
+        _docs(spark, sf_dir), "text", "doc_id", window=64, stride=48
+    )
+
+
+ORACLE_DOC_CHUNKS = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST((r.s - 1) // 48 AS BIGINT) AS chunk_id,
+         CAST(r.s AS BIGINT) AS start_pos,
+         tk[r.s : least(r.s + 63, len(tk))] AS chunk
+  FROM d, UNNEST(range(1, len(tk) + 1, 48)) r(s)
+)
+SELECT doc_id, chunk_id, start_pos,
+       CAST(len(chunk) AS BIGINT) AS n_tokens,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM c
+"""
+
+QUERIES["doc_chunks"] = QuerySpec(q_doc_chunks, ORACLE_DOC_CHUNKS)

@@ -178,6 +178,29 @@ def test_keep_best_keeps_max_quality_per_component(spark):
     assert kept_total == len(by_comp)
 
 
+# ------------------------------------------------------------ chunking
+def test_chunks_cover_and_reconstruct(spark):
+    from data_pipeline_mlops_spark.functions.text import chunk_tokens
+
+    words = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    rows = sorted(
+        chunk_tokens(df, window=64, stride=48).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # starts advance by stride; every token covered; first `stride`
+    # tokens of each chunk concatenate back to the original
+    assert [r.start_pos for r in rows] == [1, 49, 97, 145]
+    assert rows[-1].n_tokens == 150 - 144  # short tail kept
+    recon = []
+    for r in rows:
+        recon.extend(r.chunk_text.split(" ")[:48])
+    assert recon[:150] == words.split(" ")
+    # overlap: chunk k shares its last (64-48) tokens with chunk k+1
+    a, b = rows[0].chunk_text.split(" "), rows[1].chunk_text.split(" ")
+    assert a[48:] == b[: 64 - 48]
+
+
 # ------------------------------------------------------------ pagerank
 def test_pagerank_fixed_points_and_isolated_mass(spark):
     from data_pipeline_mlops_spark.functions.graph import pagerank
