@@ -6339,3 +6339,174 @@ FROM c
 """
 
 QUERIES["doc_chunks"] = QuerySpec(q_doc_chunks, ORACLE_DOC_CHUNKS)
+
+
+# --------------------------------------------------------------------------
+# lakehouse MERGE INTO + change-data-feed (sources/merge.py)
+# --------------------------------------------------------------------------
+
+_MERGE_COLS_SQL = (
+    "o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+    "CAST(epoch_us(o_orderdate) AS BIGINT) AS order_date_us, o_orderpriority"
+)
+
+
+def _merge_source(orders: DataFrame) -> DataFrame:
+    """Deterministic merge feed over the orders fact, one row per key,
+    branches mutually exclusive by construction:
+      - insert:  o_orderkey % 4 == 0 (keys absent from the target);
+      - update:  % 4 != 0 and % 7 == 0 (price +100, priority tagged;
+        % 14 == 0 additionally MOVES the row to a brand-new partition
+        'X' — exercising cross-partition rewrite);
+      - delete:  % 4 != 0, % 7 != 0, % 5 == 0.
+    """
+    k = F.col("o_orderkey")
+    upd = (k % 4 != 0) & (k % 7 == 0)
+    return orders.where(
+        (k % 4 == 0) | (k % 7 == 0) | (k % 5 == 0)
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(upd & (k % 14 == 0), F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(upd, F.col("o_totalprice") + F.lit(100.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderdate",
+        F.when(upd, F.lit("5-MERGED"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+        ((k % 4 != 0) & (k % 7 != 0) & (k % 5 == 0)).alias("is_delete"),
+    )
+
+
+def _merge_fixture(spark: SparkSession, sf_dir: str):
+    """Build target table (v0) + run the merge (v1); returns
+    (table, v0, v1). Target = orders with key % 4 != 0, hive-
+    partitioned by o_orderstatus in a fresh ManifestTable."""
+    import tempfile
+
+    from data_pipeline_mlops_spark.sources.merge import merge_into
+    from data_pipeline_mlops_spark.sources.txn import ManifestTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    table = ManifestTable(tempfile.mkdtemp(prefix="merge_tbl_"))
+    v0 = table.commit(
+        orders.where(F.col("o_orderkey") % 4 != 0),
+        partition_col="o_orderstatus",
+        mode="replace_all",
+    )
+    v1 = merge_into(
+        spark,
+        table,
+        _merge_source(orders),
+        on=["o_orderkey"],
+        delete_col="is_delete",
+    )
+    return table, v0, v1
+
+
+def q_orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MERGE INTO (sources/merge.py::merge_into): keyed
+    upsert with WHEN MATCHED UPDATE / DELETE and WHEN NOT MATCHED
+    INSERT over a ManifestTable partitioned by o_orderstatus — the
+    operator the reference's overwrite-the-directory daily DAG
+    (dags/daily_pipeline.py) lacks. Only partitions the source touches
+    are rewritten (O(touched), untouched files carry over by manifest
+    pointer); updates that MOVE a row across partitions (status 'X')
+    rewrite both sides. The emitted final state hashes every merged
+    row, so insert/update/delete/move semantics are all value-checked."""
+    table, _v0, _v1 = _merge_fixture(spark, sf_dir)
+    out = table.read(spark)
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        epoch_us("o_orderdate").alias("order_date_us"),
+        "o_orderpriority",
+    )
+
+
+ORACLE_ORDERS_MERGE = f"""
+WITH src AS (
+  SELECT o_orderkey, o_custkey,
+    CASE WHEN o_orderkey % 4 <> 0 AND o_orderkey % 7 = 0
+              AND o_orderkey % 14 = 0 THEN 'X'
+         ELSE o_orderstatus END AS o_orderstatus,
+    CASE WHEN o_orderkey % 4 <> 0 AND o_orderkey % 7 = 0
+         THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+    o_orderdate,
+    CASE WHEN o_orderkey % 4 <> 0 AND o_orderkey % 7 = 0
+         THEN '5-MERGED' ELSE o_orderpriority END AS o_orderpriority,
+    (o_orderkey % 4 <> 0 AND o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0)
+      AS is_delete
+  FROM orders
+  WHERE o_orderkey % 4 = 0 OR o_orderkey % 7 = 0 OR o_orderkey % 5 = 0
+),
+merged AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority
+  FROM orders
+  WHERE o_orderkey % 4 <> 0
+    AND o_orderkey NOT IN (SELECT o_orderkey FROM src)
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority
+  FROM src WHERE NOT is_delete
+)
+SELECT {_MERGE_COLS_SQL} FROM merged
+"""
+
+QUERIES["orders_merge_upsert"] = QuerySpec(
+    q_orders_merge_upsert, ORACLE_ORDERS_MERGE
+)
+
+
+def q_orders_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two committed snapshots
+    (sources/merge.py::table_changes): the Delta-CDF vocabulary
+    (insert / delete / update_preimage / update_postimage) derived by
+    diffing immutable snapshots. Manifest-level pruning first —
+    partitions whose staged-dir lists are identical in both manifests
+    are never read (immutable dirs => identical bytes) — then one
+    keyed full-outer resolution over the differing partitions only."""
+    from data_pipeline_mlops_spark.sources.merge import table_changes
+
+    table, v0, v1 = _merge_fixture(spark, sf_dir)
+    ch = table_changes(spark, table, v_from=v0, v_to=v1, on=["o_orderkey"])
+    return ch.select(
+        "_change_type",
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        epoch_us("o_orderdate").alias("order_date_us"),
+        "o_orderpriority",
+    )
+
+
+ORACLE_ORDERS_CDC = f"""
+WITH base AS (
+  SELECT {_MERGE_COLS_SQL.replace("CAST(epoch_us(o_orderdate) AS BIGINT)",
+                                  "CAST(epoch_us(o_orderdate) AS BIGINT)")}
+  FROM orders
+)
+SELECT 'insert' AS _change_type, * FROM base WHERE o_orderkey % 4 = 0
+UNION ALL
+SELECT 'delete', * FROM base
+WHERE o_orderkey % 4 <> 0 AND o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0
+UNION ALL
+SELECT 'update_preimage', * FROM base
+WHERE o_orderkey % 4 <> 0 AND o_orderkey % 7 = 0
+UNION ALL
+SELECT 'update_postimage', o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 14 = 0 THEN 'X' ELSE o_orderstatus END,
+       o_totalprice + 100.0,
+       CAST(epoch_us(o_orderdate) AS BIGINT),
+       '5-MERGED'
+FROM orders WHERE o_orderkey % 4 <> 0 AND o_orderkey % 7 = 0
+"""
+
+QUERIES["orders_cdc_diff"] = QuerySpec(q_orders_cdc_diff, ORACLE_ORDERS_CDC)

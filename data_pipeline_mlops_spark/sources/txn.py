@@ -144,6 +144,7 @@ class ManifestTable:
         partition_col: str | None = None,
         mode: str = "replace_partitions",
         max_retries: int = 5,
+        drop_partitions: list | None = None,
     ) -> int:
         """Stage ``df``'s files, then commit a new snapshot; returns the
         committed version.
@@ -156,12 +157,28 @@ class ManifestTable:
             the upsert sink's contract).
           - ``append``: df's files are added alongside existing ones.
 
+        ``drop_partitions`` (replace_partitions only) removes those
+        logical partition VALUES from the base snapshot even when the
+        staged df carries no rows for them — the MERGE case where every
+        row of a touched partition was deleted: staging writes no dir
+        for an empty partition, so without the explicit drop the stale
+        base files would silently carry over.
+
         Staging happens ONCE; only the manifest step retries on
         conflict (the data files are already durable and get re-pointed
         at the new base version)."""
         if mode not in ("replace_all", "replace_partitions", "append"):
             raise ValueError(f"unknown commit mode {mode!r}")
+        if drop_partitions and mode != "replace_partitions":
+            raise ValueError("drop_partitions requires replace_partitions")
         staged = self._stage(df, partition_col)
+        from urllib.parse import unquote
+
+        drop_keys = (
+            {f"{partition_col}={v}" for v in drop_partitions}
+            if drop_partitions
+            else set()
+        )
         for _ in range(max_retries):
             base_v = self.latest_version()
             base: dict[str, list[str]] = (
@@ -174,7 +191,10 @@ class ManifestTable:
             if mode == "replace_all":
                 parts = {k: [d] for k, d in staged.items()}
             elif mode == "replace_partitions":
-                parts = base
+                parts = {
+                    k: v for k, v in base.items()
+                    if unquote(k) not in drop_keys
+                }
                 for k, d in staged.items():
                     parts[k] = [d]
             else:  # append

@@ -31,6 +31,14 @@ ALLOWED = {
         "inline it as a plan literal (bounded by construction, same "
         "adjudication as ml/ivf.py's centroid collect)"
     ),
+    "streaming/dq_stream.py": (
+        "applied-batch-id probe: distinct batch ids from the report "
+        "table (bounded by batch count, the exactly-once marker read)"
+    ),
+    "sources/merge.py": (
+        "touched-partition list for MERGE: bounded by partition-value "
+        "count (metadata scale), same adjudication as upsert_sink"
+    ),
     "streaming/alert_stream.py": (
         "webhook sink iterates the post-filter alert residue on the "
         "driver by design (see its docstring for the executor-side "
