@@ -6510,3 +6510,78 @@ FROM orders WHERE o_orderkey % 4 <> 0 AND o_orderkey % 7 = 0
 """
 
 QUERIES["orders_cdc_diff"] = QuerySpec(q_orders_cdc_diff, ORACLE_ORDERS_CDC)
+
+
+def q_doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (functions/retrieval.py::bm25_topk):
+    top-20 docs for the query {spark, hash, window} with Lucene-style
+    smoothed idf, k1=1.2, b=0.75. The per-doc score is a FIXED-ORDER
+    sum of per-term components (float addition is not associative;
+    an unordered SUM(double) would be partitioning-dependent), so the
+    LN-derived doubles are bit-reproducible and safe to hash at 6 dp.
+    Scale: the query-term filter lands right after the token explode,
+    so the shuffled relation is O(|query| x matching docs); global
+    top-k is TakeOrderedAndProject, not a single-partition window."""
+    from data_pipeline_mlops_spark.functions.retrieval import bm25_topk
+
+    return bm25_topk(
+        _docs(spark, sf_dir),
+        ["spark", "hash", "window"],
+        id_col="doc_id",
+        text_col="text",
+        k=20,
+    )
+
+
+ORACLE_DOC_BM25 = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(len(tk)) AS total_dl FROM d
+),
+t AS (
+  SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM d
+),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf
+  FROM t WHERE term IN ('spark', 'hash', 'window')
+  GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+rows_ AS (
+  SELECT tf.doc_id, tf.term,
+    LN(1.0 + ((CAST(stats.n_docs AS DOUBLE) - dfreq.df) + 0.5)
+             / (dfreq.df + 0.5))
+    * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)
+       / (CAST(tf.tf AS DOUBLE)
+          + 1.2 * ((1.0 - 0.75)
+                   + (0.75 * CAST(tf.dl AS DOUBLE))
+                     / (CAST(stats.total_dl AS DOUBLE)
+                        / CAST(stats.n_docs AS DOUBLE)))))
+      AS part
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+),
+g AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+         COALESCE(MAX(CASE WHEN term = 'spark' THEN part END), 0.0) AS p0,
+         COALESCE(MAX(CASE WHEN term = 'hash' THEN part END), 0.0) AS p1,
+         COALESCE(MAX(CASE WHEN term = 'window' THEN part END), 0.0) AS p2
+  FROM rows_ GROUP BY 1
+),
+scored AS (
+  SELECT doc_id, n_terms_matched,
+         ROUND(((0.0 + p0) + p1) + p2, 6) AS score
+  FROM g
+)
+SELECT doc_id, n_terms_matched, score,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER)
+         AS "rank"
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 20
+"""
+
+QUERIES["doc_bm25_search"] = QuerySpec(q_doc_bm25_search, ORACLE_DOC_BM25)
