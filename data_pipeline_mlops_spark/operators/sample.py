@@ -88,3 +88,84 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(int(rate * _SCALE))
         ).otherwise(threshold)
     return df.where(_keep_hash(id_col, seed, method) < threshold)
+
+
+def systematic_pps_sample(
+    df: DataFrame,
+    *,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+    method: str = "md5",
+) -> DataFrame:
+    """Weighted sampling proportional to size (PPS) by SYSTEMATIC
+    selection over an integer cumulative-weight axis — fully
+    integer-exact, so the selection is identical on any engine and any
+    partitioning (no float thresholds, unlike exponential-key A-ES).
+
+    Rows are laid on a deterministic axis ordered by (hash(id, seed),
+    id); a row occupying cumulative interval (cum - w, cum] is picked
+    ``n_picks = (cum*k) div total - ((cum-w)*k) div total`` times —
+    i.e. once per multiple of total/k its interval covers. Every row
+    with w > total/k is guaranteed selected (possibly multiply);
+    expected picks are exactly k * w / total.
+
+    Scale shape: the global prefix sum is NOT a single-partition
+    window. The hash's top 8 bits split the axis into 256 ranges
+    (bucket order == hash order, so concatenated ranges reproduce the
+    global order); each range cumsums independently under
+    ``Window.partitionBy(bucket)``, then a 256-row offset table —
+    cumulated driver-free in one tiny window — broadcasts back. The
+    wide exchange is one hash-range shuffle of (id, weight), never the
+    payload.
+
+    Overflow bound: cum * k must stay below 2^63 — total_weight * k
+    < 9.2e18 (a 2.5e13-token corpus supports k up to ~360k; raise to
+    decimal(38,0) arithmetic past that).
+
+    Rows with weight <= 0 are dropped (they own no interval).
+    """
+    from pyspark.sql import Window
+
+    w_long = F.col(weight_col).cast("long")
+    base = (
+        df.where(w_long > 0)
+        .withColumn("__w", w_long)
+        .withColumn("__h", _keep_hash(id_col, seed, method))
+        .withColumn("__b", F.shiftright(F.col("__h"), 52))
+    )
+    in_bucket = Window.partitionBy("__b").orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = base.withColumn("__local_cum", F.sum("__w").over(in_bucket))
+
+    btot = base.groupBy("__b").agg(F.sum("__w").alias("__btot"))
+    off_w = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = btot.select(
+        "__b",
+        F.coalesce(F.sum("__btot").over(off_w), F.lit(0)).alias("__off"),
+    )
+    total = base.agg(F.sum("__w").cast("long").alias("__total"))
+
+    cum = F.col("__off") + F.col("__local_cum")
+    picked = (
+        local.join(F.broadcast(offsets), "__b")
+        .crossJoin(F.broadcast(total))
+        .withColumn("__cum", cum.cast("long"))
+        .withColumn(
+            "n_picks",
+            (
+                F.expr(f"(__cum * {k}) DIV __total")
+                - F.expr(f"((__cum - __w) * {k}) DIV __total")
+            ).cast("long"),
+        )
+        .where(F.col("n_picks") >= 1)
+    )
+    return picked.select(
+        *df.columns,
+        F.col("__cum").alias("cum_weight"),
+        F.col("n_picks"),
+    )

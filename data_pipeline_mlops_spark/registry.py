@@ -6585,3 +6585,61 @@ LIMIT 20
 """
 
 QUERIES["doc_bm25_search"] = QuerySpec(q_doc_bm25_search, ORACLE_DOC_BM25)
+
+
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted corpus sampling (operators/sample.py::
+    systematic_pps_sample): k=100 systematic PPS draws over the
+    integer cumulative-token axis — the curation step "sample docs
+    proportional to their token mass" done with EXACT integer
+    arithmetic (no float thresholds, engine- and partitioning-
+    invariant). The prefix sum is bucketed (hash top-bits ranges +
+    broadcast offset table), never a single-partition window; the
+    oracle replays the same axis with one global window, which must
+    agree because bucket order == hash order."""
+    from data_pipeline_mlops_spark.operators.sample import (
+        systematic_pps_sample,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.size(text.tokens("text")).cast("long").alias("n_tokens"),
+    )
+    return systematic_pps_sample(
+        docs, id_col="doc_id", weight_col="n_tokens", k=100, seed=42,
+        method="md5",
+    )
+
+
+ORACLE_DOC_WEIGHTED_SAMPLE = r"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+h AS (
+  SELECT doc_id, lang, n_tokens,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || '42'),
+                            1, 15))::BIGINT AS hh
+  FROM d WHERE n_tokens > 0
+),
+c AS (
+  SELECT doc_id, lang, n_tokens, hh,
+         CAST(SUM(n_tokens) OVER (
+           ORDER BY hh ASC, doc_id ASC ROWS UNBOUNDED PRECEDING)
+           AS BIGINT) AS cum
+  FROM h
+),
+t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM h)
+SELECT doc_id, lang, n_tokens, cum AS cum_weight,
+       CAST((cum * 100) // total
+            - ((cum - n_tokens) * 100) // total AS BIGINT) AS n_picks
+FROM c CROSS JOIN t
+WHERE (cum * 100) // total - ((cum - n_tokens) * 100) // total >= 1
+"""
+
+QUERIES["doc_weighted_sample"] = QuerySpec(
+    q_doc_weighted_sample, ORACLE_DOC_WEIGHTED_SAMPLE
+)

@@ -54,3 +54,49 @@ def test_bm25_term_filter_limits_relation(spark):
     )
     out = bm25_topk(docs, ["a"], k=10).collect()
     assert [r.doc_id for r in out] == [2]
+
+
+def test_pps_sample_exact_total_picks_and_heavy_row(spark):
+    from data_pipeline_mlops_spark.operators.sample import (
+        systematic_pps_sample,
+    )
+
+    rows = [(i, (i % 7) + 1) for i in range(1, 200)] + [(999, 500)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    out = systematic_pps_sample(
+        df, id_col="id", weight_col="w", k=25
+    ).collect()
+    # systematic PPS draws exactly k picks in total
+    assert sum(r.n_picks for r in out) == 25
+    # the heavy row (w=500 > total/k ~ 52) must be selected
+    heavy = [r for r in out if r.id == 999]
+    assert heavy and heavy[0].n_picks >= 1
+
+
+def test_pps_sample_partition_invariant(spark):
+    from data_pipeline_mlops_spark.operators.sample import (
+        systematic_pps_sample,
+    )
+
+    rows = [(i, (i * 13) % 29 + 1) for i in range(1, 400)]
+    df1 = spark.createDataFrame(rows, "id long, w long").repartition(1)
+    df7 = spark.createDataFrame(rows, "id long, w long").repartition(7)
+    pick = lambda df: sorted(
+        (r.id, r.cum_weight, r.n_picks)
+        for r in systematic_pps_sample(
+            df, id_col="id", weight_col="w", k=40
+        ).collect()
+    )
+    assert pick(df1) == pick(df7)
+
+
+def test_pps_sample_drops_nonpositive_weights(spark):
+    from data_pipeline_mlops_spark.operators.sample import (
+        systematic_pps_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, -5), (4, 10)], "id long, w long"
+    )
+    out = systematic_pps_sample(df, id_col="id", weight_col="w", k=2)
+    assert {r.id for r in out.collect()} <= {1, 4}
