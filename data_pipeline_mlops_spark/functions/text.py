@@ -537,3 +537,71 @@ def chunk_tokens(
         F.size(chunk).cast("long").alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def dsir_importance_rank(
+    df: DataFrame,
+    *,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    head_chars: int = 1000,
+    k: int = 100,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    on hashed character-bigram features: rank every document by how
+    much more target-like than corpus-average its bigrams are, and
+    keep the top k — the public-recipe way to skew a 100 TB crawl
+    toward a target domain without training a classifier.
+
+    This is the frequency-ratio variant: per doc we sum the TARGET
+    corpus count and the FULL-corpus count of its bigrams (both exact
+    BIGINTs, same integer discipline as char_bigram_lm_score) and
+    order by the ratio tgt_sum/src_sum. The ratio is a single IEEE
+    division — deterministic on any engine — and only integer sums
+    plus the integer rank are emitted, so the output is hash-stable.
+
+    Scale shape: one bigram explode feeds BOTH frequency tables; each
+    LM is ~|alphabet|^2 rows joined broadcast; the wide exchange is
+    the per-doc sum (map-side partial agg). The top-k is
+    TakeOrderedAndProject.
+    """
+    from pyspark.sql import Window
+
+    d = df.select(
+        F.col(id_col),
+        target_pred.alias("__is_tgt"),
+        F.substring(F.col(text_col), 1, head_chars).alias("__t"),
+    )
+    bigrams = F.when(
+        F.char_length("__t") >= 2,
+        F.expr("transform(sequence(1, char_length(__t) - 1), "
+               "i -> substring(__t, i, 2))"),
+    ).otherwise(F.array().cast("array<string>"))
+    b = d.select(F.col(id_col), "__is_tgt", F.explode(bigrams).alias("__bg"))
+    lm_src = b.groupBy("__bg").agg(F.count(F.lit(1)).alias("__src_c"))
+    lm_tgt = (
+        b.where(F.col("__is_tgt"))
+        .groupBy("__bg")
+        .agg(F.count(F.lit(1)).alias("__tgt_c"))
+    )
+    scored = (
+        b.join(F.broadcast(lm_src), "__bg")
+        .join(F.broadcast(lm_tgt), "__bg", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("__tgt_c"), F.lit(0)))
+            .cast("long")
+            .alias("tgt_sum"),
+            F.sum("__src_c").cast("long").alias("src_sum"),
+        )
+    )
+    ratio = F.col("tgt_sum").cast("double") / F.col("src_sum").cast("double")
+    top = scored.orderBy(
+        ratio.desc(), F.col(id_col).asc()
+    ).limit(k)
+    w = Window.orderBy(ratio.desc(), F.col(id_col).asc())
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select(id_col, "n_bigrams", "tgt_sum", "src_sum", "rank")

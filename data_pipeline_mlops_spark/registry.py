@@ -6643,3 +6643,55 @@ WHERE (cum * 100) // total - ((cum - n_tokens) * 100) // total >= 1
 QUERIES["doc_weighted_sample"] = QuerySpec(
     q_doc_weighted_sample, ORACLE_DOC_WEIGHTED_SAMPLE
 )
+
+
+def q_doc_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style domain selection (functions/text.py::
+    dsir_importance_rank): top-100 documents most 'en'-like by the
+    ratio of target-corpus to full-corpus bigram mass — importance
+    resampling toward a target domain with integer-exact emitted
+    columns (the ratio itself is one IEEE division used only for
+    ordering). Both frequency tables come off a single bigram explode
+    and join broadcast; top-k is TakeOrderedAndProject."""
+    return text.dsir_importance_rank(
+        _docs(spark, sf_dir),
+        target_pred=F.col("lang") == "en",
+        id_col="doc_id",
+        text_col="text",
+        head_chars=1000,
+        k=100,
+    )
+
+
+ORACLE_DOC_DSIR = r"""
+WITH d AS (
+  SELECT doc_id, lang = 'en' AS is_tgt, substring(text, 1, 1000) AS t
+  FROM documents
+),
+b AS (
+  SELECT doc_id, is_tgt, substring(t, r.i, 2) AS bg
+  FROM d, UNNEST(range(1, GREATEST(length(t), 1))) r(i)
+  WHERE length(t) >= 2
+),
+lm_src AS (SELECT bg, COUNT(*) AS src_c FROM b GROUP BY 1),
+lm_tgt AS (SELECT bg, COUNT(*) AS tgt_c FROM b WHERE is_tgt GROUP BY 1),
+scored AS (
+  SELECT b.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(COALESCE(lm_tgt.tgt_c, 0)) AS BIGINT) AS tgt_sum,
+         CAST(SUM(lm_src.src_c) AS BIGINT) AS src_sum
+  FROM b
+  JOIN lm_src USING (bg)
+  LEFT JOIN lm_tgt USING (bg)
+  GROUP BY 1
+)
+SELECT doc_id, n_bigrams, tgt_sum, src_sum,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY CAST(tgt_sum AS DOUBLE) / CAST(src_sum AS DOUBLE) DESC,
+                  doc_id ASC) AS INTEGER) AS "rank"
+FROM scored
+ORDER BY CAST(tgt_sum AS DOUBLE) / CAST(src_sum AS DOUBLE) DESC, doc_id ASC
+LIMIT 100
+"""
+
+QUERIES["doc_dsir_selection"] = QuerySpec(q_doc_dsir_selection, ORACLE_DOC_DSIR)

@@ -100,3 +100,26 @@ def test_pps_sample_drops_nonpositive_weights(spark):
     )
     out = systematic_pps_sample(df, id_col="id", weight_col="w", k=2)
     assert {r.id for r in out.collect()} <= {1, 4}
+
+
+def test_dsir_prefers_target_like_text(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_mlops_spark.functions.text import (
+        dsir_importance_rank,
+    )
+
+    # target docs are pure 'ababab...'; doc 10 mimics them, doc 11 is
+    # made of bigrams the target corpus never contains
+    rows = [(i, "ab" * 50, True) for i in range(5)]
+    rows += [(10, "ab" * 40 + "xy", False), (11, "zq" * 50, False)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, t boolean")
+    out = {
+        r.doc_id: r.rank
+        for r in dsir_importance_rank(
+            df, target_pred=F.col("t"), k=10
+        ).collect()
+    }
+    assert out[10] < out[11]
+    # zq doc has zero target mass -> ranked last
+    assert out[11] == max(out.values())
