@@ -229,11 +229,19 @@ class ManifestTable:
         *,
         version: int | None = None,
         partitions: list | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame:
         """Snapshot read. ``partitions`` prunes manifest-side (the scan
         never lists or opens other partitions' files — manifest-level
         partition pruning, same effect as Iceberg's). ``version`` time
-        travels to an older retained snapshot."""
+        travels to an older retained snapshot.
+
+        ``merge_schema=True`` reads a snapshot whose commits carry
+        DIFFERENT (additive) schemas: parquet footers are merged
+        within each staged dir and the per-dir frames union by name
+        with missing columns as nulls — Delta's additive schema
+        evolution. Off by default: merging footers costs one extra
+        metadata pass and ordinary tables don't need it."""
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.path}")
@@ -263,6 +271,8 @@ class ManifestTable:
         pieces = []
         for base, dirs in sorted(by_base.items()):
             r = spark.read
+            if merge_schema:
+                r = r.option("mergeSchema", "true")
             if pcol is not None:
                 r = r.option("basePath", base)
             pieces.append(r.parquet(*sorted(dirs)))
@@ -287,7 +297,7 @@ class ManifestTable:
             return self.read(spark, version=v).limit(0)
         out = pieces[0]
         for p in pieces[1:]:
-            out = out.unionByName(p)
+            out = out.unionByName(p, allowMissingColumns=merge_schema)
         return out
 
     # -- maintenance -------------------------------------------------------

@@ -355,3 +355,31 @@ def test_manifest_table_matches_model_on_random_histories(spark, tmp_path):
             assert {p: sorted(vv) for p, vv in old.items()} == snap
 
     run()
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Additive schema evolution: an appended commit carries a new
+    column; merge_schema=True surfaces it with nulls for old rows,
+    while the default read keeps the original projection working."""
+    from data_pipeline_mlops_spark.sources.txn import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "evo"))
+    t.commit(
+        spark.createDataFrame([(1, "a", 10)], "k long, p string, v long"),
+        partition_col="p",
+        mode="replace_all",
+    )
+    t.commit(
+        spark.createDataFrame(
+            [(2, "b", 20, "new")], "k long, p string, v long, extra string"
+        ),
+        partition_col="p",
+        mode="append",
+    )
+    merged = t.read(spark, merge_schema=True)
+    assert "extra" in merged.columns
+    got = {(r.k, r.extra) for r in merged.collect()}
+    assert got == {(1, None), (2, "new")}
+    # time travel to v0 still reads the original schema
+    v0 = t.read(spark, version=0)
+    assert "extra" not in v0.columns
