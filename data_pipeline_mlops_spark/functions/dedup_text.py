@@ -524,3 +524,61 @@ def remove_repeated_passages(
             F.transform(kept, lambda p: F.element_at("__toks", p)), " "
         ).alias("cleaned_text"),
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 5,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer, Wilkerson, Aiken
+    2003): hash every token k-gram, slide a window of ``window``
+    hashes, keep each window's MINIMUM — the guarantee is that any
+    shared run of at least k + window - 1 tokens between two documents
+    contributes at least one IDENTICAL fingerprint to both, so
+    overlap detection indexes ~1/window of the k-gram space instead of
+    all of it.
+
+    Emits DISTINCT (id, fingerprint) pairs. Selection is by hash VALUE
+    (min is position-free), so the fingerprint set is deterministic on
+    any engine and partitioning. md5-60 codes (oracle-portable twin;
+    swap xxhash64 for the production hot path, same discipline as the
+    MinHash tier).
+
+    Scale shape: everything up to the explode is array expressions on
+    the doc row — zero shuffle; the explode emits ~n_tokens/window
+    longs per doc and the only wide exchange is the final distinct on
+    (id, 8-byte hash). Docs shorter than k tokens yield no
+    fingerprints; docs with fewer than ``window`` k-grams yield one
+    (the min over what exists).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    d = df.select(F.col(id_col), toks.alias("__tk"))
+    n = F.size("__tk")
+    kgrams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__tk"), i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashes = F.transform(
+        kgrams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+    h = d.select(F.col(id_col), hashes.alias("__hs")).where(
+        F.size("__hs") >= 1
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("__hs") - F.lit(window - 1), F.lit(1))
+    )
+    mins = F.transform(
+        starts, lambda s: F.array_min(F.slice(F.col("__hs"), s, window))
+    )
+    return (
+        h.select(F.col(id_col), F.explode(mins).alias("fingerprint"))
+        .distinct()
+    )

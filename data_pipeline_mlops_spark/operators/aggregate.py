@@ -126,3 +126,56 @@ def cascade_rollup(
             F.sum("__sv").alias("__sv"),
         )
     return cur
+
+
+def funnel_counts(
+    events: DataFrame,
+    *,
+    stages: list[tuple[str, Column]],
+    user_col: str,
+    ts_col: Column,
+) -> DataFrame:
+    """Ordered funnel analysis: how many users performed stage 1, then
+    stage 2 STRICTLY AFTER their first stage-1 event, then stage 3
+    after that, ... Emits one row per stage: (stage, n_users), where
+    stage is '<i>_<name>' so the funnel sorts naturally.
+
+    ``stages`` is an ordered list of (name, predicate-Column); the
+    timestamp expression ``ts_col`` must be epoch-comparable
+    (timeutil.epoch_us for NTZ safety).
+
+    Shape: each stage is one filtered aggregation on the user key
+    joined to the previous frontier — k stages cost k user-key
+    shuffles over progressively SHRINKING user sets (the funnel
+    property), never a per-event window. The frontier frames are
+    (user, ts) pairs — broadcast-eligible once the funnel narrows.
+    """
+    ev = events.select(
+        F.col(user_col).alias("__u"), ts_col.alias("__ts"), "*"
+    )
+    frontier = None
+    out_rows = []
+    for i, (name, pred) in enumerate(stages, 1):
+        stage_ev = ev.where(pred)
+        if frontier is None:
+            frontier = stage_ev.groupBy("__u").agg(
+                F.min("__ts").alias("__t")
+            )
+        else:
+            frontier = (
+                stage_ev.join(
+                    frontier.withColumnRenamed("__t", "__prev_t"), "__u"
+                )
+                .where(F.col("__ts") > F.col("__prev_t"))
+                .groupBy("__u")
+                .agg(F.min("__ts").alias("__t"))
+            )
+        out_rows.append(
+            frontier.agg(
+                F.count(F.lit(1)).cast("long").alias("n_users")
+            ).select(F.lit(f"{i}_{name}").alias("stage"), "n_users")
+        )
+    out = out_rows[0]
+    for o in out_rows[1:]:
+        out = out.unionByName(o)
+    return out

@@ -6695,3 +6695,93 @@ LIMIT 100
 """
 
 QUERIES["doc_dsir_selection"] = QuerySpec(q_doc_dsir_selection, ORACLE_DOC_DSIR)
+
+
+def q_doc_winnowing_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (functions/dedup_text.py::
+    winnowing_fingerprints, k=4, window=5): the MOSS plagiarism-
+    detection selection — any shared run of >= k+window-1 tokens
+    between two docs shares at least one fingerprint, while only
+    ~1/window of the k-gram space is indexed. Array-expression
+    pipeline, zero shuffle until the final distinct on (id, int64)."""
+    return dedup_text.winnowing_fingerprints(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        k=4, window=5,
+    )
+
+
+ORACLE_DOC_WINNOWING = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents
+),
+kg AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) >= 4 THEN list_transform(
+      range(1, len(tk) - 2),
+      i -> ('0x' || substring(
+             md5(array_to_string(tk[i : i + 3], ' ')), 1, 15))::BIGINT)
+    ELSE [] END AS hs
+  FROM d
+),
+w AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, GREATEST(len(hs) - 4, 1) + 1),
+           s -> list_min(hs[s : s + 4])) AS mins
+  FROM kg WHERE len(hs) >= 1
+)
+SELECT DISTINCT doc_id, unnest(mins) AS fingerprint FROM w
+"""
+
+QUERIES["doc_winnowing_fps"] = QuerySpec(
+    q_doc_winnowing_fps, ORACLE_DOC_WINNOWING
+)
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (operators/aggregate.py::
+    funnel_counts): users who viewed, then clicked strictly after
+    their first view, then purchased after that — k user-key
+    aggregations over progressively shrinking frontiers, no per-event
+    window. NTZ-safe epoch comparison."""
+    from data_pipeline_mlops_spark.operators.aggregate import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(
+        ev,
+        stages=[
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        user_col="user_id",
+        ts_col=epoch_us("ts"),
+    )
+
+
+ORACLE_EVENT_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t1
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+  GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+  GROUP BY 1
+)
+SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+UNION ALL
+SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+"""
+
+QUERIES["event_funnel"] = QuerySpec(q_event_funnel, ORACLE_EVENT_FUNNEL)

@@ -123,3 +123,75 @@ def test_dsir_prefers_target_like_text(spark):
     assert out[10] < out[11]
     # zq doc has zero target mass -> ranked last
     assert out[11] == max(out.values())
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Any shared run of >= k + window - 1 tokens must contribute at
+    least one identical fingerprint to both docs (the winnowing
+    theorem, k=4 w=5 -> runs of 8+)."""
+    from data_pipeline_mlops_spark.functions.dedup_text import (
+        winnowing_fingerprints,
+    )
+
+    shared = "one two three four five six seven eight"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"zeta eta theta {shared} iota"),
+            (3, "totally different words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(docs, k=4, window=5).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "shared 8-token run must collide"
+    assert not (by_doc[1] & by_doc.get(3, set()))
+
+
+def test_winnowing_short_docs(spark):
+    from data_pipeline_mlops_spark.functions.dedup_text import (
+        winnowing_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d"), (3, "a b c d e")],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in winnowing_fingerprints(docs, k=4, window=5).collect():
+        got.setdefault(r.doc_id, []).append(r.fingerprint)
+    assert 1 not in got          # < k tokens: no k-grams
+    assert len(got[2]) == 1      # one k-gram -> one fingerprint
+    assert len(got[3]) == 1      # two k-grams, one window -> min only
+
+
+def test_funnel_requires_strict_order(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_mlops_spark.operators.aggregate import funnel_counts
+
+    rows = [
+        # user 1: proper view -> click -> purchase
+        (1, "view", 100), (1, "click", 200), (1, "purchase", 300),
+        # user 2: purchase BEFORE click -> stops at stage 2
+        (2, "view", 100), (2, "purchase", 150), (2, "click", 200),
+        # user 3: only views
+        (3, "view", 100),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, et string, t long")
+    out = {
+        r.stage: r.n_users
+        for r in funnel_counts(
+            ev,
+            stages=[
+                ("view", F.col("et") == "view"),
+                ("click", F.col("et") == "click"),
+                ("purchase", F.col("et") == "purchase"),
+            ],
+            user_col="user_id",
+            ts_col=F.col("t"),
+        ).collect()
+    }
+    assert out == {"1_view": 3, "2_click": 2, "3_purchase": 1}
