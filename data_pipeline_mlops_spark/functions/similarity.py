@@ -516,3 +516,68 @@ def cosine_near_dup_pairs(
         ).alias("cosine_sim"),
     )
     return scored.where(F.col("cosine_sim") >= F.lit(threshold))
+
+
+def contrastive_pairs(
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    method: str = "md5",
+    num_planes: int = 6,
+    num_tables: int = 8,
+    neg_seed: int = 7,
+) -> DataFrame:
+    """Contrastive training-pair mining for embedding models: positives
+    are the near-duplicate pairs (the SemDeDup tier reused as a
+    LABELER), negatives are deterministic pseudo-random non-dup pairs
+    — each vector paired with its successor in a hashed ordering, with
+    any accidental positive anti-joined out. Output:
+    (id_a, id_b, label) with label 1 = near-dup positive, 0 = negative.
+
+    The negative sampler is partitioning-invariant: successor-in-hash-
+    order is a property of the data (same discipline as the sampling
+    operators), and the window is PARTITIONED by the hash's top bits
+    (256 ranges) so no global-order window exists; boundary rows
+    (~n_buckets of them) simply contribute no negative, which is noise
+    at corpus scale. Scale: positives come from the bucketed LSH tier
+    (never all-pairs); negatives cost one narrow window + one
+    anti-join on (id_a, id_b).
+    """
+    from pyspark.sql import Window
+
+    from data_pipeline_mlops_spark.functions.dedup_text import _md5_60
+
+    pos = cosine_near_dup_pairs(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        method=method,
+        num_planes=num_planes,
+        num_tables=num_tables,
+    ).select("id_a", "id_b")
+
+    h = _md5_60(
+        F.concat_ws(
+            "|", F.col(id_col).cast("string"), F.lit(str(neg_seed))
+        )
+    )
+    ids = corpus.select(
+        F.col(id_col).alias("__id"), h.alias("__h")
+    ).withColumn("__b", F.shiftright(F.col("__h"), 52))
+    w = Window.partitionBy("__b").orderBy(
+        F.col("__h").asc(), F.col("__id").asc()
+    )
+    nx = ids.withColumn("__nb", F.lead("__id").over(w)).where(
+        F.col("__nb").isNotNull()
+    )
+    negs = nx.select(
+        F.least("__id", "__nb").alias("id_a"),
+        F.greatest("__id", "__nb").alias("id_b"),
+    ).join(pos, ["id_a", "id_b"], "left_anti")
+
+    return pos.withColumn("label", F.lit(1).cast("int")).unionByName(
+        negs.withColumn("label", F.lit(0).cast("int"))
+    )

@@ -6785,3 +6785,153 @@ SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM s3
 """
 
 QUERIES["event_funnel"] = QuerySpec(q_event_funnel, ORACLE_EVENT_FUNNEL)
+
+
+def q_event_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier screen per event type — the
+    heavy-tail-safe twin of the z-score query (stddev and mean are
+    themselves dragged by the outliers they are meant to find; median
+    and median-absolute-deviation are 50%-breakdown robust). Two
+    aggregation passes (median, then MAD of residuals) with the tiny
+    per-type stats broadcast back; the flag compares the ROUNDED
+    robust z (same expression both engines) so the hash is stable.
+    Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    interpolation definition."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("__med")
+    )
+    withmed = ev.join(F.broadcast(med), "event_type")
+    mad = withmed.groupBy("event_type").agg(
+        F.percentile(
+            F.abs(F.col("value") - F.col("__med")), F.lit(0.5)
+        ).alias("__mad")
+    )
+    rz = F.round(
+        (F.col("value") - F.col("__med"))
+        / (F.lit(1.4826) * F.col("__mad")),
+        4,
+    )
+    return (
+        withmed.join(F.broadcast(mad), "event_type")
+        .withColumn("robust_z", rz)
+        .where(F.abs(F.col("robust_z")) >= 3.5)
+        .select("event_id", "event_type", "value", "robust_z")
+    )
+
+
+ORACLE_EVENT_MAD_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+),
+mad AS (
+  SELECT e.event_type, quantile_cont(ABS(e.value - med.med), 0.5) AS mad
+  FROM events e JOIN med USING (event_type) GROUP BY 1
+),
+scored AS (
+  SELECT e.event_id, e.event_type, e.value,
+         ROUND((e.value - med.med) / (1.4826 * mad.mad), 4) AS robust_z
+  FROM events e
+  JOIN med USING (event_type)
+  JOIN mad USING (event_type)
+)
+SELECT event_id, event_type, value, robust_z
+FROM scored WHERE ABS(robust_z) >= 3.5
+"""
+
+QUERIES["event_mad_outliers"] = QuerySpec(
+    q_event_mad_outliers, ORACLE_EVENT_MAD_OUTLIERS
+)
+
+
+def q_embedding_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive pair mining (functions/similarity.py::
+    contrastive_pairs): near-dup pairs as positives (the md5-LSH
+    SemDeDup tier reused as a labeler), hash-successor pairs as
+    deterministic negatives (anti-joined against positives) — the
+    self-supervised training-pair feed for an embedding model, fully
+    oracled because every stage (LSH buckets, cosine verify,
+    successor window) is engine-replayable."""
+    return similarity.contrastive_pairs(
+        _near_dup_corpus(spark, sf_dir),
+        id_col="vec_id", vec_col="embedding",
+        threshold=0.98, method="md5",
+        num_planes=6, num_tables=8, neg_seed=7,
+    )
+
+
+ORACLE_EMBEDDING_CONTRASTIVE = f"""
+WITH {ORACLE_EMBEDDING_NEAR_DUPS_CORPUS},
+ei AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT))
+           AS vi
+  FROM e
+),
+tp AS (
+  SELECT t.t, p.p
+  FROM (SELECT unnest(range(8)) AS t) t
+  CROSS JOIN (SELECT unnest(range(6)) AS p) p
+),
+dots AS (
+  SELECT vec_id, t, p,
+    list_sum(list_transform(range(0, len(vi)),
+      i -> vi[i+1] * (
+        (('0x' || substring(md5(CAST(t AS VARCHAR) || ',' ||
+                                CAST(p AS VARCHAR) || ',' ||
+                                CAST(i AS VARCHAR)), 1, 15))::BIGINT
+         % 2001) - 1000)
+    )) AS d
+  FROM ei CROSS JOIN tp
+),
+buckets AS (
+  SELECT vec_id, t,
+         CAST(SUM(CASE WHEN d > 0
+                  THEN (1::BIGINT << CAST(p AS INTEGER)) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM dots GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+),
+pos AS (
+  SELECT cd.id_a, cd.id_b
+  FROM cand cd
+  JOIN e av ON av.vec_id = cd.id_a
+  JOIN e bv ON bv.vec_id = cd.id_b
+  WHERE ROUND(list_dot_product(av.v, bv.v)
+              / (SQRT(list_dot_product(av.v, av.v))
+                 * SQRT(list_dot_product(bv.v, bv.v))), 4) >= 0.98
+),
+hb AS (
+  SELECT vec_id,
+         ('0x' || substring(md5(CAST(vec_id AS VARCHAR) || '|' || '7'),
+                            1, 15))::BIGINT AS hh
+  FROM corpus
+),
+nx AS (
+  SELECT vec_id,
+         LEAD(vec_id) OVER (
+           PARTITION BY hh >> 52 ORDER BY hh ASC, vec_id ASC) AS nb
+  FROM hb
+),
+negs AS (
+  SELECT LEAST(n.vec_id, n.nb) AS id_a, GREATEST(n.vec_id, n.nb) AS id_b
+  FROM nx n WHERE n.nb IS NOT NULL
+),
+negf AS (
+  SELECT id_a, id_b FROM negs
+  EXCEPT
+  SELECT id_a, id_b FROM pos
+)
+SELECT id_a, id_b, CAST(1 AS INTEGER) AS label FROM pos
+UNION ALL
+SELECT id_a, id_b, CAST(0 AS INTEGER) AS label FROM negf
+"""
+
+QUERIES["embedding_contrastive_pairs"] = QuerySpec(
+    q_embedding_contrastive_pairs, ORACLE_EMBEDDING_CONTRASTIVE
+)

@@ -195,3 +195,40 @@ def test_funnel_requires_strict_order(spark):
         ).collect()
     }
     assert out == {"1_view": 3, "2_click": 2, "3_purchase": 1}
+
+
+def test_contrastive_pairs_labels_and_invariance(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_pipeline_mlops_spark.functions.similarity import (
+        contrastive_pairs,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(40):
+        v = rng.randn(8).astype(float)
+        rows.append((i, [float(x) for x in v]))
+        if i % 10 == 0:  # planted near-dup twin
+            rows.append((1000 + i, [float(x) + 0.001 for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = contrastive_pairs(
+        df, id_col="vec_id", vec_col="embedding", threshold=0.99,
+        method="exact",
+    )
+    pos = {(r.id_a, r.id_b) for r in out.where(F.col("label") == 1).collect()}
+    negs = {(r.id_a, r.id_b) for r in out.where(F.col("label") == 0).collect()}
+    # every planted twin is a positive
+    for i in (0, 10, 20, 30):
+        assert (i, 1000 + i) in pos
+    # no pair is both
+    assert not (pos & negs)
+    # partitioning invariance of the whole labeled set
+    out7 = contrastive_pairs(
+        df.repartition(7), id_col="vec_id", vec_col="embedding",
+        threshold=0.99, method="exact",
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, out7.collect())
+    )
