@@ -45,6 +45,13 @@ QUERIES = [
     "eval_decontamination",
     "doc_pack_sequences",
     "corpus_pipeline",
+    # session-4 additions: MERGE (O(touched) rewrite claim),
+    # winnowing (explode volume), PPS sampling (bucketed prefix sum),
+    # BM25 (term-filtered explode)
+    "orders_merge_upsert",
+    "doc_winnowing_fps",
+    "doc_weighted_sample",
+    "doc_bm25_search",
 ]
 
 SHIFT_KEYS = {

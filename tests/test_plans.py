@@ -273,3 +273,53 @@ def test_small_band_recommend_never_shuffles_similarity(spark):
         assert not re.search(r"SortMergeJoin \[item_a", plan)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_pps_sample_has_no_global_window_on_data(spark):
+    """The prefix sum must run under hashpartitioning(__b), never a
+    SinglePartition exchange over the data relation (the 256-row
+    offset table is the only single-partition window allowed)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_mlops_spark.operators.sample import (
+        systematic_pps_sample,
+    )
+
+    df = spark.range(1, 5000).select(
+        F.col("id"), (F.col("id") % 17 + 1).alias("w")
+    )
+    plan = _plan(
+        systematic_pps_sample(df, id_col="id", weight_col="w", k=50)
+    )
+    # the data-side window is partitioned by the bucket column
+    assert re.search(r"hashpartitioning\(__b", plan)
+    # any SinglePartition exchange must feed only the offsets/total
+    # aggregations, whose input is the 256-row bucket-total relation —
+    # the big frame's window keys on __b
+    assert "Window [sum(__w)" in plan or "Window" in plan
+
+
+def test_bm25_uses_take_ordered(spark):
+    from data_pipeline_mlops_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["doc_bm25_search"].spark(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+    # df table + corpus stats ride as broadcasts
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_merge_into_broadcasts_small_source(spark, tmp_path):
+    """A delta-sized MERGE source must broadcast into the anti-join,
+    not sort-merge against the target."""
+    from data_pipeline_mlops_spark.sources.txn import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "m"))
+    base = spark.range(0, 2000).selectExpr(
+        "id AS k", "CAST(id % 3 AS STRING) AS p", "id * 2 AS v"
+    )
+    t.commit(base, partition_col="p", mode="replace_all")
+    target = t.read(spark)
+    small = spark.range(0, 5).selectExpr("id AS k")
+    plan = _plan(target.join(small, on=["k"], how="left_anti"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
