@@ -172,3 +172,67 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return pr
+
+
+def label_propagation(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    vertex_col: str,
+    src_col: str,
+    dst_col: str,
+    iters: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (community detection, Raghavan et
+    al. 2007), made DETERMINISTIC: every round each vertex adopts the
+    most frequent label among its neighbors with a total tiebreak
+    (count desc, then smallest label) — classic LPA breaks ties
+    randomly, which would be unreproducible across engines and runs.
+    Vertices with no in-edges keep their current label. Labels start
+    as the vertex id. Returns (v, label) after ``iters`` rounds.
+
+    Edges are taken as DIRECTED as given; pass both directions for an
+    undirected graph (the co-purchase construction already emits
+    both). Per round: one edges⋈labels join (shuffle on dst), one
+    (v, label) count aggregation (map-side partials), one per-vertex
+    argmax window (partitions are vertex-sized — no skew beyond
+    degree skew, the same hot spot PageRank has; salt hub vertices'
+    count aggregation at web scale). Lineage is cut per round like
+    connected_components, so ``iters`` stays bounded-plan.
+
+    The third iterative graph operator next to connected_components
+    (hash-min) and pagerank (power iteration); unlike components, LPA
+    finds DENSE communities rather than mere reachability.
+    """
+    from pyspark.sql import Window
+
+    labels = vertices.select(
+        F.col(vertex_col).alias("v"),
+        F.col(vertex_col).cast("long").alias("label"),
+    )
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    )
+    w = Window.partitionBy("__v").orderBy(
+        F.col("__n").desc(), F.col("label").asc()
+    )
+    for _ in range(iters):
+        nbr = e.join(
+            labels.withColumnRenamed("v", "__d"), "__d"
+        ).select(F.col("__s").alias("__v"), "label")
+        best = (
+            nbr.groupBy("__v", "label")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(F.col("__v").alias("v"), F.col("label").alias("__new"))
+        )
+        labels = (
+            labels.join(best, "v", "left")
+            .select(
+                "v",
+                F.coalesce(F.col("__new"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels

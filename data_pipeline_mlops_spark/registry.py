@@ -6935,3 +6935,161 @@ SELECT id_a, id_b, CAST(0 AS INTEGER) AS label FROM negf
 QUERIES["embedding_contrastive_pairs"] = QuerySpec(
     q_embedding_contrastive_pairs, ORACLE_EMBEDDING_CONTRASTIVE
 )
+
+
+def q_item_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the item co-purchase graph
+    (functions/graph.py::label_propagation, 3 synchronous rounds with
+    a total argmax tiebreak — classic LPA's random tie-break made
+    deterministic so DuckDB replays every round). The third iterative
+    graph operator: components find reachability, PageRank finds
+    centrality, LPA finds dense co-purchase communities. DISTINCT
+    edges so neighbor counts mean distinct neighbors."""
+    from data_pipeline_mlops_spark.functions.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    inter = _materialize(
+        li.select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_partkey").alias("item"),
+        ).distinct()
+    )
+    edges = (
+        inter.alias("a")
+        .join(inter.alias("b"), "ok")
+        .where(F.col("a.item") != F.col("b.item"))
+        .select(
+            F.col("a.item").alias("src"), F.col("b.item").alias("dst")
+        )
+        .distinct()
+    )
+    verts = inter.select("item").distinct()
+    out = label_propagation(
+        verts, edges, vertex_col="item", src_col="src", dst_col="dst",
+        iters=3,
+    )
+    return out.select(F.col("v").alias("item"), "label")
+
+
+ORACLE_ITEM_COMMUNITIES = """
+WITH inter AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.item AS s, b.item AS d
+  FROM inter a JOIN inter b ON a.ok = b.ok AND a.item <> b.item
+),
+l0 AS (SELECT item AS v, item AS label FROM (SELECT DISTINCT item FROM inter)),
+r1c AS (
+  SELECT e.s AS v, l.label, COUNT(*) AS n
+  FROM edges e JOIN l0 l ON e.d = l.v GROUP BY 1, 2
+),
+r1 AS (
+  SELECT v, label FROM (
+    SELECT v, label,
+           ROW_NUMBER() OVER (PARTITION BY v ORDER BY n DESC, label ASC) rn
+    FROM r1c) x WHERE rn = 1
+),
+l1 AS (
+  SELECT l0.v, COALESCE(r1.label, l0.label) AS label
+  FROM l0 LEFT JOIN r1 ON l0.v = r1.v
+),
+r2c AS (
+  SELECT e.s AS v, l.label, COUNT(*) AS n
+  FROM edges e JOIN l1 l ON e.d = l.v GROUP BY 1, 2
+),
+r2 AS (
+  SELECT v, label FROM (
+    SELECT v, label,
+           ROW_NUMBER() OVER (PARTITION BY v ORDER BY n DESC, label ASC) rn
+    FROM r2c) x WHERE rn = 1
+),
+l2 AS (
+  SELECT l1.v, COALESCE(r2.label, l1.label) AS label
+  FROM l1 LEFT JOIN r2 ON l1.v = r2.v
+),
+r3c AS (
+  SELECT e.s AS v, l.label, COUNT(*) AS n
+  FROM edges e JOIN l2 l ON e.d = l.v GROUP BY 1, 2
+),
+r3 AS (
+  SELECT v, label FROM (
+    SELECT v, label,
+           ROW_NUMBER() OVER (PARTITION BY v ORDER BY n DESC, label ASC) rn
+    FROM r3c) x WHERE rn = 1
+)
+SELECT l2.v AS item, COALESCE(r3.label, l2.label) AS label
+FROM l2 LEFT JOIN r3 ON l2.v = r3.v
+"""
+
+QUERIES["item_communities"] = QuerySpec(
+    q_item_communities, ORACLE_ITEM_COMMUNITIES
+)
+
+
+def q_order_value_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of order values WITHOUT a global
+    ntile window: exact interpolated decile boundaries (one tiny agg,
+    broadcast) + a map-side CASE-sum bucket assignment — the
+    scan-speed layout a 100 TB fact needs, vs ntile's single-partition
+    sort. Spark `percentile` ≡ DuckDB `quantile_cont`, and boundary
+    comparisons are exact double compares, so bucketing is
+    engine-identical. Emits per-bucket count and min/max raw values."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        *[
+            F.percentile("o_totalprice", F.lit(i / 10.0)).alias(f"b{i}")
+            for i in range(1, 10)
+        ]
+    )
+    bucket = F.lit(1)
+    for i in range(1, 10):
+        bucket = bucket + F.when(
+            F.col("o_totalprice") > F.col(f"b{i}"), 1
+        ).otherwise(0)
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+ORACLE_ORDER_EQUIDEPTH = """
+WITH b AS (
+  SELECT quantile_cont(o_totalprice, 0.1) AS b1,
+         quantile_cont(o_totalprice, 0.2) AS b2,
+         quantile_cont(o_totalprice, 0.3) AS b3,
+         quantile_cont(o_totalprice, 0.4) AS b4,
+         quantile_cont(o_totalprice, 0.5) AS b5,
+         quantile_cont(o_totalprice, 0.6) AS b6,
+         quantile_cont(o_totalprice, 0.7) AS b7,
+         quantile_cont(o_totalprice, 0.8) AS b8,
+         quantile_cont(o_totalprice, 0.9) AS b9
+  FROM orders
+)
+SELECT CAST(1
+       + (CASE WHEN o_totalprice > b1 THEN 1 ELSE 0 END)
+       + (CASE WHEN o_totalprice > b2 THEN 1 ELSE 0 END)
+       + (CASE WHEN o_totalprice > b3 THEN 1 ELSE 0 END)
+       + (CASE WHEN o_totalprice > b4 THEN 1 ELSE 0 END)
+       + (CASE WHEN o_totalprice > b5 THEN 1 ELSE 0 END)
+       + (CASE WHEN o_totalprice > b6 THEN 1 ELSE 0 END)
+       + (CASE WHEN o_totalprice > b7 THEN 1 ELSE 0 END)
+       + (CASE WHEN o_totalprice > b8 THEN 1 ELSE 0 END)
+       + (CASE WHEN o_totalprice > b9 THEN 1 ELSE 0 END)
+       AS INTEGER) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM orders CROSS JOIN b
+GROUP BY 1
+"""
+
+QUERIES["order_value_equidepth"] = QuerySpec(
+    q_order_value_equidepth, ORACLE_ORDER_EQUIDEPTH
+)

@@ -300,6 +300,38 @@ class ManifestTable:
             out = out.unionByName(p, allowMissingColumns=merge_schema)
         return out
 
+    def clone(self, dest: str, *, version: int | None = None) -> "ManifestTable":
+        """Zero-copy (shallow) clone: publish ``dest``'s v0 manifest
+        pointing at THIS table's data directories — Delta SHALLOW
+        CLONE. O(one JSON write) at any table size; the clone is a
+        full read/write table (its own commits stage under its own
+        data dir and overlay normally).
+
+        Hazard, same as Delta's: ``vacuum`` on the SOURCE can delete
+        files the clone still references (each table's vacuum scans
+        only its own data dir, so the clone's vacuum never touches
+        source files — but the source doesn't know about the clone).
+        Promote a clone to self-contained with a compaction
+        (``commit(read(...), mode="replace_all")``) before vacuuming
+        the source."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        man = self._manifest(v)
+        out = ManifestTable(dest)
+        manifest = {
+            "version": 0,
+            "parent": None,
+            "partition_col": man["partition_col"],
+            "partitions": man["partitions"],
+            "cloned_from": [self.path, v],
+            "committed_at": time.time(),
+        }
+        if "schema" in man:
+            manifest["schema"] = man["schema"]
+        out._write_manifest(0, manifest)
+        return out
+
     # -- maintenance -------------------------------------------------------
 
     def vacuum(

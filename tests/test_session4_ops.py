@@ -232,3 +232,29 @@ def test_contrastive_pairs_labels_and_invariance(spark):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, out7.collect())
     )
+
+
+def test_label_propagation_finds_two_cliques(spark):
+    from data_pipeline_mlops_spark.functions.graph import label_propagation
+
+    # two 4-cliques {1..4}, {10..13} joined by a single bridge 4-10
+    def clique(ns):
+        return [(a, b) for a in ns for b in ns if a != b]
+
+    edges = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [
+        (4, 10), (10, 4)
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = spark.createDataFrame(
+        [(x,) for x in [1, 2, 3, 4, 10, 11, 12, 13]], "id long"
+    )
+    out = {
+        r.v: r.label
+        for r in label_propagation(
+            v, e, vertex_col="id", src_col="src", dst_col="dst", iters=3
+        ).collect()
+    }
+    # each clique converges to one label; the two labels differ
+    assert len({out[1], out[2], out[3]}) == 1
+    assert len({out[11], out[12], out[13]}) == 1
+    assert out[1] != out[11]

@@ -383,3 +383,38 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     # time travel to v0 still reads the original schema
     v0 = t.read(spark, version=0)
     assert "extra" not in v0.columns
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
+    from data_pipeline_mlops_spark.sources.txn import ManifestTable
+
+    src = ManifestTable(str(tmp_path / "src"))
+    src.commit(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k long, p string, v long"
+        ),
+        partition_col="p",
+        mode="replace_all",
+    )
+    clone = src.clone(str(tmp_path / "clone"))
+    # clone reads the source's files without copying them
+    assert {(r.k, r.v) for r in clone.read(spark).collect()} == {
+        (1, 10), (2, 20)
+    }
+    import os
+    assert not any(
+        d.startswith("txn-")
+        for d in os.listdir(tmp_path / "clone" / "data")
+    ) if (tmp_path / "clone" / "data").exists() else True
+    # commits to the clone do not disturb the source
+    clone.commit(
+        spark.createDataFrame([(3, "c", 30)], "k long, p string, v long"),
+        partition_col="p",
+        mode="replace_partitions",
+    )
+    assert {r.k for r in clone.read(spark).collect()} == {1, 2, 3}
+    assert {r.k for r in src.read(spark).collect()} == {1, 2}
+    # clone's own vacuum never deletes source files
+    clone.vacuum(keep_versions=1, retention_seconds=0.0)
+    assert {r.k for r in src.read(spark).collect()} == {1, 2}
+    assert {r.k for r in clone.read(spark).collect()} == {1, 2, 3}
