@@ -104,12 +104,28 @@ def build_scaled(spark, scaled_dir: str) -> None:
             (shutil.copytree if os.path.isdir(src) else shutil.copy)(src, dst)
 
 
+def _release_persistent_rdds(spark) -> None:
+    """Unpersist every cached RDD (the lazy localCheckpoints queries
+    leave behind). Without this, sequentially-timed queries CROWD the
+    storage pool: by the time the CF queries run at 10x, earlier
+    queries' checkpoint blocks have taken the memory and every pass
+    spills (~2.5x inflation, measured 98.7 s vs 40.6 s warm in a fresh
+    JVM) — the ratio then measures cache pressure, not the operator.
+    The same discipline applies to a real multi-pipeline driver:
+    unpersist between pipelines or checkpoint to storage instead."""
+    jsc = spark.sparkContext._jsc.sc()
+    it = jsc.getPersistentRDDs().values().iterator()
+    while it.hasNext():
+        it.next().unpersist(True)
+
+
 def time_queries(spark, sf_dir: str) -> dict[str, float]:
     from data_pipeline_mlops_spark.registry import QUERIES as REG
 
     best: dict[str, float] = {}
     for p in range(RUNS + 1):  # pass 0 = cold, discarded
         for name in QUERIES:
+            _release_persistent_rdds(spark)
             t0 = time.perf_counter()
             REG[name].spark(spark, sf_dir).write.mode("overwrite").format(
                 "noop"
