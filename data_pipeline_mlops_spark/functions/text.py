@@ -605,3 +605,30 @@ def dsir_importance_rank(
     return top.withColumn(
         "rank", F.row_number().over(w).cast("int")
     ).select(id_col, "n_bigrams", "tgt_sum", "src_sum", "rank")
+
+
+# Cyrillic -> Latin homoglyphs (the high-frequency confusables from
+# UTS #39's confusable table; the full table is data-driven — extend
+# the two parallel strings below to widen coverage).
+_CONFUSABLE_SRC = "аеорсхіѕук"
+_CONFUSABLE_DST = "aeopcxisyk"
+_ZERO_WIDTH = "​‌‍﻿"
+
+
+def skeleton_key(col: Column | str) -> Column:
+    """Confusable-skeleton dedup key (UTS #39 'skeleton' idea, the
+    anti-spam/anti-evasion normalization): lowercase, strip zero-width
+    characters, map common Cyrillic homoglyphs onto their Latin
+    lookalikes, collapse whitespace. Two texts that differ only by
+    homoglyph substitution — the standard trick to evade exact-hash
+    dedup and blocklists — collapse to the same key.
+
+    Pure Catalyst (lower/translate/regexp_replace/trim): map-side at
+    scan speed; feed the key into exact_dup_groups exactly like the
+    normalized-text tier.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.lower(c)
+    s = F.translate(s, _ZERO_WIDTH, "")
+    s = F.translate(s, _CONFUSABLE_SRC, _CONFUSABLE_DST)
+    return F.trim(F.regexp_replace(s, r"\s+", " "))

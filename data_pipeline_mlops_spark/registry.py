@@ -7093,3 +7093,68 @@ GROUP BY 1
 QUERIES["order_value_equidepth"] = QuerySpec(
     q_order_value_equidepth, ORACLE_ORDER_EQUIDEPTH
 )
+
+
+def q_doc_skeleton_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homoglyph-evasion dedup (functions/text.py::skeleton_key): the
+    corpus is seeded with adversarial copies of every 20th doc whose
+    first 'a'/'e'/'o' characters are swapped for Cyrillic lookalikes
+    plus an injected zero-width space — the standard trick that breaks
+    exact-hash dedup. The skeleton key collapses each evasion pair to
+    one group; output is every (skeleton-group member) pair, keyed by
+    min-id canonical. Map-side key computation at scan speed; one
+    groupBy on the md5 of the skeleton."""
+    docs = _docs(spark, sf_dir)
+    evaders = docs.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(
+            F.lit("​"),
+            F.translate(F.col("text"), "aeo", "аео"),
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(evaders)
+    keyed = corpus.select(
+        "doc_id", F.md5(text.skeleton_key("text")).alias("skel")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("skel")
+    return (
+        keyed.withColumn("group_size", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .where(F.col("group_size") >= 2)
+        .select("doc_id", "canonical_id", "group_size")
+    )
+
+
+ORACLE_DOC_SKELETON = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 500000,
+         chr(8203) || translate(text, 'aeo',
+                                chr(1072) || chr(1077) || chr(1086))
+  FROM documents WHERE doc_id % 20 = 0
+),
+keyed AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(
+           translate(translate(lower(text),
+                     chr(8203) || chr(8204) || chr(8205) || chr(65279), ''),
+             chr(1072) || chr(1077) || chr(1086) || chr(1088) ||
+             chr(1089) || chr(1093) || chr(1110) || chr(1109) ||
+             chr(1091) || chr(1082),
+             'aeopcxisyk'),
+           '\\s+', ' ', 'g'))) AS skel
+  FROM corpus
+)
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY skel) AS canonical_id,
+       CAST(COUNT(*) OVER (PARTITION BY skel) AS BIGINT) AS group_size
+FROM keyed
+QUALIFY group_size >= 2
+"""
+
+QUERIES["doc_skeleton_dedup"] = QuerySpec(
+    q_doc_skeleton_dedup, ORACLE_DOC_SKELETON
+)

@@ -362,3 +362,65 @@ def test_cascade_rollup_equals_direct_aggregation(spark, events):
         .collect()
     }
     assert got == want
+
+
+MERGE_OP = st.tuples(
+    st.integers(0, 14),                      # key
+    st.sampled_from(["a", "b", "c"]),        # partition
+    st.integers(0, 100),                     # value
+    st.booleans(),                           # is_delete
+)
+
+
+@given(
+    init=st.lists(
+        st.tuples(
+            st.integers(0, 14),
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(0, 100),
+        ),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda r: r[0],
+    ),
+    batches=st.lists(
+        st.lists(MERGE_OP, min_size=1, max_size=6,
+                 unique_by=lambda r: r[0]),
+        min_size=1,
+        max_size=3,
+    ),
+)
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_merge_into_matches_dict_model(spark, tmp_path_factory, init, batches):
+    """merge_into over any op sequence must equal the obvious
+    dict-by-key model (update replaces the full row, delete removes,
+    insert adds, delete-of-absent is a no-op) — including partition
+    moves and emptied partitions."""
+    from data_pipeline_mlops_spark.sources.merge import merge_into
+    from data_pipeline_mlops_spark.sources.txn import ManifestTable
+
+    tdir = tmp_path_factory.mktemp("merge_prop")
+    table = ManifestTable(str(tdir / "t"))
+    table.commit(
+        spark.createDataFrame(init, "k long, p string, v long")
+        if init
+        else spark.createDataFrame([], "k long, p string, v long"),
+        partition_col="p",
+        mode="replace_all",
+    )
+    model = {k: (p, v) for k, p, v in init}
+    for batch in batches:
+        src = spark.createDataFrame(
+            batch, "k long, p string, v long, is_delete boolean"
+        )
+        merge_into(spark, table, src, on=["k"], delete_col="is_delete")
+        for k, p, v, is_del in batch:
+            if is_del:
+                model.pop(k, None)
+            else:
+                model[k] = (p, v)
+    got = {r.k: (r.p, r.v) for r in table.read(spark).collect()}
+    assert got == model

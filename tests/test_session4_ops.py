@@ -258,3 +258,23 @@ def test_label_propagation_finds_two_cliques(spark):
     assert len({out[1], out[2], out[3]}) == 1
     assert len({out[11], out[12], out[13]}) == 1
     assert out[1] != out[11]
+
+
+def test_skeleton_key_collapses_homoglyphs(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_mlops_spark.functions.text import skeleton_key
+
+    rows = [
+        (1, "Cheap pills here"),
+        (2, "Cheаp pills herе"),       # Cyrillic а, е
+        (3, "​Cheap  pills   here"),        # zero-width + spacing
+        (4, "cheap pills there"),                # genuinely different
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    keys = {
+        r.id: r.k
+        for r in df.select("id", skeleton_key("text").alias("k")).collect()
+    }
+    assert keys[1] == keys[2] == keys[3]
+    assert keys[4] != keys[1]
