@@ -172,3 +172,87 @@ def resize_media(
             )
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+# -- real (codec-free) metadata extraction ---------------------------------
+#
+# Image DIMENSIONS don't need a codec: they sit at documented offsets
+# in the container header (PNG IHDR; JPEG SOF marker segment). Parsing
+# them is the real first stage of any media pipeline — filter/bucket
+# 100 TB of images by size BEFORE paying decode. These paths are fully
+# functional here, unlike the pixel-decode hook above.
+
+PNG_MAGIC_HEX = "89504E470D0A1A0A"
+
+
+def png_dimensions(content_col):
+    """PNG (width, height) as a pure-Catalyst expression: the IHDR
+    chunk is mandatory-first, so width/height are the big-endian
+    uint32s at byte offsets 16 and 20. hex() the blob once, slice the
+    hex string, conv(16) — no UDF, runs inside codegen at scan speed.
+    Returns a struct(width, height), null for non-PNG content."""
+    h = F.hex(content_col)
+    w = F.conv(F.substring(h, 33, 8), 16, 10).cast("int")
+    ht = F.conv(F.substring(h, 41, 8), 16, 10).cast("int")
+    return F.when(
+        F.substring(h, 1, 16) == PNG_MAGIC_HEX,
+        F.struct(w.alias("width"), ht.alias("height")),
+    )
+
+
+def jpeg_dimensions_udf():
+    """JPEG (width, height) via the SOF marker walk — segment offsets
+    are variable (EXIF/JFIF segments precede the frame header), so
+    this is a real scan, Arrow-vectorized. Height/width are the
+    big-endian uint16s at +5/+7 inside the first SOF0-SOF15 segment
+    (excluding DHT/DAC/RST C4/C8/CC). Returns null for non-JPEG or
+    truncated input."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<width:int,height:int>")
+    def _dims(content: pd.Series) -> pd.DataFrame:
+        ws, hs = [], []
+        for buf in content:
+            w = h = None
+            b = bytes(buf or b"")
+            if len(b) >= 4 and b[0] == 0xFF and b[1] == 0xD8:
+                pos = 2
+                while pos + 9 < len(b):
+                    if b[pos] != 0xFF:
+                        break
+                    marker = b[pos + 1]
+                    if 0xC0 <= marker <= 0xCF and marker not in (
+                        0xC4, 0xC8, 0xCC
+                    ):
+                        h = (b[pos + 5] << 8) | b[pos + 6]
+                        w = (b[pos + 7] << 8) | b[pos + 8]
+                        break
+                    seg_len = (b[pos + 2] << 8) | b[pos + 3]
+                    pos += 2 + seg_len
+            ws.append(w)
+            hs.append(h)
+        return pd.DataFrame({"width": ws, "height": hs})
+
+    return _dims
+
+
+def image_dimensions(df: DataFrame, *, content_col: str = "content") -> DataFrame:
+    """Dispatch: PNG dims via the zero-UDF expression, JPEG dims via
+    the Arrow marker walk; adds (fmt, width, height). Unknown formats
+    get fmt='unknown' and null dims — never an error (the audit
+    posture of the ingest tier)."""
+    c = F.col(content_col)
+    hx = F.hex(c)
+    is_png = F.substring(hx, 1, 16) == PNG_MAGIC_HEX
+    is_jpeg = F.substring(hx, 1, 4) == "FFD8"
+    png = png_dimensions(c)
+    jpg = jpeg_dimensions_udf()(c)
+    fmt = (
+        F.when(is_png, F.lit("png"))
+        .when(is_jpeg, F.lit("jpeg"))
+        .otherwise(F.lit("unknown"))
+    )
+    dims = F.when(is_png, png).when(is_jpeg, jpg)
+    return df.withColumn("fmt", fmt).withColumn(
+        "width", dims["width"]
+    ).withColumn("height", dims["height"])

@@ -7158,3 +7158,60 @@ QUALIFY group_size >= 2
 QUERIES["doc_skeleton_dedup"] = QuerySpec(
     q_doc_skeleton_dedup, ORACLE_DOC_SKELETON
 )
+
+
+def q_multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL (codec-free) multimodal metadata extraction
+    (functions/multimodal.py::image_dimensions): the corpus plants
+    byte-exact PNG headers (even ids) and JPEG JFIF+SOF0 streams (odd
+    ids) with dimensions derived from doc metadata, then the engine
+    parses them back FROM THE BYTES — PNG via a zero-UDF hex/conv
+    expression, JPEG via the Arrow marker walk (variable segment
+    offsets). The oracle computes the planted dimensions directly
+    from the metadata formulas, so value equality proves the parsers
+    read the binary correctly. This is the size-filter stage a 100 TB
+    image corpus runs BEFORE any decode; pixel decode remains the
+    documented codec stub."""
+    from data_pipeline_mlops_spark.functions.multimodal import (
+        image_dimensions,
+    )
+
+    docs = _docs(spark, sf_dir)
+    w_hex = F.lpad(
+        F.hex((F.col("n_chars") % 800 + 16).cast("int")), 8, "0"
+    )
+    h_hex = F.lpad(
+        F.hex((F.col("doc_id") % 600 + 16).cast("int")), 8, "0"
+    )
+    w16 = F.lpad(F.hex((F.col("n_chars") % 800 + 16).cast("int")), 4, "0")
+    h16 = F.lpad(F.hex((F.col("doc_id") % 600 + 16).cast("int")), 4, "0")
+    png = F.concat(
+        F.lit("89504E470D0A1A0A0000000D49484452"), w_hex, h_hex,
+        F.lit("0806000000"),
+    )
+    jpeg = F.concat(
+        F.lit("FFD8FFE000104A46494600010100000100010000"),
+        F.lit("FFC00011" + "08"), h16, w16,
+        F.lit("03011100021101031101"), F.lit("FFD9"),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(
+            F.when(F.col("doc_id") % 2 == 0, png).otherwise(jpeg)
+        ).alias("content"),
+    )
+    out = image_dimensions(media)
+    return out.select("media_id", "fmt", "width", "height")
+
+
+ORACLE_MULTIMODAL_DIMS = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+       CAST(n_chars % 800 + 16 AS INTEGER) AS width,
+       CAST(doc_id % 600 + 16 AS INTEGER) AS height
+FROM documents
+"""
+
+QUERIES["multimodal_image_dims"] = QuerySpec(
+    q_multimodal_image_dims, ORACLE_MULTIMODAL_DIMS
+)

@@ -278,3 +278,35 @@ def test_skeleton_key_collapses_homoglyphs(spark):
     }
     assert keys[1] == keys[2] == keys[3]
     assert keys[4] != keys[1]
+
+
+def test_image_dimensions_parses_real_headers(spark):
+    import struct as pystruct
+
+    from data_pipeline_mlops_spark.functions.multimodal import (
+        image_dimensions,
+    )
+
+    png = (
+        bytes.fromhex("89504E470D0A1A0A")
+        + pystruct.pack(">I", 13) + b"IHDR"
+        + pystruct.pack(">II", 640, 480) + bytes.fromhex("0806000000")
+    )
+    # JPEG with an EXIF (FFE1) segment BEFORE the SOF0 frame header —
+    # the variable-offset case the marker walk exists for
+    exif = b"\xff\xe1" + pystruct.pack(">H", 10) + b"Exif\x00\x00\x01\x02"
+    sof = b"\xff\xc0" + pystruct.pack(">H", 17) + b"\x08" + pystruct.pack(
+        ">HH", 480, 640
+    ) + b"\x03" + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    jpeg = b"\xff\xd8" + exif + sof + b"\xff\xd9"
+    truncated = b"\xff\xd8\xff\xe0"
+    rows = [(1, png), (2, jpeg), (3, truncated), (4, b"GIF89a??")]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        r.media_id: (r.fmt, r.width, r.height)
+        for r in image_dimensions(df).collect()
+    }
+    assert got[1] == ("png", 640, 480)
+    assert got[2] == ("jpeg", 640, 480)
+    assert got[3] == ("jpeg", None, None)   # truncated: null, no error
+    assert got[4] == ("unknown", None, None)
