@@ -256,3 +256,61 @@ def image_dimensions(df: DataFrame, *, content_col: str = "content") -> DataFram
     return df.withColumn("fmt", fmt).withColumn(
         "width", dims["width"]
     ).withColumn("height", dims["height"])
+
+
+def _le_u32_hex(hex_col, byte_off: int):
+    """Little-endian uint32 at ``byte_off`` (0-based) of a hex()'d
+    blob: reassemble the four bytes in reverse order, conv(16).
+    Pure expression — this is how you read RIFF fields with no UDF."""
+    s = byte_off * 2 + 1
+    b = [F.substring(hex_col, s + 2 * i, 2) for i in range(4)]
+    return F.conv(F.concat(b[3], b[2], b[1], b[0]), 16, 10).cast("long")
+
+
+def _le_u16_hex(hex_col, byte_off: int):
+    s = byte_off * 2 + 1
+    return F.conv(
+        F.concat(
+            F.substring(hex_col, s + 2, 2), F.substring(hex_col, s, 2)
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def wav_metadata(df: DataFrame, *, content_col: str = "content") -> DataFrame:
+    """WAV (RIFF/WAVE) metadata as pure Catalyst expressions — zero
+    UDF: sample_rate (LE u32 @24), channels (LE u16 @22),
+    bits_per_sample (LE u16 @34), data size (LE u32 @40 for the
+    canonical fmt-then-data layout), and the derived duration_ms
+    (integer math: bytes * 8000 / (rate * channels * bits)). Non-WAV
+    rows get nulls — audit posture, never an error.
+
+    The canonical 44-byte header covers the overwhelming majority of
+    corpus WAVs; files with extra chunks before `data` want the same
+    marker-walk treatment as JPEG (UDF) — this expression path is the
+    fast screen that classifies and meters the bulk at scan speed."""
+    c = F.col(content_col)
+    hx = F.hex(c)
+    is_wav = (F.substring(hx, 1, 8) == "52494646") & (
+        F.substring(hx, 17, 8) == "57415645"
+    )
+    rate = _le_u32_hex(hx, 24)
+    channels = _le_u16_hex(hx, 22)
+    bits = _le_u16_hex(hx, 34)
+    data_bytes = _le_u32_hex(hx, 40)
+    denom = rate * channels * bits
+    # floor of one IEEE division — identical in any engine (Spark's
+    # bare long cast truncates while DuckDB's rounds, so never cast a
+    # raw double across engines without an explicit floor)
+    duration_ms = F.when(
+        denom > 0, F.floor((data_bytes * 8000) / denom).cast("long")
+    )
+    return (
+        df.withColumn(
+            "sample_rate", F.when(is_wav, rate)
+        )
+        .withColumn("channels", F.when(is_wav, channels))
+        .withColumn("bits_per_sample", F.when(is_wav, bits))
+        .withColumn("duration_ms", F.when(is_wav, duration_ms))
+    )

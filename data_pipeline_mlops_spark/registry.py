@@ -7215,3 +7215,77 @@ FROM documents
 QUERIES["multimodal_image_dims"] = QuerySpec(
     q_multimodal_image_dims, ORACLE_MULTIMODAL_DIMS
 )
+
+
+def q_multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free AUDIO metadata (functions/multimodal.py::
+    wav_metadata): canonical 44-byte RIFF/WAVE headers are planted
+    with metadata-derived rate/channels/bits/data-size, and the engine
+    reads every field back from the BYTES with little-endian
+    hex-reassembly expressions — zero UDF, scan speed. The oracle
+    computes the planted values directly; equality proves the binary
+    parse (including the derived duration_ms integer math)."""
+    from data_pipeline_mlops_spark.functions.multimodal import wav_metadata
+
+    docs = _docs(spark, sf_dir)
+    rate = F.when(F.col("doc_id") % 3 == 0, 44100).when(
+        F.col("doc_id") % 3 == 1, 22050
+    ).otherwise(16000)
+    channels = (F.col("doc_id") % 2 + 1).cast("int")
+    bits = F.lit(16)
+    data_sz = (F.col("n_chars") * 100).cast("long")
+
+    def le32(c):
+        h = F.lpad(F.hex(c.cast("long")), 8, "0")
+        return F.concat(
+            F.substring(h, 7, 2), F.substring(h, 5, 2),
+            F.substring(h, 3, 2), F.substring(h, 1, 2),
+        )
+
+    def le16(c):
+        h = F.lpad(F.hex(c.cast("long")), 4, "0")
+        return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+    byte_rate = rate * channels * bits / F.lit(8)
+    block_align = channels * bits / F.lit(8)
+    wav_hex = F.concat(
+        F.lit("52494646"), le32(data_sz + 36), F.lit("57415645"),
+        F.lit("666D7420"), le32(F.lit(16)), le16(F.lit(1)),
+        le16(channels), le32(rate), le32(byte_rate.cast("long")),
+        le16(block_align.cast("long")), le16(bits),
+        F.lit("64617461"), le32(data_sz),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(wav_hex).alias("content"),
+    )
+    out = wav_metadata(media)
+    return out.select(
+        "media_id", "sample_rate", "channels", "bits_per_sample",
+        "duration_ms",
+    )
+
+
+ORACLE_MULTIMODAL_AUDIO = """
+WITH p AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 22050
+              ELSE 16000 END AS sample_rate,
+         doc_id % 2 + 1 AS channels,
+         16 AS bits_per_sample,
+         n_chars * 100 AS data_bytes
+  FROM documents
+)
+SELECT media_id,
+       CAST(sample_rate AS BIGINT) AS sample_rate,
+       CAST(channels AS BIGINT) AS channels,
+       CAST(bits_per_sample AS BIGINT) AS bits_per_sample,
+       CAST(FLOOR((data_bytes * 8000)
+                  / (sample_rate * channels * bits_per_sample))
+            AS BIGINT) AS duration_ms
+FROM p
+"""
+
+QUERIES["multimodal_audio_meta"] = QuerySpec(
+    q_multimodal_audio_meta, ORACLE_MULTIMODAL_AUDIO
+)

@@ -310,3 +310,33 @@ def test_image_dimensions_parses_real_headers(spark):
     assert got[2] == ("jpeg", 640, 480)
     assert got[3] == ("jpeg", None, None)   # truncated: null, no error
     assert got[4] == ("unknown", None, None)
+
+
+def test_wav_metadata_parses_real_header(spark):
+    import struct as pystruct
+
+    from data_pipeline_mlops_spark.functions.multimodal import wav_metadata
+
+    def wav(rate, ch, bits, data_bytes):
+        return (
+            b"RIFF" + pystruct.pack("<I", data_bytes + 36) + b"WAVE"
+            + b"fmt " + pystruct.pack("<IHHIIHH", 16, 1, ch, rate,
+                                      rate * ch * bits // 8,
+                                      ch * bits // 8, bits)
+            + b"data" + pystruct.pack("<I", data_bytes)
+        )
+
+    rows = [
+        (1, wav(44100, 2, 16, 176400)),   # exactly 1000 ms
+        (2, wav(8000, 1, 8, 4000)),       # 500 ms
+        (3, b"not audio at all"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        r.media_id: (r.sample_rate, r.channels, r.bits_per_sample,
+                     r.duration_ms)
+        for r in wav_metadata(df).collect()
+    }
+    assert got[1] == (44100, 2, 16, 1000)
+    assert got[2] == (8000, 1, 8, 500)
+    assert got[3] == (None, None, None, None)
