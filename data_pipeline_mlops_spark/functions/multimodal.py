@@ -314,3 +314,52 @@ def wav_metadata(df: DataFrame, *, content_col: str = "content") -> DataFrame:
         .withColumn("bits_per_sample", F.when(is_wav, bits))
         .withColumn("duration_ms", F.when(is_wav, duration_ms))
     )
+
+
+def mp4_metadata_udf():
+    """MP4/ISO-BMFF (timescale, duration_ms) via the box walk: parse
+    [size][4cc] boxes at the top level, find `moov`, walk its children
+    for `mvhd` (version 0: timescale BE32 at payload+12, duration BE32
+    at +16). Arrow-vectorized like the JPEG scanner — box offsets are
+    variable, so this genuinely needs the walk. Nulls for non-MP4 or
+    truncated input; duration_ms is exact integer math
+    (duration * 1000 // timescale)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _be32(b, i):
+        return (b[i] << 24) | (b[i + 1] << 16) | (b[i + 2] << 8) | b[i + 3]
+
+    @pandas_udf("struct<timescale:long,duration_ms:long>")
+    def _meta(content: pd.Series) -> pd.DataFrame:
+        tss, durs = [], []
+        for buf in content:
+            ts = dms = None
+            b = bytes(buf or b"")
+            pos = 0
+            while pos + 8 <= len(b):
+                size = _be32(b, pos)
+                if size < 8:
+                    break
+                typ = b[pos + 4:pos + 8]
+                if typ == b"moov":
+                    q = pos + 8
+                    end = min(pos + size, len(b))
+                    while q + 8 <= end:
+                        csize = _be32(b, q)
+                        if csize < 8:
+                            break
+                        if b[q + 4:q + 8] == b"mvhd" and q + 28 <= end:
+                            if b[q + 8] == 0:  # version 0
+                                ts = _be32(b, q + 20)
+                                dur = _be32(b, q + 24)
+                                if ts:
+                                    dms = dur * 1000 // ts
+                            break
+                        q += csize
+                    break
+                pos += size
+            tss.append(ts)
+            durs.append(dms)
+        return pd.DataFrame({"timescale": tss, "duration_ms": durs})
+
+    return _meta

@@ -7289,3 +7289,65 @@ FROM p
 QUERIES["multimodal_audio_meta"] = QuerySpec(
     q_multimodal_audio_meta, ORACLE_MULTIMODAL_AUDIO
 )
+
+
+def q_multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free VIDEO metadata (functions/multimodal.py::
+    mp4_metadata_udf): planted ISO-BMFF streams (ftyp + moov/mvhd v0)
+    with metadata-derived timescale/duration; the Arrow box walk reads
+    them back from the bytes. Completes the image/audio/video
+    metadata trio — the screen-and-meter stage that runs before any
+    decode; frame decode remains the codec stub."""
+    from data_pipeline_mlops_spark.functions.multimodal import (
+        mp4_metadata_udf,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ts = F.when(F.col("doc_id") % 3 == 0, 90000).when(
+        F.col("doc_id") % 3 == 1, 1000
+    ).otherwise(600)
+    dur_units = (F.col("n_chars") * 7).cast("long")
+
+    def be32(c):
+        return F.lpad(F.hex(c.cast("long")), 8, "0")
+
+    ftyp = F.lit("000000106674797069736F6D00000200")
+    mvhd = F.concat(
+        F.lit("0000006C6D766864"),           # size 108, 'mvhd'
+        F.lit("00000000"),                   # version 0 + flags
+        F.lit("00000000"), F.lit("00000000"),  # ctime, mtime
+        be32(ts), be32(dur_units),
+        F.lit("00" * 80),
+    )
+    moov = F.concat(F.lit("000000746D6F6F76"), mvhd)  # 8 + 108 = 116
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.concat(ftyp, moov)).alias("content"),
+    )
+    out = media.withColumn(
+        "meta", mp4_metadata_udf()(F.col("content"))
+    )
+    return out.select(
+        "media_id",
+        F.col("meta.timescale").alias("timescale"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+
+
+ORACLE_MULTIMODAL_VIDEO = """
+WITH p AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 90000 WHEN 1 THEN 1000
+              ELSE 600 END AS timescale,
+         n_chars * 7 AS dur_units
+  FROM documents
+)
+SELECT media_id,
+       CAST(timescale AS BIGINT) AS timescale,
+       CAST((dur_units * 1000) // timescale AS BIGINT) AS duration_ms
+FROM p
+"""
+
+QUERIES["multimodal_video_meta"] = QuerySpec(
+    q_multimodal_video_meta, ORACLE_MULTIMODAL_VIDEO
+)

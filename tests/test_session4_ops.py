@@ -340,3 +340,35 @@ def test_wav_metadata_parses_real_header(spark):
     assert got[1] == (44100, 2, 16, 1000)
     assert got[2] == (8000, 1, 8, 500)
     assert got[3] == (None, None, None, None)
+
+
+def test_mp4_metadata_walks_real_boxes(spark):
+    import struct as pystruct
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_mlops_spark.functions.multimodal import (
+        mp4_metadata_udf,
+    )
+
+    def box(typ, payload):
+        return pystruct.pack(">I", 8 + len(payload)) + typ + payload
+
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + b"\x00" * 8
+        + pystruct.pack(">II", 90000, 270000) + b"\x00" * 80,
+    )
+    # an extra leading child (udta) before mvhd exercises the walk
+    moov = box(b"moov", box(b"udta", b"\x00" * 12) + mvhd)
+    mp4 = box(b"ftyp", b"isom\x00\x00\x02\x00") + moov
+    rows = [(1, mp4), (2, b"RIFFxxxxWAVE")]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        r.media_id: (r.meta.timescale, r.meta.duration_ms)
+        for r in df.withColumn(
+            "meta", mp4_metadata_udf()(F.col("content"))
+        ).collect()
+    }
+    assert got[1] == (90000, 3000)       # 270000 / 90000 = 3 s
+    assert got[2] == (None, None)
