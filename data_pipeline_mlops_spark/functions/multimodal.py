@@ -1,12 +1,22 @@
 """Multimodal (image/audio/video) column plumbing.
 
-Media are opaque `binary` columns with typed metadata structs. The
-Spark-side machinery — schema, batch shape, partition sizing, Arrow
-transfer through mapInPandas — is real and tested; the actual codecs
-(PIL/librosa/ffmpeg) are NOT in this container, so the decode kernels
-are STUBBED: a deterministic fake feature extractor stands in, and the
-real hook raises NotImplementedError where a codec would be called.
-Swapping in a real decoder changes only the inner function body.
+Media are opaque `binary` columns with typed metadata structs. Two
+tiers:
+
+1. **Metadata extraction — REAL and fully functional** (no codec
+   needed): PNG/JPEG dimensions, WAV sample-rate/channels/duration,
+   MP4 timescale/duration, all parsed from documented container-
+   header offsets — PNG/WAV as pure Catalyst expressions (codegen at
+   scan speed), JPEG/MP4 as Arrow-vectorized marker/box walks. This
+   is the screen-and-meter stage a 100 TB media corpus runs BEFORE
+   paying any decode.
+2. **Pixel/sample decode — STUBBED**: the actual codecs
+   (PIL/librosa/ffmpeg) are not in this container, so the decode
+   kernels use a deterministic fake extractor and the real hook
+   raises NotImplementedError. The Spark-side machinery — schema,
+   batch shape, partition sizing, Arrow transfer through
+   mapInPandas — is real and tested; swapping in a real decoder
+   changes only the inner function body.
 """
 
 from __future__ import annotations
