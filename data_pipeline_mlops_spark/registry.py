@@ -7351,3 +7351,101 @@ FROM p
 QUERIES["multimodal_video_meta"] = QuerySpec(
     q_multimodal_video_meta, ORACLE_MULTIMODAL_VIDEO
 )
+
+
+def q_doc_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + domain accounting (functions/url.py):
+    every doc gets a planted crawl URL with the real-world mess —
+    mixed-case scheme/host, www. prefixes, default :443 ports,
+    utm_*/tracking params, fragments — and the canonicalizer must
+    collapse all variants before the per-registered-domain rollup
+    (docs, distinct canonical URLs, exemplar). All regexp chains are
+    look-around-free so DuckDB's RE2 replays them exactly; at 100 TB
+    this is the map-side screen in front of URL-level dedup."""
+    from data_pipeline_mlops_spark.functions.url import domain_stats
+
+    d = F.col("doc_id")
+    tld = F.when(d % 2 == 0, ".com").otherwise(".org")
+    hostcore = F.concat(
+        F.when(d % 2 == 0, F.upper(F.col("source"))).otherwise(
+            F.col("source")
+        ),
+        tld,
+    )
+    url = F.concat(
+        F.when(d % 7 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(d % 4 == 0, F.lit("www.")).otherwise(F.lit("")),
+        hostcore,
+        F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Docs/"), d.cast("string"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&utm_campaign=x&id="),
+                d.cast("string"),
+            ),
+        ).otherwise(F.concat(F.lit("?id="), d.cast("string"))),
+        F.when(d % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return domain_stats(docs, url_col="url", id_col="doc_id")
+
+
+ORACLE_DOC_DOMAIN_STATS = r"""
+WITH u AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 7 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+    || (CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END)
+    || (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END)
+    || (CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+    || '/Docs/' || CAST(doc_id AS VARCHAR)
+    || (CASE WHEN doc_id % 3 = 0
+        THEN '?utm_source=feed&utm_campaign=x&id=' || CAST(doc_id AS VARCHAR)
+        ELSE '?id=' || CAST(doc_id AS VARCHAR) END)
+    || (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents
+),
+c0 AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+      || regexp_replace(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', '')
+      AS s
+  FROM u
+),
+c1 AS (SELECT doc_id, url,
+  regexp_replace(s, '^(https?://)www\.', '\1') AS s FROM c0),
+c2 AS (SELECT doc_id, url,
+  regexp_replace(s, '^(https?://[^/?#:]+):(80|443)([/?#])', '\1\3') AS s
+  FROM c1),
+c3 AS (SELECT doc_id, url,
+  regexp_replace(s, '^(https?://[^/?#:]+):(80|443)$', '\1') AS s FROM c2),
+c4 AS (SELECT doc_id, url, regexp_replace(s, '#.*$', '') AS s FROM c3),
+c5 AS (SELECT doc_id, url, regexp_replace(s,
+  '([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&', '\1', 'g') AS s FROM c4),
+c6 AS (SELECT doc_id, url, regexp_replace(s,
+  '([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&', '\1', 'g') AS s FROM c5),
+c7 AS (SELECT doc_id, url, regexp_replace(s,
+  '([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&', '\1', 'g') AS s FROM c6),
+c8 AS (SELECT doc_id, url, regexp_replace(s,
+  '[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&#]*$', '') AS s FROM c7),
+c9 AS (SELECT doc_id, url, regexp_replace(s, '[?&]$', '') AS s FROM c8),
+canon AS (SELECT doc_id, url, regexp_replace(s, '/$', '') AS canonical
+          FROM c9),
+keyed AS (
+  SELECT doc_id, canonical,
+    regexp_extract(
+      lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)),
+      '([^.]+\.[^.]+)$', 1) AS domain
+  FROM canon
+)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT canonical) AS BIGINT) AS n_canonical,
+       MIN(doc_id) AS exemplar_id
+FROM keyed GROUP BY 1
+"""
+
+QUERIES["doc_domain_stats"] = QuerySpec(
+    q_doc_domain_stats, ORACLE_DOC_DOMAIN_STATS
+)

@@ -372,3 +372,41 @@ def test_mp4_metadata_walks_real_boxes(spark):
     }
     assert got[1] == (90000, 3000)       # 270000 / 90000 = 3 s
     assert got[2] == (None, None)
+
+
+def test_canonicalize_url_variants_collapse(spark):
+    from data_pipeline_mlops_spark.functions.url import (
+        canonicalize_url,
+        registered_domain,
+    )
+
+    variants = [
+        "https://example.com/a/b?id=1",
+        "HTTPS://EXAMPLE.com/a/b?id=1",
+        "https://www.example.com/a/b?id=1",
+        "https://example.com:443/a/b?id=1",
+        "https://example.com/a/b?utm_source=x&id=1",
+        "https://example.com/a/b?utm_source=x&utm_campaign=y&id=1",
+        "https://example.com/a/b?id=1#section",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    got = {
+        r.c for r in df.select(canonicalize_url("url").alias("c")).collect()
+    }
+    assert got == {"https://example.com/a/b?id=1"}
+    doms = {
+        r.d
+        for r in df.select(registered_domain("url").alias("d")).collect()
+    }
+    assert doms == {"example.com"}
+
+
+def test_canonicalize_preserves_path_case_and_real_params(spark):
+    from data_pipeline_mlops_spark.functions.url import canonicalize_url
+
+    df = spark.createDataFrame(
+        [("https://Example.com/CaseSensitive/Path?q=Hello&page=2",)],
+        "url string",
+    )
+    out = df.select(canonicalize_url("url").alias("c")).collect()[0].c
+    assert out == "https://example.com/CaseSensitive/Path?q=Hello&page=2"
