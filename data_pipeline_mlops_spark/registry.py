@@ -7449,3 +7449,172 @@ FROM keyed GROUP BY 1
 QUERIES["doc_domain_stats"] = QuerySpec(
     q_doc_domain_stats, ORACLE_DOC_DOMAIN_STATS
 )
+
+
+def q_doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search over the corpus: docs containing the
+    exact adjacent phrase "key order" — the positional-postings
+    feature BM25 bag-of-words can't express. Both term filters land
+    right after the posexplode, then one equi-join on
+    (doc, pos + 1): phrase matching is join arithmetic on positions,
+    never substring scanning. Emits per-doc occurrence counts and the
+    first match position."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id", F.posexplode(text.tokens("text")).alias("pos", "term")
+    )
+    a = t.where(F.col("term") == "key").select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    b = t.where(F.col("term") == "order").select(
+        "doc_id", F.col("pos").alias("p2")
+    )
+    return (
+        a.join(b, (a.doc_id == b.doc_id) & (b.p2 == a.p1 + 1))
+        .select(a.doc_id, "p1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            (F.min("p1") + 1).cast("long").alias("first_pos"),
+        )
+    )
+
+
+ORACLE_DOC_PHRASE = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents
+),
+t AS (
+  SELECT doc_id, tk[r.i] AS term, r.i AS pos
+  FROM d, UNNEST(range(1, len(tk) + 1)) r(i)
+),
+m AS (
+  SELECT a.doc_id, a.pos
+  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'key' AND b.term = 'order'
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MIN(pos) AS BIGINT) AS first_pos
+FROM m GROUP BY 1
+"""
+
+QUERIES["doc_phrase_search"] = QuerySpec(
+    q_doc_phrase_search, ORACLE_DOC_PHRASE
+)
+
+
+def q_user_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA (the theta-sketch move): estimate the
+    union, Jaccard, and intersection of viewers vs purchasers from
+    two k=64 sketches alone — no re-scan of the raw data. The union
+    sketch is the k smallest of the merged hash sets; Jaccard is the
+    fraction of those present in BOTH input sketches. Every hash is
+    deterministic md5-60 arithmetic, so the whole estimator is
+    engine-replayable; exact counts ride along to expose the realized
+    error honestly."""
+    k = 64
+    ev = load_table(spark, sf_dir, "events")
+
+    def sketch(pred):
+        h = F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16, 10,
+        ).cast("long")
+        return (
+            ev.where(pred)
+            .select(h.alias("__h"))
+            .distinct()
+            .orderBy(F.col("__h").asc())
+            .limit(k)
+        )
+
+    ka = sketch(F.col("event_type") == "view")
+    kb = sketch(F.col("event_type") == "purchase")
+    union_k = (
+        ka.unionByName(kb).distinct().orderBy(F.col("__h").asc()).limit(k)
+    )
+    both = union_k.join(ka, "__h", "left_semi").join(kb, "__h", "left_semi")
+    stats = union_k.agg(
+        F.max("__h").alias("__hk"),
+        F.count(F.lit(1)).cast("long").alias("n_union_k"),
+    ).crossJoin(both.agg(F.count(F.lit(1)).cast("long").alias("in_both")))
+    exact = (
+        ev.where(F.col("event_type") == "view")
+        .select("user_id")
+        .intersect(
+            ev.where(F.col("event_type") == "purchase").select("user_id")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+        .crossJoin(
+            ev.where(
+                F.col("event_type").isin("view", "purchase")
+            ).agg(F.countDistinct("user_id").alias("exact_union"))
+        )
+    )
+    est_union = (F.col("n_union_k") - 1) / (
+        F.col("__hk") / F.lit(float(2**60))
+    )
+    return stats.crossJoin(exact).select(
+        "n_union_k",
+        "in_both",
+        F.round(est_union, 4).alias("est_union"),
+        F.round(F.col("in_both") / F.col("n_union_k"), 6).alias(
+            "est_jaccard"
+        ),
+        F.round(
+            est_union * (F.col("in_both") / F.col("n_union_k")), 4
+        ).alias("est_intersection"),
+        "exact_union",
+        "exact_intersection",
+    )
+
+
+ORACLE_USER_OVERLAP_KMV = """
+WITH ha AS (
+  SELECT DISTINCT ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1,
+                   15))::BIGINT AS h
+  FROM events WHERE event_type = 'view'
+),
+hb AS (
+  SELECT DISTINCT ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1,
+                   15))::BIGINT AS h
+  FROM events WHERE event_type = 'purchase'
+),
+ka AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+kb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+uk AS (
+  SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) u
+  ORDER BY h LIMIT 64
+),
+stats AS (
+  SELECT MAX(h) AS hk, CAST(COUNT(*) AS BIGINT) AS n_union_k FROM uk
+),
+both_ AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS in_both
+  FROM uk WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+),
+exact AS (
+  SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM
+      (SELECT user_id FROM events WHERE event_type = 'view'
+       INTERSECT
+       SELECT user_id FROM events WHERE event_type = 'purchase') x)
+      AS exact_intersection,
+    (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+     WHERE event_type IN ('view', 'purchase')) AS exact_union
+)
+SELECT n_union_k, in_both,
+       ROUND((n_union_k - 1) / (hk / 1152921504606846976.0), 4)
+         AS est_union,
+       ROUND(in_both / CAST(n_union_k AS DOUBLE), 6) AS est_jaccard,
+       ROUND((n_union_k - 1) / (hk / 1152921504606846976.0)
+             * (in_both / CAST(n_union_k AS DOUBLE)), 4)
+         AS est_intersection,
+       exact_union, exact_intersection
+FROM stats CROSS JOIN both_ CROSS JOIN exact
+"""
+
+QUERIES["user_overlap_kmv"] = QuerySpec(
+    q_user_overlap_kmv, ORACLE_USER_OVERLAP_KMV
+)
