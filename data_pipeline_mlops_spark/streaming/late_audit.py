@@ -1,0 +1,112 @@
+"""Late-data audit gate: never let the watermark drop rows silently.
+
+Structured Streaming's watermark DISCARDS rows older than
+(max event time seen - delay) once they reach a stateful operator —
+correct for state bounds, but invisible: the rows simply vanish from
+the aggregates. For a pipeline that feeds training data or billing,
+silent loss is the failure mode; the fix is the same never-drop split
+the DQ gate uses, applied to LATENESS:
+
+- a persisted high-watermark table carries max(event_time) - delay
+  across batches (streaming state the operator owns, same
+  ManifestTable idiom as the dedup index / CMS store);
+- each micro-batch splits into (on_time, late) against the watermark
+  AS OF THE PREVIOUS BATCH — the same frontier the engine's stateful
+  operators would apply — and the late rows land in a quarantine
+  table with their lateness recorded, instead of vanishing;
+- commits follow the DqGate crash-contract: quarantine and output are
+  partition-replaced by batch_id, the watermark commit is LAST and is
+  the applied-marker, so redelivered batches replay idempotently.
+
+At 100 TB the frontier is ONE row of state; the split is a map-side
+comparison against a broadcast scalar. Downstream can reconcile
+quarantined late rows on whatever cadence the business needs —
+which is exactly what the silent drop forecloses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_mlops_spark.sources.txn import ManifestTable
+from data_pipeline_mlops_spark.timeutil import epoch_us
+
+
+class LateAuditGate:
+    """foreachBatch body: split on the persisted watermark, quarantine
+    late rows, advance the watermark transactionally."""
+
+    def __init__(
+        self, base_dir: str, *, ts_col: str, delay_us: int
+    ) -> None:
+        self.ts_col = ts_col
+        self.delay_us = int(delay_us)
+        self.on_time = ManifestTable(f"{base_dir}/on_time")
+        self.late = ManifestTable(f"{base_dir}/late")
+        self.wm = ManifestTable(f"{base_dir}/watermark")
+
+    # -- state -------------------------------------------------------------
+
+    def current_watermark_us(self, spark: SparkSession) -> int | None:
+        if self.wm.latest_version() is None:
+            return None
+        row = (
+            self.wm.read(spark)
+            .agg(F.max("watermark_us").alias("w"))
+            .collect()[0]
+        )
+        return None if row.w is None else int(row.w)
+
+    def applied_batches(self, spark: SparkSession) -> set[int]:
+        if self.wm.latest_version() is None:
+            return set()
+        return {
+            r.batch_id
+            for r in self.wm.read(spark).select("batch_id").collect()
+        }
+
+    # -- the gate ----------------------------------------------------------
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if int(batch_id) in self.applied_batches(spark):
+            return  # redelivery: already fully committed
+        wm_us = self.current_watermark_us(spark)
+        ev = batch_df.withColumn("__ev_us", epoch_us(self.ts_col))
+
+        if wm_us is None:
+            on_time = ev
+            late = ev.limit(0)
+        else:
+            on_time = ev.where(F.col("__ev_us") >= F.lit(wm_us))
+            late = ev.where(F.col("__ev_us") < F.lit(wm_us))
+        late = late.withColumn(
+            "lateness_us",
+            F.lit(wm_us if wm_us is not None else 0) - F.col("__ev_us"),
+        )
+
+        bid = F.lit(int(batch_id)).cast("long")
+        self.on_time.commit(
+            on_time.drop("__ev_us").withColumn("batch_id", bid),
+            partition_col="batch_id",
+            mode="replace_partitions",
+        )
+        self.late.commit(
+            late.drop("__ev_us").withColumn("batch_id", bid),
+            partition_col="batch_id",
+            mode="replace_partitions",
+        )
+        # frontier advance: new watermark = max(old, max(ev) - delay).
+        # Computed from ON-TIME rows only (late rows must not move the
+        # frontier). One scalar row per batch; committed LAST as the
+        # applied marker.
+        stats = on_time.agg(F.max("__ev_us").alias("mx")).collect()[0]
+        new_wm = wm_us
+        if stats.mx is not None:
+            cand = int(stats.mx) - self.delay_us
+            new_wm = cand if new_wm is None else max(new_wm, cand)
+        wm_row = spark.createDataFrame(
+            [(int(batch_id), new_wm)], "batch_id long, watermark_us long"
+        )
+        self.wm.commit(wm_row, mode="append")

@@ -35,6 +35,10 @@ ALLOWED = {
         "applied-batch-id probe: distinct batch ids from the report "
         "table (bounded by batch count, the exactly-once marker read)"
     ),
+    "streaming/late_audit.py": (
+        "watermark frontier state: a 1-row scalar per batch plus the "
+        "applied-batch-id probe (same adjudication as dq_stream)"
+    ),
     "sources/merge.py": (
         "touched-partition list for MERGE: bounded by partition-value "
         "count (metadata scale), same adjudication as upsert_sink"
