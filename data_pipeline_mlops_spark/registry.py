@@ -7618,3 +7618,120 @@ FROM stats CROSS JOIN both_ CROSS JOIN exact
 QUERIES["user_overlap_kmv"] = QuerySpec(
     q_user_overlap_kmv, ORACLE_USER_OVERLAP_KMV
 )
+
+
+def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (operators/profile.py): row/null/
+    exact-distinct/min/max per column in long format from a SINGLE
+    aggregation (the multiple count-distincts compile to one Expand;
+    the approx variant removes it at 100 TB — documented). Columns
+    chosen to keep min/max string-portable (no floats — float
+    formatting differs across engines)."""
+    from data_pipeline_mlops_spark.operators.profile import profile
+
+    return profile(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
+ORACLE_ORDERS_PROFILE = """
+SELECT 'o_orderkey' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_non_null,
+       CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(o_custkey) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(o_orderstatus) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+       MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(o_orderpriority) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+       MIN(o_orderpriority), MAX(o_orderpriority)
+FROM orders
+"""
+
+QUERIES["orders_profile"] = QuerySpec(q_orders_profile, ORACLE_ORDERS_PROFILE)
+
+
+def q_event_type_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED KMV cardinality: per-event-type distinct-user estimates
+    from k=32 sketches built with ONE window pass (row_number over the
+    hash, partitioned by group) — the GROUP BY form of the global KMV
+    sketch. Exact counts alongside expose per-group realized error.
+    Scale: the window shuffles (type, hash) pairs once; k rows per
+    group reach the finalizer regardless of group size."""
+    k = 32
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashes = ev.select("event_type", h.alias("__h")).distinct()
+    w = Window.partitionBy("event_type").orderBy(F.col("__h").asc())
+    topk = hashes.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= k
+    )
+    stats = topk.groupBy("event_type").agg(
+        F.max("__h").alias("__hk"),
+        F.count(F.lit(1)).cast("long").alias("n_k"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    est = F.round(
+        (F.col("n_k") - 1) / (F.col("__hk") / F.lit(float(2**60))), 4
+    )
+    return stats.join(exact, "event_type").select(
+        "event_type", "n_k", est.alias("est_distinct"), "exact_distinct"
+    )
+
+
+ORACLE_EVENT_TYPE_KMV = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           AS hh
+  FROM events
+),
+topk AS (
+  SELECT event_type, hh FROM (
+    SELECT event_type, hh,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hh ASC) rn
+    FROM h) x
+  WHERE rn <= 32
+),
+stats AS (
+  SELECT event_type, MAX(hh) AS hk, CAST(COUNT(*) AS BIGINT) AS n_k
+  FROM topk GROUP BY 1
+),
+exact AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+           AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT s.event_type, s.n_k,
+       ROUND((s.n_k - 1) / (s.hk / 1152921504606846976.0), 4)
+         AS est_distinct,
+       e.exact_distinct
+FROM stats s JOIN exact e ON s.event_type = e.event_type
+"""
+
+QUERIES["event_type_kmv"] = QuerySpec(q_event_type_kmv, ORACLE_EVENT_TYPE_KMV)

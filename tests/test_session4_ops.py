@@ -410,3 +410,25 @@ def test_canonicalize_preserves_path_case_and_real_params(spark):
     )
     out = df.select(canonicalize_url("url").alias("c")).collect()[0].c
     assert out == "https://example.com/CaseSensitive/Path?q=Hello&page=2"
+
+
+def test_profile_counts_nulls_and_distincts(spark):
+    from data_pipeline_mlops_spark.operators.profile import profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "k long, s string",
+    )
+    got = {
+        r.column_name: (r.n_rows, r.n_non_null, r.n_null, r.n_distinct,
+                        r.min_value, r.max_value)
+        for r in profile(df, ["k", "s"]).collect()
+    }
+    assert got["k"] == (4, 3, 1, 3, "1", "3")
+    assert got["s"] == (4, 3, 1, 2, "a", "b")
+    # the approx variant still covers every column with sane bounds
+    approx = {
+        r.column_name: r.n_distinct
+        for r in profile(df, ["k", "s"], exact_distinct=False).collect()
+    }
+    assert set(approx) == {"k", "s"} and all(v >= 1 for v in approx.values())
