@@ -119,3 +119,105 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def assign_to_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Assign vectors to their nearest EXISTING centroid — the
+    incremental-append path (no refit). Broadcast cross-join against
+    the tiny centroid table, squared-L2 via the deterministic
+    dot/norm kernels, ties broken by lowest cluster id (total order,
+    partition-invariant). One map-side pass at any corpus size."""
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col),
+        _to_double(F.col(vec_col)).alias("__v"),
+    )
+    c = centroids.select("cluster", F.col("centroid").alias("__c"))
+    d2 = (
+        dot_d(F.col("__v"), F.col("__v"))
+        - F.lit(2.0) * dot_d(F.col("__v"), F.col("__c"))
+        + dot_d(F.col("__c"), F.col("__c"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        d2.asc(), F.col("cluster").asc()
+    )
+    return (
+        v.crossJoin(F.broadcast(c))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, vec_col, "cluster")
+    )
+
+
+class IvfIndex:
+    """Persisted, incrementally-maintained IVF-Flat index — the ANN
+    twin of the incremental dedup index (streaming/dedup_stream.py):
+    centroids are fit ONCE at bootstrap; appends assign new vectors to
+    existing cells and commit only the touched cell partitions;
+    searches read only the probed cells via manifest-level partition
+    pruning. Cell-balance decays as the corpus drifts from the
+    bootstrap distribution — re-bootstrap (or re-fit centroids on a
+    sample and re-assign, one job) when recall degrades; the
+    `fragmentation()` counter says when to compact appended slivers.
+    """
+
+    def __init__(self, base_dir: str) -> None:
+        from data_pipeline_mlops_spark.sources.txn import ManifestTable
+
+        self.centroids_t = ManifestTable(f"{base_dir}/centroids")
+        self.codes_t = ManifestTable(f"{base_dir}/codes")
+
+    def bootstrap(
+        self,
+        corpus: DataFrame,
+        *,
+        id_col: str,
+        vec_col: str,
+        n_clusters: int = 16,
+        seed: int = 42,
+    ) -> None:
+        centroids, assigned = build_ivf_index(
+            corpus, id_col=id_col, vec_col=vec_col,
+            n_clusters=n_clusters, seed=seed,
+        )
+        self.centroids_t.commit(centroids, mode="replace_all")
+        self.codes_t.commit(
+            assigned, partition_col="cluster", mode="replace_all"
+        )
+
+    def append(
+        self, vectors: DataFrame, *, id_col: str, vec_col: str
+    ) -> int:
+        spark = vectors.sparkSession
+        assigned = assign_to_centroids(
+            vectors, self.centroids_t.read(spark),
+            id_col=id_col, vec_col=vec_col,
+        )
+        return self.codes_t.commit(
+            assigned, partition_col="cluster", mode="append"
+        )
+
+    def search(
+        self,
+        queries: DataFrame,
+        *,
+        id_col: str,
+        vec_col: str,
+        k: int = 5,
+        n_probe: int = 4,
+    ) -> DataFrame:
+        spark = queries.sparkSession
+        return ivf_topk(
+            queries,
+            self.centroids_t.read(spark),
+            self.codes_t.read(spark),
+            id_col=id_col,
+            vec_col=vec_col,
+            k=k,
+            n_probe=n_probe,
+        )

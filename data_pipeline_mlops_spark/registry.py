@@ -7735,3 +7735,59 @@ FROM stats s JOIN exact e ON s.event_type = e.event_type
 """
 
 QUERIES["event_type_kmv"] = QuerySpec(q_event_type_kmv, ORACLE_EVENT_TYPE_KMV)
+
+
+def q_doc_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) pair extraction with a +/-2 window
+    — the word2vec training-data builder. Position arithmetic on the
+    posexploded tokens (one self-join on doc + band predicate), then
+    a pair-count aggregation with map-side partials; pairs under
+    min_count=5 are dropped (the subsample threshold). Reduce volume
+    is <= vocab^2, corpus-independent — same bound as the PMI/BPE
+    aggregations."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id", F.posexplode(text.tokens("text")).alias("pos", "term")
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") >= F.col("a.pos") - 2)
+            & (F.col("b.pos") <= F.col("a.pos") + 2)
+            & (F.col("b.pos") != F.col("a.pos")),
+        )
+        .groupBy(
+            F.col("a.term").alias("center"),
+            F.col("b.term").alias("context"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .where(F.col("n_pairs") >= 5)
+    )
+    return pairs
+
+
+ORACLE_DOC_SKIPGRAM = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents
+),
+t AS (
+  SELECT doc_id, tk[r.i] AS term, r.i AS pos
+  FROM d, UNNEST(range(1, len(tk) + 1)) r(i)
+)
+SELECT a.term AS center, b.term AS context,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM t a
+JOIN t b ON a.doc_id = b.doc_id
+        AND b.pos BETWEEN a.pos - 2 AND a.pos + 2
+        AND b.pos <> a.pos
+GROUP BY 1, 2
+HAVING COUNT(*) >= 5
+"""
+
+QUERIES["doc_skipgram_pairs"] = QuerySpec(
+    q_doc_skipgram_pairs, ORACLE_DOC_SKIPGRAM
+)
