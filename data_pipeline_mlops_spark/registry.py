@@ -7791,3 +7791,194 @@ HAVING COUNT(*) >= 5
 QUERIES["doc_skipgram_pairs"] = QuerySpec(
     q_doc_skipgram_pairs, ORACLE_DOC_SKIPGRAM
 )
+
+
+def q_event_alert_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert throttling / duplicate suppression: within each
+    (user, event_type) stream, an alert fires only if no alert of the
+    same key fired in the preceding 30-minute cooldown — the paging
+    dedup every alerting system needs in front of webhooks (reference
+    fires per-event with no suppression:
+    flink-jobs/flink_job_alert_detection_simple.py). Gaps-and-islands
+    shape: lag over (key) ordered by event time; throttling ANCHORS to
+    emitted alerts (an ongoing storm stays suppressed until a full
+    quiet cooldown) via a two-level window — island id by
+    gap >= cooldown, then first-in-island fires. One shuffle on the
+    key; NTZ-safe epochs."""
+    from pyspark.sql import Window
+
+    cooldown_us = 30 * 60 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "error"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = epoch_us("ts") - F.lag(epoch_us("ts")).over(w)
+    flagged = ev.withColumn(
+        "__new_island",
+        F.when(gap.isNull() | (gap >= cooldown_us), 1).otherwise(0),
+    )
+    island = F.sum("__new_island").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_island = flagged.withColumn("__island", island)
+    wi = Window.partitionBy("user_id", "event_type", "__island").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        with_island.withColumn("__rn", F.row_number().over(wi))
+        .where(F.col("__rn") == 1)
+        .select(
+            "event_id", "user_id", "event_type",
+            epoch_us("ts").alias("fired_at_us"),
+        )
+    )
+
+
+ORACLE_EVENT_ALERT_THROTTLE = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS t
+  FROM events WHERE event_type = 'error'
+),
+g AS (
+  SELECT *,
+    CASE WHEN LAG(t) OVER w IS NULL
+              OR t - LAG(t) OVER w >= 1800000000
+         THEN 1 ELSE 0 END AS new_island
+  FROM e
+  WINDOW w AS (PARTITION BY user_id, event_type
+               ORDER BY t ASC, event_id ASC)
+),
+isl AS (
+  SELECT *,
+    SUM(new_island) OVER (PARTITION BY user_id, event_type
+                          ORDER BY t ASC, event_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS island
+  FROM g
+)
+SELECT event_id, user_id, event_type, CAST(t AS BIGINT) AS fired_at_us
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id, event_type, island
+    ORDER BY t ASC, event_id ASC) AS rn
+  FROM isl) x
+WHERE rn = 1
+"""
+
+QUERIES["event_alert_throttle"] = QuerySpec(
+    q_event_alert_throttle, ORACLE_EVENT_ALERT_THROTTLE
+)
+
+
+def q_cf_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPR-style deterministic negative sampling for CF training: for
+    each (user, positive item), up to 2 negatives drawn from the item
+    catalog by hashed attempts (md5(user|item|attempt) mod |items|),
+    rejecting candidates the user actually purchased — the training-
+    triple builder for pairwise ranking losses, derandomized so the
+    sample is a property of the data (same discipline as the
+    samplers/splits). Shapes: the item index is a small broadcast
+    dimension; rejection is one left join against the user's
+    positives; six attempts bound the rejection loop with no driver
+    iteration."""
+    from pyspark.sql import Window
+
+    inter = _materialize(_interactions(spark, sf_dir))
+    pos = inter.where(F.col("customer_id") <= 30)
+    items = inter.select("product_id").distinct()
+    w_idx = Window.orderBy(F.col("product_id").asc())
+    item_idx = items.select(
+        F.col("product_id").alias("cand_item"),
+        (F.row_number().over(w_idx) - 1).cast("long").alias("__idx"),
+    )
+    n_items = item_idx.agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    attempts = pos.crossJoin(F.broadcast(n_items)).select(
+        "customer_id",
+        F.col("product_id").alias("pos_item"),
+        "__n",
+        F.explode(F.sequence(F.lit(0), F.lit(5))).alias("attempt"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("customer_id").cast("string"),
+                    F.col("pos_item").cast("string"),
+                    F.col("attempt").cast("string"),
+                )
+            ),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    cand = attempts.withColumn("__idx", F.pmod(h, F.col("__n"))).join(
+        F.broadcast(item_idx), "__idx"
+    )
+    owned = inter.select(
+        F.col("customer_id"), F.col("product_id").alias("cand_item"),
+        F.lit(1).alias("__owned"),
+    )
+    valid = cand.join(
+        owned, ["customer_id", "cand_item"], "left"
+    ).where(F.col("__owned").isNull())
+    w_pick = Window.partitionBy("customer_id", "pos_item").orderBy(
+        F.col("attempt").asc()
+    )
+    return (
+        valid.withColumn("__rn", F.row_number().over(w_pick))
+        .where(F.col("__rn") <= 2)
+        .select(
+            "customer_id", "pos_item",
+            F.col("cand_item").alias("neg_item"),
+            F.col("attempt").cast("long").alias("attempt"),
+        )
+    )
+
+
+ORACLE_CF_NEGATIVE_SAMPLES = """
+WITH inter AS (
+  SELECT DISTINCT o_custkey AS customer_id, l_partkey AS product_id
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+pos AS (SELECT * FROM inter WHERE customer_id <= 30),
+item_idx AS (
+  SELECT product_id AS cand_item,
+         CAST(ROW_NUMBER() OVER (ORDER BY product_id ASC) - 1 AS BIGINT)
+           AS idx
+  FROM (SELECT DISTINCT product_id FROM inter)
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM item_idx),
+att AS (
+  SELECT p.customer_id, p.product_id AS pos_item, r.i AS attempt,
+         ('0x' || substring(md5(
+            CAST(p.customer_id AS VARCHAR) || '|' ||
+            CAST(p.product_id AS VARCHAR) || '|' ||
+            CAST(r.i AS VARCHAR)), 1, 15))::BIGINT % n.n_items AS idx
+  FROM pos p CROSS JOIN n CROSS JOIN UNNEST(range(0, 6)) r(i)
+),
+cand AS (
+  SELECT a.customer_id, a.pos_item, a.attempt, ii.cand_item
+  FROM att a JOIN item_idx ii ON a.idx = ii.idx
+),
+valid AS (
+  SELECT c.* FROM cand c
+  LEFT JOIN inter o
+    ON o.customer_id = c.customer_id AND o.product_id = c.cand_item
+  WHERE o.product_id IS NULL
+)
+SELECT customer_id, pos_item, cand_item AS neg_item,
+       CAST(attempt AS BIGINT) AS attempt
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY customer_id, pos_item ORDER BY attempt ASC) AS rn
+  FROM valid) x
+WHERE rn <= 2
+"""
+
+QUERIES["cf_negative_samples"] = QuerySpec(
+    q_cf_negative_samples, ORACLE_CF_NEGATIVE_SAMPLES
+)

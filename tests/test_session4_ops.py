@@ -432,3 +432,23 @@ def test_profile_counts_nulls_and_distincts(spark):
         for r in profile(df, ["k", "s"], exact_distinct=False).collect()
     }
     assert set(approx) == {"k", "s"} and all(v >= 1 for v in approx.values())
+
+
+def test_negative_samples_never_owned(spark):
+    import os
+
+    from data_pipeline_mlops_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    negs = QUERIES["cf_negative_samples"].spark(spark, sf)
+    from data_pipeline_mlops_spark.registry import _interactions
+
+    inter = {
+        (r.customer_id, r.product_id)
+        for r in _interactions(spark, sf).collect()
+    }
+    rows = negs.collect()
+    assert rows, "sampler should produce negatives"
+    for r in rows:
+        assert (r.customer_id, r.neg_item) not in inter
+        assert r.neg_item != r.pos_item or (r.customer_id, r.pos_item) not in inter
