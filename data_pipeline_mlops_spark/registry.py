@@ -7982,3 +7982,90 @@ WHERE rn <= 2
 QUERIES["cf_negative_samples"] = QuerySpec(
     q_cf_negative_samples, ORACLE_CF_NEGATIVE_SAMPLES
 )
+
+
+def q_orders_incremental_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained daily revenue summary
+    (plans/incremental.py::IncrementalAggregate) — the materialized-
+    view composition: bootstrap the summary at the merge fixture's v0,
+    run the MERGE, then refresh ONLY the days its change feed touches
+    (pre-images dirty their old day too, so cross-day moves recompute
+    both sides; fully-deleted days drop). The emitted table is the
+    refreshed summary, and the oracle computes a FULL aggregate over
+    the merged final state — hash equality IS the incremental-equals-
+    full proof. Everything O(changed data): pruned CDC, key-filtered
+    re-agg, partition-replace commit."""
+    import tempfile
+
+    from data_pipeline_mlops_spark.plans.incremental import (
+        IncrementalAggregate,
+    )
+    from data_pipeline_mlops_spark.sources.txn import ManifestTable
+
+    table, v0, v1 = _merge_fixture(spark, sf_dir)
+
+    def day_key(df):
+        return F.floor(
+            epoch_us(F.col("o_orderdate")) / F.lit(86400000000)
+        ).cast("long")
+
+    def agg_fn(df):
+        return df.groupBy(day_key(df).alias("order_day")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2
+            ).cast("double").alias("revenue"),
+        )
+
+    ia = IncrementalAggregate(
+        ManifestTable(tempfile.mkdtemp(prefix="inc_sum_")),
+        key_col="order_day",
+        group_key=day_key,
+        agg_fn=agg_fn,
+    )
+    # bootstrap against v0, then refresh from the v0->v1 change feed
+    class _Snap:
+        def read(self, spark_, version=None, **kw):
+            return table.read(
+                spark_, version=v0 if version is None else version, **kw
+            )
+
+    ia.full_compute(spark, _Snap())
+    ia.refresh(spark, table, v_from=v0, v_to=v1, on=["o_orderkey"])
+    return ia.summary.read(spark).select("order_day", "n_orders", "revenue")
+
+
+ORACLE_ORDERS_INCREMENTAL_SUMMARY = """
+WITH src AS (
+  SELECT o_orderkey, o_totalprice0 AS o_totalprice, o_orderdate, is_delete
+  FROM (
+    SELECT o_orderkey,
+      CASE WHEN o_orderkey % 4 <> 0 AND o_orderkey % 7 = 0
+           THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice0,
+      o_orderdate,
+      (o_orderkey % 4 <> 0 AND o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0)
+        AS is_delete
+    FROM orders
+    WHERE o_orderkey % 4 = 0 OR o_orderkey % 7 = 0 OR o_orderkey % 5 = 0
+  ) s
+),
+merged AS (
+  SELECT o_orderkey, o_totalprice, o_orderdate
+  FROM orders
+  WHERE o_orderkey % 4 <> 0
+    AND o_orderkey NOT IN (SELECT o_orderkey FROM src)
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderdate
+  FROM src WHERE NOT is_delete
+)
+SELECT CAST(FLOOR(epoch_us(o_orderdate) / 86400000000) AS BIGINT)
+         AS order_day,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE)
+         AS revenue
+FROM merged GROUP BY 1
+"""
+
+QUERIES["orders_incremental_summary"] = QuerySpec(
+    q_orders_incremental_summary, ORACLE_ORDERS_INCREMENTAL_SUMMARY
+)

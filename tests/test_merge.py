@@ -149,3 +149,59 @@ def test_table_changes_unchanged_row_not_reported(spark, table):
     types = {(r.k, r._change_type) for r in ch.collect()}
     assert (1, "update_preimage") not in types
     assert (2, "update_postimage") in types
+
+
+def test_incremental_aggregate_prunes_and_drops(spark, tmp_path):
+    """Refresh must leave untouched group partitions' files alone and
+    drop groups whose rows all vanished."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_mlops_spark.plans.incremental import (
+        IncrementalAggregate,
+    )
+    from data_pipeline_mlops_spark.sources.merge import merge_into
+    from data_pipeline_mlops_spark.sources.txn import ManifestTable
+
+    src = ManifestTable(str(tmp_path / "src"))
+    src.commit(
+        spark.createDataFrame(
+            [(1, 10, 5), (2, 10, 7), (3, 20, 9), (4, 30, 1)],
+            "k long, day long, v long",
+        ),
+        partition_col="day",
+        mode="replace_all",
+    )
+    v0 = src.latest_version()
+
+    def day_key(df):
+        return F.col("day")
+
+    def agg_fn(df):
+        return df.groupBy(F.col("day").alias("day")).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("long").alias("total"),
+        )
+
+    ia = IncrementalAggregate(
+        ManifestTable(str(tmp_path / "sum")),
+        key_col="day",
+        group_key=day_key,
+        agg_fn=agg_fn,
+    )
+    ia.full_compute(spark, src)
+    sum_v0 = ia.summary.latest_version()
+    day10_dirs = ia.summary._manifest(sum_v0)["partitions"]["day=10"]
+
+    # merge: update one day-20 row, delete the only day-30 row
+    delta = spark.createDataFrame(
+        [(3, 20, 90, False), (4, 30, 0, True)],
+        "k long, day long, v long, is_delete boolean",
+    )
+    v1 = merge_into(spark, src, delta, on=["k"], delete_col="is_delete")
+    ia.refresh(spark, src, v_from=v0, v_to=v1, on=["k"])
+
+    got = {(r.day, r.n, r.total) for r in ia.summary.read(spark).collect()}
+    assert got == {(10, 2, 12), (20, 1, 90)}
+    man = ia.summary._manifest(ia.summary.latest_version())["partitions"]
+    assert "day=30" not in man                      # emptied group dropped
+    assert man["day=10"] == day10_dirs              # untouched files carry over

@@ -39,6 +39,11 @@ ALLOWED = {
         "watermark frontier state: a 1-row scalar per batch plus the "
         "applied-batch-id probe (same adjudication as dq_stream)"
     ),
+    "plans/incremental.py": (
+        "dirty group-key list from the change feed: bounded by the "
+        "aggregate's partition-value count (metadata scale), same "
+        "adjudication as merge's touched-partition collect"
+    ),
     "sources/merge.py": (
         "touched-partition list for MERGE: bounded by partition-value "
         "count (metadata scale), same adjudication as upsert_sink"
