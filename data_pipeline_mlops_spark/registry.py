@@ -8004,13 +8004,15 @@ def q_orders_incremental_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     table, v0, v1 = _merge_fixture(spark, sf_dir)
 
-    def day_key(df):
-        return F.floor(
-            epoch_us(F.col("o_orderdate")) / F.lit(86400000000)
-        ).cast("long")
+    # month grain: a day-grained summary would mean ~2400 partitions
+    # of a few rows each (tiny-file shape) — month keeps the partition
+    # count sane while still exercising multi-key dirtiness
+    def month_key(df):
+        c = F.col("o_orderdate")
+        return (F.year(c) * 12 + F.month(c)).cast("long")
 
     def agg_fn(df):
-        return df.groupBy(day_key(df).alias("order_day")).agg(
+        return df.groupBy(month_key(df).alias("order_month")).agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
             F.round(
                 F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2
@@ -8019,8 +8021,8 @@ def q_orders_incremental_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ia = IncrementalAggregate(
         ManifestTable(tempfile.mkdtemp(prefix="inc_sum_")),
-        key_col="order_day",
-        group_key=day_key,
+        key_col="order_month",
+        group_key=month_key,
         agg_fn=agg_fn,
     )
     # bootstrap against v0, then refresh from the v0->v1 change feed
@@ -8032,7 +8034,9 @@ def q_orders_incremental_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ia.full_compute(spark, _Snap())
     ia.refresh(spark, table, v_from=v0, v_to=v1, on=["o_orderkey"])
-    return ia.summary.read(spark).select("order_day", "n_orders", "revenue")
+    return ia.summary.read(spark).select(
+        "order_month", "n_orders", "revenue"
+    )
 
 
 ORACLE_ORDERS_INCREMENTAL_SUMMARY = """
@@ -8058,8 +8062,8 @@ merged AS (
   SELECT o_orderkey, o_totalprice, o_orderdate
   FROM src WHERE NOT is_delete
 )
-SELECT CAST(FLOOR(epoch_us(o_orderdate) / 86400000000) AS BIGINT)
-         AS order_day,
+SELECT CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS BIGINT)
+         AS order_month,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE)
          AS revenue
