@@ -76,6 +76,15 @@ HEADLINE = R1_KEYS + [
     "pq_trained_topk",
     "incremental_dedup_decisions",
     "embedding_near_dups_fast",
+    # Round-5 session-4 headliners: lakehouse MERGE (O(touched-
+    # partition) rewrite incl. real manifest commits), winnowing
+    # fingerprints (explode-heavy dedup tier), integer-exact PPS
+    # sampling (bucketed distributed prefix sum), and BM25 retrieval
+    # (term-filtered explode + TakeOrdered).
+    "orders_merge_upsert",
+    "doc_winnowing_fps",
+    "doc_weighted_sample",
+    "doc_bm25_search",
 ]
 
 
