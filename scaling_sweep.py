@@ -52,6 +52,13 @@ QUERIES = [
     "doc_winnowing_fps",
     "doc_weighted_sample",
     "doc_bm25_search",
+    # later session-4 additions: iterative LPA (3 rounds of
+    # join+agg+window), the CDC-driven incremental aggregate
+    # (bootstrap + merge + refresh, commits included), and DSIR
+    # (double bigram frequency tables)
+    "item_communities",
+    "orders_incremental_summary",
+    "doc_dsir_selection",
 ]
 
 SHIFT_KEYS = {
