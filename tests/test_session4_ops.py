@@ -452,3 +452,43 @@ def test_negative_samples_never_owned(spark):
     for r in rows:
         assert (r.customer_id, r.neg_item) not in inter
         assert r.neg_item != r.pos_item or (r.customer_id, r.pos_item) not in inter
+
+
+def test_triangle_counting_known_graph(spark):
+    """K4 contains exactly 4 triangles; each vertex is in 3."""
+    from data_pipeline_mlops_spark.registry import QUERIES  # noqa: F401
+    from pyspark.sql import functions as F
+
+    # emulate the query's core on a hand graph via the same pattern:
+    # K4 on {1,2,3,4} plus a pendant edge 4-5
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges.append((4, 5))
+    und = spark.createDataFrame(edges, "u long, v long")
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .unionAll(und.select(F.col("v").alias("x")))
+        .groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        und.join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
+        .selectExpr(
+            "CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS s",
+            "CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS t",
+        )
+    )
+    wedge = (
+        e.alias("e1").join(e.alias("e2"), F.col("e1.s") == F.col("e2.s"))
+        .where(F.col("e1.t") < F.col("e2.t"))
+        .select(F.col("e1.s").alias("a"), F.col("e1.t").alias("b"),
+                F.col("e2.t").alias("c"))
+    )
+    closer = e.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    tri = wedge.join(closer, ["b", "c"])
+    assert tri.count() == 4  # C(4,3) triangles in K4, pendant adds none
+    per = (
+        tri.selectExpr("a AS item").unionAll(tri.selectExpr("b AS item"))
+        .unionAll(tri.selectExpr("c AS item"))
+        .groupBy("item").count().collect()
+    )
+    assert {r.item: r["count"] for r in per} == {1: 3, 2: 3, 3: 3, 4: 3}
