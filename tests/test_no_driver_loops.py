@@ -44,6 +44,10 @@ ALLOWED = {
         "aggregate's partition-value count (metadata scale), same "
         "adjudication as merge's touched-partition collect"
     ),
+    "streaming/ivf_stream.py": (
+        "applied-batch-id probe, bounded by batch count (the "
+        "exactly-once marker read, same as dq_stream/sketch_stream)"
+    ),
     "sources/merge.py": (
         "touched-partition list for MERGE: bounded by partition-value "
         "count (metadata scale), same adjudication as upsert_sink"
