@@ -145,6 +145,7 @@ class ManifestTable:
         mode: str = "replace_partitions",
         max_retries: int = 5,
         drop_partitions: list | None = None,
+        enforce_schema: bool = False,
     ) -> int:
         """Stage ``df``'s files, then commit a new snapshot; returns the
         committed version.
@@ -171,6 +172,35 @@ class ManifestTable:
             raise ValueError(f"unknown commit mode {mode!r}")
         if drop_partitions and mode != "replace_partitions":
             raise ValueError("drop_partitions requires replace_partitions")
+        if enforce_schema and mode != "replace_all":
+            # fail the WRITE on drift instead of the eventual read:
+            # a mismatched append makes the default (non-merge_schema)
+            # read's unionByName blow up much later, far from the
+            # writer that caused it. replace_all legitimately
+            # establishes a new schema; evolution goes through
+            # read(merge_schema=True) deliberately.
+            base_v = self.latest_version()
+            if base_v is not None and "schema" in self._manifest(base_v):
+                from pyspark.sql.types import StructType
+
+                stored = StructType.fromJson(
+                    self._manifest(base_v)["schema"]
+                )
+                want = sorted(
+                    (f.name, f.dataType.simpleString()) for f in stored
+                )
+                got = sorted(
+                    (f.name, f.dataType.simpleString())
+                    for f in df.schema
+                )
+                if want != got:
+                    raise ValueError(
+                        f"schema drift on commit to {self.path}: "
+                        f"table has {want}, commit has {got}; use "
+                        "mode='replace_all' to re-establish the "
+                        "schema, or drop enforce_schema to append an "
+                        "evolved schema (read with merge_schema=True)"
+                    )
         staged = self._stage(df, partition_col)
         from urllib.parse import unquote
 

@@ -418,3 +418,42 @@ def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
     clone.vacuum(keep_versions=1, retention_seconds=0.0)
     assert {r.k for r in src.read(spark).collect()} == {1, 2}
     assert {r.k for r in clone.read(spark).collect()} == {1, 2, 3}
+
+
+def test_enforce_schema_fails_the_write_not_the_read(spark, tmp_path):
+    from data_pipeline_mlops_spark.sources.txn import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "enf"))
+    t.commit(
+        spark.createDataFrame([(1, "a")], "k long, p string"),
+        partition_col="p",
+        mode="replace_all",
+    )
+    drifted = spark.createDataFrame(
+        [(2, "b", 9.5)], "k long, p string, score double"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="schema drift"):
+        t.commit(
+            drifted, partition_col="p", mode="append", enforce_schema=True
+        )
+    # matching schema passes enforcement
+    t.commit(
+        spark.createDataFrame([(3, "c")], "k long, p string"),
+        partition_col="p",
+        mode="append",
+        enforce_schema=True,
+    )
+    # without enforcement the drifted append lands (deliberate
+    # evolution path), and becomes the CURRENT schema for future
+    # enforced commits
+    t.commit(drifted, partition_col="p", mode="append")
+    assert "score" in t.read(spark, merge_schema=True).columns
+    with _pytest.raises(ValueError, match="schema drift"):
+        t.commit(
+            spark.createDataFrame([(4, "d")], "k long, p string"),
+            partition_col="p",
+            mode="append",
+            enforce_schema=True,
+        )
