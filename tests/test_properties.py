@@ -424,3 +424,102 @@ def test_merge_into_matches_dict_model(spark, tmp_path_factory, init, batches):
                 model[k] = (p, v)
     got = {r.k: (r.p, r.v) for r in table.read(spark).collect()}
     assert got == model
+
+
+@given(
+    host=st.from_regex(r"[a-z]{1,8}(\.[a-z]{1,6}){1,2}", fullmatch=True),
+    path=st.from_regex(r"(/[A-Za-z0-9]{0,6}){0,3}", fullmatch=True),
+    params=st.lists(
+        st.tuples(
+            st.sampled_from(
+                ["id", "q", "page", "utm_source", "utm_campaign", "ref"]
+            ),
+            st.from_regex(r"[A-Za-z0-9]{0,5}", fullmatch=True),
+        ),
+        max_size=4,
+    ),
+    www=st.booleans(),
+    upper=st.booleans(),
+    frag=st.booleans(),
+)
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_canonicalize_url_idempotent_and_variant_stable(
+    spark, host, path, params, www, upper, frag
+):
+    """canonicalize(canonicalize(x)) == canonicalize(x), and the
+    www/case/fragment variants of the same URL canonicalize equal."""
+    from data_pipeline_mlops_spark.functions.url import canonicalize_url
+
+    q = "&".join(f"{k}={v}" for k, v in params)
+    base = f"https://{host}{path}" + (f"?{q}" if q else "")
+    variant = (
+        ("HTTPS://" if upper else "https://")
+        + ("www." if www else "")
+        + (host.upper() if upper else host)
+        + path
+        + (f"?{q}" if q else "")
+        + ("#frag" if frag else "")
+    )
+    df = spark.createDataFrame([(base,), (variant,)], "url string")
+    out = df.select(canonicalize_url("url").alias("c"))
+    c1, c2 = [r.c for r in out.collect()]
+    assert c1 == c2
+    # idempotence
+    df2 = spark.createDataFrame([(c1,)], "url string")
+    again = df2.select(canonicalize_url("url").alias("c")).collect()[0].c
+    assert again == c1
+
+
+@given(
+    weights=st.lists(st.integers(1, 50), min_size=5, max_size=60),
+    k=st.integers(1, 20),
+)
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_pps_total_picks_always_k(spark, weights, k):
+    from data_pipeline_mlops_spark.operators.sample import (
+        systematic_pps_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "id long, w long"
+    )
+    out = systematic_pps_sample(df, id_col="id", weight_col="w", k=k)
+    assert sum(r.n_picks for r in out.collect()) == k
+
+
+@given(
+    shared=st.lists(
+        st.from_regex(r"[a-z]{2,5}", fullmatch=True),
+        min_size=8, max_size=8, unique=True,
+    ),
+    pre_a=st.lists(st.from_regex(r"[A-Z]{2,4}", fullmatch=True), max_size=4),
+    pre_b=st.lists(st.from_regex(r"[0-9]{2,4}", fullmatch=True), max_size=4),
+)
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_winnowing_theorem_on_random_docs(spark, shared, pre_a, pre_b):
+    """Any two docs sharing a run of k+window-1 = 8 tokens share at
+    least one winnowing fingerprint (k=4, window=5), regardless of
+    their distinct surroundings."""
+    from data_pipeline_mlops_spark.functions.dedup_text import (
+        winnowing_fingerprints,
+    )
+
+    run = " ".join(shared)
+    doc_a = " ".join(pre_a + [run])
+    doc_b = " ".join([run] + pre_b)
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b)], "doc_id long, text string"
+    )
+    fps = {}
+    for r in winnowing_fingerprints(df, k=4, window=5).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert fps[1] & fps[2]
