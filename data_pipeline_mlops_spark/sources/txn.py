@@ -364,8 +364,42 @@ class ManifestTable:
 
     # -- maintenance -------------------------------------------------------
 
+    def stats(self) -> dict:
+        """Ops introspection for the latest snapshot: version count,
+        partition count, staged-dir (fragment) count, file count and
+        total bytes. Pure local metadata walk — no Spark job."""
+        v = self.latest_version()
+        if v is None:
+            return {
+                "versions": 0, "partitions": 0, "fragments": 0,
+                "files": 0, "bytes": 0,
+            }
+        man = self._manifest(v)
+        files = 0
+        total = 0
+        dirs = [d for ds in man["partitions"].values() for d in ds]
+        for d in dirs:
+            if not os.path.isdir(d):
+                continue
+            for name in os.listdir(d):
+                p = os.path.join(d, name)
+                if os.path.isfile(p) and name.endswith(".parquet"):
+                    files += 1
+                    total += os.path.getsize(p)
+        return {
+            "versions": len(self.versions()),
+            "partitions": len(man["partitions"]),
+            "fragments": self.fragmentation(),
+            "files": files,
+            "bytes": total,
+        }
+
     def vacuum(
-        self, *, keep_versions: int = 1, retention_seconds: float = 3600.0
+        self,
+        *,
+        keep_versions: int = 1,
+        retention_seconds: float = 3600.0,
+        dry_run: bool = False,
     ) -> list[str]:
         """Delete txn dirs unreferenced by the ``keep_versions`` newest
         manifests, and the manifests older than those. Returns deleted
@@ -376,7 +410,9 @@ class ManifestTable:
         can be legitimately unreferenced for the staging+retry window.
         Dirs whose mtime is younger than the horizon are skipped (the
         same writer-safety contract as Delta's vacuum retention). Pass
-        0.0 only when no writer can be concurrently committing."""
+        0.0 only when no writer can be concurrently committing.
+        ``dry_run=True`` returns the would-delete list without
+        touching anything — audit before destructive maintenance."""
         import shutil
 
         vs = self.versions()
@@ -402,12 +438,14 @@ class ManifestTable:
                             continue  # possibly an in-flight commit
                     except OSError:
                         continue  # raced with its own writer/cleanup
-                    shutil.rmtree(full)
+                    if not dry_run:
+                        shutil.rmtree(full)
                     deleted.append(full)
         for v in vs:
             if v not in keep:
                 mpath = os.path.join(self.txn_path, f"v{v}.json")
-                os.unlink(mpath)
+                if not dry_run:
+                    os.unlink(mpath)
                 deleted.append(mpath)
         return deleted
 

@@ -457,3 +457,32 @@ def test_enforce_schema_fails_the_write_not_the_read(spark, tmp_path):
             mode="append",
             enforce_schema=True,
         )
+
+
+def test_vacuum_dry_run_and_stats(spark, tmp_path):
+    import os
+
+    from data_pipeline_mlops_spark.sources.txn import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "vd"))
+    t.commit(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, p string"),
+        partition_col="p",
+        mode="replace_all",
+    )
+    t.commit(
+        spark.createDataFrame([(3, "a")], "k long, p string"),
+        partition_col="p",
+        mode="replace_partitions",
+    )
+    s = t.stats()
+    assert s["versions"] == 2 and s["partitions"] == 2
+    assert s["files"] >= 2 and s["bytes"] > 0
+    would = t.vacuum(keep_versions=1, retention_seconds=0.0, dry_run=True)
+    assert would  # something is reclaimable
+    for p in would:
+        assert os.path.exists(p)  # nothing actually deleted
+    did = t.vacuum(keep_versions=1, retention_seconds=0.0)
+    assert sorted(did) == sorted(would)
+    for p in did:
+        assert not os.path.exists(p)
