@@ -8192,3 +8192,147 @@ LIMIT 20
 """
 
 QUERIES["item_triangles"] = QuerySpec(q_item_triangles, ORACLE_ITEM_TRIANGLES)
+
+
+def q_dedup_tier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ENSEMBLE audit: pair sets from three tiers — exact
+    (identical bytes), normalized (case/punct/NFC-canonical), and
+    winnowing (>= 3 shared MOSS fingerprints) — with their pairwise
+    intersections, as one (metric, n) report. This is the curation
+    dashboard that says which tier is doing the work and how much the
+    cheap tiers under-count: exact pairs are definitionally a subset
+    of normalized pairs, and the winnow overlap quantifies how much
+    partial-copy structure the byte tiers miss. Each tier's pair join
+    is bucketed (fingerprint keys), never all-pairs."""
+    docs = _docs(spark, sf_dir)
+
+    def pairs_by_key(df, key_col):
+        a = df.select(F.col(key_col).alias("k"), F.col("doc_id").alias("id_a"))
+        b = df.select(F.col(key_col).alias("k"), F.col("doc_id").alias("id_b"))
+        return (
+            a.join(b, "k")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
+    exact = pairs_by_key(
+        docs.select("doc_id", F.md5("text").alias("fp")), "fp"
+    )
+    norm = pairs_by_key(
+        docs.select(
+            "doc_id", F.md5(text.normalize_text("text")).alias("fp")
+        ),
+        "fp",
+    )
+    fps = dedup_text.winnowing_fingerprints(
+        docs, id_col="doc_id", text_col="text", k=4, window=5
+    )
+    shared = (
+        fps.select(F.col("fingerprint").alias("k"), F.col("doc_id").alias("id_a"))
+        .join(
+            fps.select(
+                F.col("fingerprint").alias("k"), F.col("doc_id").alias("id_b")
+            ),
+            "k",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+        .select("id_a", "id_b")
+    )
+    exact, norm, shared = (
+        _materialize(exact), _materialize(norm), _materialize(shared)
+    )
+
+    def cnt(df, name):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ).select(F.lit(name).alias("metric"), "n")
+
+    rows = [
+        cnt(exact, "exact_pairs"),
+        cnt(norm, "normalized_pairs"),
+        cnt(shared, "winnow_pairs"),
+        cnt(exact.join(norm, ["id_a", "id_b"], "left_semi"),
+            "exact_and_normalized"),
+        cnt(exact.join(shared, ["id_a", "id_b"], "left_semi"),
+            "exact_and_winnow"),
+        cnt(norm.join(shared, ["id_a", "id_b"], "left_semi"),
+            "normalized_and_winnow"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+ORACLE_DEDUP_TIER_AGREEMENT = r"""
+WITH exact_g AS (
+  SELECT md5(text) AS fp, doc_id FROM documents
+),
+exact_p AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM exact_g a JOIN exact_g b ON a.fp = b.fp AND a.doc_id < b.doc_id
+),
+norm_g AS (
+  SELECT md5(trim(regexp_replace(nfc_normalize(lower(text)),
+                                 '[^\p{L}\p{N}]+', ' ', 'g'))) AS fp,
+         doc_id
+  FROM documents
+),
+norm_p AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM norm_g a JOIN norm_g b ON a.fp = b.fp AND a.doc_id < b.doc_id
+),
+d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents
+),
+kg AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) >= 4 THEN list_transform(
+      range(1, len(tk) - 2),
+      i -> ('0x' || substring(
+             md5(array_to_string(tk[i : i + 3], ' ')), 1, 15))::BIGINT)
+    ELSE [] END AS hs
+  FROM d
+),
+w AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, GREATEST(len(hs) - 4, 1) + 1),
+           s -> list_min(hs[s : s + 4])) AS mins
+  FROM kg WHERE len(hs) >= 1
+),
+fps AS (SELECT DISTINCT doc_id, unnest(mins) AS fp FROM w),
+win_p AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2) x
+  WHERE n_shared >= 3
+)
+SELECT 'exact_pairs' AS metric, CAST(COUNT(*) AS BIGINT) AS n FROM exact_p
+UNION ALL
+SELECT 'normalized_pairs', CAST(COUNT(*) AS BIGINT) FROM norm_p
+UNION ALL
+SELECT 'winnow_pairs', CAST(COUNT(*) AS BIGINT) FROM win_p
+UNION ALL
+SELECT 'exact_and_normalized', CAST(COUNT(*) AS BIGINT)
+FROM exact_p e WHERE EXISTS (
+  SELECT 1 FROM norm_p n WHERE n.id_a = e.id_a AND n.id_b = e.id_b)
+UNION ALL
+SELECT 'exact_and_winnow', CAST(COUNT(*) AS BIGINT)
+FROM exact_p e WHERE EXISTS (
+  SELECT 1 FROM win_p w2 WHERE w2.id_a = e.id_a AND w2.id_b = e.id_b)
+UNION ALL
+SELECT 'normalized_and_winnow', CAST(COUNT(*) AS BIGINT)
+FROM norm_p m WHERE EXISTS (
+  SELECT 1 FROM win_p w3 WHERE w3.id_a = m.id_a AND w3.id_b = m.id_b)
+"""
+
+QUERIES["dedup_tier_agreement"] = QuerySpec(
+    q_dedup_tier_agreement, ORACLE_DEDUP_TIER_AGREEMENT
+)
