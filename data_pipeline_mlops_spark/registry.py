@@ -8336,3 +8336,138 @@ FROM norm_p m WHERE EXISTS (
 QUERIES["dedup_tier_agreement"] = QuerySpec(
     q_dedup_tier_agreement, ORACLE_DEDUP_TIER_AGREEMENT
 )
+
+
+def q_doc_length_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitoring — the MLOps check
+    the reference's daily pipeline lacks: bucket the CURRENT corpus
+    slice by the REFERENCE slice's deciles and emit each bucket's PSI
+    term ((p-q)*ln(p/q), Laplace-smoothed). Buckets from reference
+    deciles is the standard PSI construction; per-bucket terms are
+    emitted ROUNDED (the total is a derivable 10-term sum, so no
+    order-dependent aggregate reaches the hash). Reference = even doc
+    ids, current = odd (deterministic halves standing in for
+    yesterday/today snapshots); metric = token count. One tiny
+    boundary aggregate broadcast + a map-side CASE-sum bucket
+    assignment — scan-speed at any corpus size."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(text.tokens("text")).cast("long").alias("n_tok")
+    )
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    cur = docs.where(F.col("doc_id") % 2 == 1)
+    bounds = ref.agg(
+        *[
+            F.percentile("n_tok", F.lit(i / 10.0)).alias(f"b{i}")
+            for i in range(1, 10)
+        ]
+    )
+
+    def bucketed(df):
+        bucket = F.lit(1)
+        for i in range(1, 10):
+            bucket = bucket + F.when(
+                F.col("n_tok").cast("double") > F.col(f"b{i}"), 1
+            ).otherwise(0)
+        return (
+            df.crossJoin(F.broadcast(bounds))
+            .withColumn("bucket", bucket.cast("int"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    rb = bucketed(ref).withColumnRenamed("n", "n_ref")
+    cb = bucketed(cur).withColumnRenamed("n", "n_cur")
+    totals = rb.agg(F.sum("n_ref").alias("__tr")).crossJoin(
+        cb.agg(F.sum("n_cur").alias("__tc"))
+    )
+    buckets = spark.range(1, 11).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    joined = (
+        buckets.join(rb, "bucket", "left")
+        .join(cb, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.coalesce(F.col("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
+            F.col("__tr").cast("double").alias("__trd"),
+            F.col("__tc").cast("double").alias("__tcd"),
+        )
+    )
+    p = (F.col("n_ref") + F.lit(1.0)) / (F.col("__trd") + F.lit(10.0))
+    q = (F.col("n_cur") + F.lit(1.0)) / (F.col("__tcd") + F.lit(10.0))
+    return joined.select(
+        "bucket", "n_ref", "n_cur",
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )
+
+
+ORACLE_DOC_LENGTH_DRIFT = r"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tok
+  FROM documents
+),
+ref AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+cur AS (SELECT * FROM d WHERE doc_id % 2 = 1),
+b AS (
+  SELECT quantile_cont(n_tok, 0.1) AS b1, quantile_cont(n_tok, 0.2) AS b2,
+         quantile_cont(n_tok, 0.3) AS b3, quantile_cont(n_tok, 0.4) AS b4,
+         quantile_cont(n_tok, 0.5) AS b5, quantile_cont(n_tok, 0.6) AS b6,
+         quantile_cont(n_tok, 0.7) AS b7, quantile_cont(n_tok, 0.8) AS b8,
+         quantile_cont(n_tok, 0.9) AS b9
+  FROM ref
+),
+rbk AS (
+  SELECT 1 + (CASE WHEN CAST(n_tok AS DOUBLE) > b1 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(n_tok AS DOUBLE) > b2 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(n_tok AS DOUBLE) > b3 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(n_tok AS DOUBLE) > b4 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(n_tok AS DOUBLE) > b5 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(n_tok AS DOUBLE) > b6 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(n_tok AS DOUBLE) > b7 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(n_tok AS DOUBLE) > b8 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(n_tok AS DOUBLE) > b9 THEN 1 ELSE 0 END)
+           AS bucket
+  FROM ref CROSS JOIN b
+),
+cbk AS (
+  SELECT 1 + (CASE WHEN CAST(n_tok AS DOUBLE) > b1 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(n_tok AS DOUBLE) > b2 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(n_tok AS DOUBLE) > b3 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(n_tok AS DOUBLE) > b4 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(n_tok AS DOUBLE) > b5 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(n_tok AS DOUBLE) > b6 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(n_tok AS DOUBLE) > b7 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(n_tok AS DOUBLE) > b8 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(n_tok AS DOUBLE) > b9 THEN 1 ELSE 0 END)
+           AS bucket
+  FROM cur CROSS JOIN b
+),
+rg AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_ref FROM rbk GROUP BY 1),
+cg AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_cur FROM cbk GROUP BY 1),
+tot AS (
+  SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM ref) AS trd,
+         (SELECT CAST(COUNT(*) AS DOUBLE) FROM cur) AS tcd
+),
+grid AS (SELECT CAST(r.i AS INTEGER) AS bucket FROM UNNEST(range(1, 11)) r(i))
+SELECT g.bucket,
+       COALESCE(rg.n_ref, 0) AS n_ref,
+       COALESCE(cg.n_cur, 0) AS n_cur,
+       ROUND(
+         (((COALESCE(rg.n_ref, 0) + 1.0) / (tot.trd + 10.0))
+          - ((COALESCE(cg.n_cur, 0) + 1.0) / (tot.tcd + 10.0)))
+         * LN(((COALESCE(rg.n_ref, 0) + 1.0) / (tot.trd + 10.0))
+              / ((COALESCE(cg.n_cur, 0) + 1.0) / (tot.tcd + 10.0))),
+         6) AS psi_term
+FROM grid g
+LEFT JOIN rg ON rg.bucket = g.bucket
+LEFT JOIN cg ON cg.bucket = g.bucket
+CROSS JOIN tot
+"""
+
+QUERIES["doc_length_drift_psi"] = QuerySpec(
+    q_doc_length_drift_psi, ORACLE_DOC_LENGTH_DRIFT
+)
