@@ -8471,3 +8471,105 @@ CROSS JOIN tot
 QUERIES["doc_length_drift_psi"] = QuerySpec(
     q_doc_length_drift_psi, ORACLE_DOC_LENGTH_DRIFT
 )
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitoring: per-label centroid shift between
+    the even-id (reference) and odd-id (current) halves — the
+    representation-stability check for an embedding pipeline. Per-dim
+    means are decimal-routed (order-independent sums, the trained-PQ
+    discipline) then the L2 shift is an ORDERED index fold
+    (F.aggregate over zip_with — left fold, same sequential order
+    DuckDB's list_sum applies), so the emitted rounded shift is
+    engine-identical. One posexplode + one (label, dim) aggregation
+    per half; centroid tables are label×dim rows (tiny)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def centroids(df):
+        per_dim = (
+            df.select(
+                "label",
+                F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                    "dim", "x"
+                ),
+            )
+            .groupBy("label", "dim")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(27,10)")).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("m")
+            )
+        )
+        return per_dim.groupBy("label").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("c")
+        )
+
+    ref = emb.where(F.col("vec_id") % 2 == 0)
+    cur = emb.where(F.col("vec_id") % 2 == 1)
+    a = centroids(ref).withColumnRenamed("c", "ca")
+    b = centroids(cur).withColumnRenamed("c", "cb")
+    na = ref.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n_ref"))
+    nb = cur.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n_cur"))
+    shift2 = F.aggregate(
+        F.zip_with("ca", "cb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, "label")
+        .join(na, "label")
+        .join(nb, "label")
+        .select(
+            "label", "n_ref", "n_cur",
+            F.round(F.sqrt(shift2), 6).alias("centroid_shift"),
+        )
+    )
+
+
+ORACLE_EMBEDDING_DRIFT = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+expl AS (
+  SELECT vec_id, label, r.i AS dim, v[r.i + 1] AS x
+  FROM e, UNNEST(range(0, len(v))) r(i)
+),
+ma AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS m
+  FROM expl WHERE vec_id % 2 = 0 GROUP BY 1, 2
+),
+mb AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS m
+  FROM expl WHERE vec_id % 2 = 1 GROUP BY 1, 2
+),
+ca AS (SELECT label, list(m ORDER BY dim) AS c FROM ma GROUP BY 1),
+cb AS (SELECT label, list(m ORDER BY dim) AS c FROM mb GROUP BY 1),
+na AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_ref
+  FROM e WHERE vec_id % 2 = 0 GROUP BY 1
+),
+nb AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_cur
+  FROM e WHERE vec_id % 2 = 1 GROUP BY 1
+)
+SELECT ca.label, na.n_ref, nb.n_cur,
+       ROUND(SQRT(list_sum(list_transform(range(0, len(ca.c)),
+         i -> (ca.c[i+1] - cb.c[i+1]) * (ca.c[i+1] - cb.c[i+1])))), 6)
+         AS centroid_shift
+FROM ca
+JOIN cb ON ca.label = cb.label
+JOIN na ON na.label = ca.label
+JOIN nb ON nb.label = ca.label
+"""
+
+QUERIES["embedding_drift"] = QuerySpec(
+    q_embedding_drift, ORACLE_EMBEDDING_DRIFT
+)
