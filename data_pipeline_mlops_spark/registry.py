@@ -8573,3 +8573,233 @@ JOIN nb ON nb.label = ca.label
 QUERIES["embedding_drift"] = QuerySpec(
     q_embedding_drift, ORACLE_EMBEDDING_DRIFT
 )
+
+
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (support / confidence / lift)
+    — the directional complement of the symmetric CF co-occurrence:
+    rule a->b ranked by confidence = n(a,b)/n(a), lift =
+    confidence / (n(b)/N). Counts are exact integers off the same
+    basket self-join the CF tier uses; the emitted ratios are single
+    divisions of integers rounded at 6 dp (deterministic IEEE).
+    min_support 5 prunes the rule space before the ratio math; top-50
+    by (confidence, lift, pair) via TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    inter = _materialize(
+        li.select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_partkey").alias("item"),
+        ).distinct()
+    )
+    nb = inter.agg(
+        F.countDistinct("ok").cast("double").alias("__nb")
+    )
+    item_n = inter.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    pair_n = (
+        inter.alias("a")
+        .join(inter.alias("b"), "ok")
+        .where(F.col("a.item") != F.col("b.item"))
+        .groupBy(
+            F.col("a.item").alias("ante"), F.col("b.item").alias("cons")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= 5)
+    )
+    joined = (
+        pair_n.join(
+            item_n.withColumnRenamed("item", "ante").withColumnRenamed(
+                "n_item", "n_ante"
+            ),
+            "ante",
+        )
+        .join(
+            item_n.withColumnRenamed("item", "cons").withColumnRenamed(
+                "n_item", "n_cons"
+            ),
+            "cons",
+        )
+    )
+    conf = F.col("n_pair").cast("double") / F.col("n_ante").cast("double")
+    lift = conf / (F.col("n_cons").cast("double") / F.col("__nb"))
+    out = joined.crossJoin(F.broadcast(nb)).select(
+        "ante", "cons", "n_pair", "n_ante", "n_cons",
+        F.round(conf, 6).alias("confidence"),
+        F.round(lift, 6).alias("lift"),
+    )
+    return out.orderBy(
+        F.col("confidence").desc(), F.col("lift").desc(),
+        F.col("ante").asc(), F.col("cons").asc(),
+    ).limit(50)
+
+
+ORACLE_ASSOCIATION_RULES = """
+WITH inter AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+),
+nb AS (SELECT CAST(COUNT(DISTINCT ok) AS DOUBLE) AS n_baskets FROM inter),
+item_n AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item FROM inter GROUP BY 1
+),
+pair_n AS (
+  SELECT a.item AS ante, b.item AS cons, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM inter a JOIN inter b ON a.ok = b.ok AND a.item <> b.item
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 5
+)
+SELECT ante, cons, n_pair,
+       ia.n_item AS n_ante, ic.n_item AS n_cons,
+       ROUND(CAST(n_pair AS DOUBLE) / CAST(ia.n_item AS DOUBLE), 6)
+         AS confidence,
+       ROUND((CAST(n_pair AS DOUBLE) / CAST(ia.n_item AS DOUBLE))
+             / (CAST(ic.n_item AS DOUBLE) / nb.n_baskets), 6) AS lift
+FROM pair_n
+JOIN item_n ia ON ia.item = ante
+JOIN item_n ic ON ic.item = cons
+CROSS JOIN nb
+ORDER BY confidence DESC, lift DESC, ante ASC, cons ASC
+LIMIT 50
+"""
+
+QUERIES["association_rules"] = QuerySpec(
+    q_association_rules, ORACLE_ASSOCIATION_RULES
+)
+
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartile
+    codes) — the classic customer-value census, derandomized: per-
+    customer R/F/M metrics in one aggregation pass, quartile
+    boundaries from ONE tiny exact-percentile aggregate broadcast, and
+    the 1-4 codes assigned with the same map-side CASE-sum the
+    equi-depth histogram uses (no global ntile sort). Recency is
+    NTZ-safe epoch-days from the corpus max date (data-derived, so
+    the result is reproducible — never wall-clock now())."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(epoch_us("o_orderdate")).alias("__last_us"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2
+        ).cast("double").alias("monetary"),
+    )
+    maxd = orders.agg(F.max(epoch_us("o_orderdate")).alias("__mx"))
+    base = per_cust.crossJoin(F.broadcast(maxd)).select(
+        F.col("o_custkey").alias("customer_id"),
+        F.floor(
+            (F.col("__mx") - F.col("__last_us")) / F.lit(86400000000)
+        ).cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    bounds = base.agg(
+        *[
+            F.percentile(c, F.lit(p)).alias(f"{c}_{int(p*100)}")
+            for c in ("recency_days", "frequency", "monetary")
+            for p in (0.25, 0.5, 0.75)
+        ]
+    )
+
+    def code(col, invert):
+        # quartile code 1-4; recency inverts (smaller = better = 4)
+        raw = F.lit(1)
+        for p in (25, 50, 75):
+            raw = raw + F.when(
+                F.col(col).cast("double") > F.col(f"{col}_{p}"), 1
+            ).otherwise(0)
+        return (F.lit(5) - raw) if invert else raw
+
+    return base.crossJoin(F.broadcast(bounds)).select(
+        "customer_id", "recency_days", "frequency", "monetary",
+        code("recency_days", True).cast("int").alias("r_code"),
+        code("frequency", False).cast("int").alias("f_code"),
+        code("monetary", False).cast("int").alias("m_code"),
+    )
+
+
+ORACLE_CUSTOMER_RFM = """
+WITH per_cust AS (
+  SELECT o_custkey AS customer_id,
+         MAX(epoch_us(o_orderdate)) AS last_us,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE)
+           AS monetary
+  FROM orders GROUP BY 1
+),
+mx AS (SELECT MAX(epoch_us(o_orderdate)) AS m FROM orders),
+base AS (
+  SELECT customer_id,
+         CAST(FLOOR((mx.m - last_us) / 86400000000) AS BIGINT)
+           AS recency_days,
+         frequency, monetary
+  FROM per_cust CROSS JOIN mx
+),
+b AS (
+  SELECT quantile_cont(recency_days, 0.25) AS r25,
+         quantile_cont(recency_days, 0.50) AS r50,
+         quantile_cont(recency_days, 0.75) AS r75,
+         quantile_cont(frequency, 0.25) AS f25,
+         quantile_cont(frequency, 0.50) AS f50,
+         quantile_cont(frequency, 0.75) AS f75,
+         quantile_cont(monetary, 0.25) AS m25,
+         quantile_cont(monetary, 0.50) AS m50,
+         quantile_cont(monetary, 0.75) AS m75
+  FROM base
+)
+SELECT customer_id, recency_days, frequency, monetary,
+  CAST(5 - (1 + (CASE WHEN CAST(recency_days AS DOUBLE) > r25 THEN 1 ELSE 0 END)
+              + (CASE WHEN CAST(recency_days AS DOUBLE) > r50 THEN 1 ELSE 0 END)
+              + (CASE WHEN CAST(recency_days AS DOUBLE) > r75 THEN 1 ELSE 0 END))
+       AS INTEGER) AS r_code,
+  CAST(1 + (CASE WHEN CAST(frequency AS DOUBLE) > f25 THEN 1 ELSE 0 END)
+         + (CASE WHEN CAST(frequency AS DOUBLE) > f50 THEN 1 ELSE 0 END)
+         + (CASE WHEN CAST(frequency AS DOUBLE) > f75 THEN 1 ELSE 0 END)
+       AS INTEGER) AS f_code,
+  CAST(1 + (CASE WHEN monetary > m25 THEN 1 ELSE 0 END)
+         + (CASE WHEN monetary > m50 THEN 1 ELSE 0 END)
+         + (CASE WHEN monetary > m75 THEN 1 ELSE 0 END)
+       AS INTEGER) AS m_code
+FROM base CROSS JOIN b
+"""
+
+QUERIES["customer_rfm"] = QuerySpec(q_customer_rfm, ORACLE_CUSTOMER_RFM)
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by FIRST-activity month,
+    counted as retained in each later month they act — the classic
+    activation analytics. Two shuffles on user (first-month assignment
+    + distinct activity), then a small (cohort, offset) aggregation;
+    NTZ-safe month arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    mon = (F.year("ts") * 12 + F.month("ts")).cast("long")
+    act = ev.select(
+        "user_id", mon.alias("ym")
+    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("ym").alias("cohort"))
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort", (F.col("ym") - F.col("cohort")).alias("month_offset")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+ORACLE_COHORT_RETENTION = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(YEAR(ts) * 12 + MONTH(ts) AS BIGINT) AS ym
+  FROM events
+),
+first AS (SELECT user_id, MIN(ym) AS cohort FROM act GROUP BY 1)
+SELECT f.cohort, a.ym - f.cohort AS month_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM act a JOIN first f ON a.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+QUERIES["cohort_retention"] = QuerySpec(
+    q_cohort_retention, ORACLE_COHORT_RETENTION
+)
