@@ -98,7 +98,23 @@ def _materialize(df: DataFrame) -> DataFrame:
     Without it, Catalyst re-expands shared Python-side subtrees per
     reference — the recommendations plan computed interactions ~20x
     (measured 2x end-to-end win). Values are unchanged; this is a
-    plan-shape optimization only."""
+    plan-shape optimization only.
+
+    localCheckpoint blocks live in EXECUTOR storage memory; in a
+    long-lived multi-pipeline driver they crowd the pool and later
+    heavy queries spill (measured: recommendations_capped 40.6 s
+    fresh-JVM vs ~100 s crowded at 10x — SCALING_r5 annotation).
+    Setting ``SPARK_GRAFT_CHECKPOINT_DIR`` switches to RELIABLE
+    checkpoints on storage instead: same values, same lineage cut,
+    zero storage-memory footprint — the 100 TB deployment shape."""
+    import os
+
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt_dir:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(ckpt_dir)
+        return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=False)
 
 

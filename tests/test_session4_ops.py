@@ -492,3 +492,27 @@ def test_triangle_counting_known_graph(spark):
         .groupBy("item").count().collect()
     )
     assert {r.item: r["count"] for r in per} == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_materialize_reliable_checkpoint_switch(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_CHECKPOINT_DIR flips _materialize from executor-
+    memory localCheckpoint to reliable storage checkpoints: identical
+    values, checkpoint files actually land on disk."""
+    import os
+
+    from data_pipeline_mlops_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    baseline = sorted(
+        map(tuple, QUERIES["recommendations_capped"].spark(spark, sf).collect())
+    )
+    ckpt = str(tmp_path / "ckpt")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", ckpt)
+    out = sorted(
+        map(tuple, QUERIES["recommendations_capped"].spark(spark, sf).collect())
+    )
+    assert out == baseline
+    found = []
+    for root, _dirs, files in os.walk(ckpt):
+        found.extend(files)
+    assert found, "reliable checkpoint files should exist on disk"
