@@ -8819,3 +8819,121 @@ GROUP BY 1, 2
 QUERIES["cohort_retention"] = QuerySpec(
     q_cohort_retention, ORACLE_COHORT_RETENTION
 )
+
+
+def q_event_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel TRANSITION latency: median and p90 of time-to-convert
+    for each stage edge (view->click, click->purchase), over the same
+    strictly-ordered frontiers the funnel counts use — the 'where do
+    users stall' analytics. Exact interpolated percentiles (Spark
+    percentile ≡ DuckDB quantile_cont) over per-user transition gaps;
+    user sets shrink per stage so the heavy aggregation is on the
+    smallest relations."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_type", epoch_us("ts").alias("t"))
+    s1 = e.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("t").alias("t1")
+    )
+    s2 = (
+        e.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("t") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t2"), F.first("t1").alias("t1"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s2.select("user_id", "t2"), "user_id")
+        .where(F.col("t") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t3"), F.first("t2").alias("t2b"))
+    )
+    g12 = s2.select((F.col("t2") - F.col("t1")).alias("gap"))
+    g23 = s3.select((F.col("t3") - F.col("t2b")).alias("gap"))
+
+    def stats(df, name):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.percentile("gap", F.lit(0.5)) / 1e6, 3).alias(
+                "p50_seconds"
+            ),
+            F.round(F.percentile("gap", F.lit(0.9)) / 1e6, 3).alias(
+                "p90_seconds"
+            ),
+        ).select(F.lit(name).alias("edge"), "n_users", "p50_seconds",
+                 "p90_seconds")
+
+    return stats(g12, "view_to_click").unionByName(
+        stats(g23, "click_to_purchase")
+    )
+
+
+ORACLE_EVENT_FUNNEL_LATENCY = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+),
+s1 AS (
+  SELECT user_id, MIN(t) AS t1 FROM e
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.t) AS t2, MIN(s1.t1) AS t1
+  FROM e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.t > s1.t1
+  GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.t) AS t3, MIN(s2.t2) AS t2b
+  FROM e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.t > s2.t2
+  GROUP BY 1
+)
+SELECT 'view_to_click' AS edge,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(quantile_cont(t2 - t1, 0.5) / 1e6, 3) AS p50_seconds,
+       ROUND(quantile_cont(t2 - t1, 0.9) / 1e6, 3) AS p90_seconds
+FROM s2
+UNION ALL
+SELECT 'click_to_purchase',
+       CAST(COUNT(*) AS BIGINT),
+       ROUND(quantile_cont(t3 - t2b, 0.5) / 1e6, 3),
+       ROUND(quantile_cont(t3 - t2b, 0.9) / 1e6, 3)
+FROM s3
+"""
+
+QUERIES["event_funnel_latency"] = QuerySpec(
+    q_event_funnel_latency, ORACLE_EVENT_FUNNEL_LATENCY
+)
+
+
+def q_event_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality heat grid: events and decimal-exact value
+    sums by (day-of-week, hour) — the ops-dashboard baseline a
+    seasonal-adjusted anomaly screen divides by. One map-side-combined
+    aggregation; day-of-week aligned across engines (Spark dayofweek
+    is 1=Sunday..7, DuckDB dayofweek is 0=Sunday..6 — the oracle adds
+    1; a cross-engine trap worth pinning)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,6)")), 2
+        ).cast("double").alias("sum_value"),
+    )
+
+
+ORACLE_EVENT_SEASONALITY = """
+SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+       CAST(hour(ts) AS INTEGER) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)
+         AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+QUERIES["event_seasonality"] = QuerySpec(
+    q_event_seasonality, ORACLE_EVENT_SEASONALITY
+)
