@@ -8937,3 +8937,60 @@ FROM events GROUP BY 1, 2
 QUERIES["event_seasonality"] = QuerySpec(
     q_event_seasonality, ORACLE_EVENT_SEASONALITY
 )
+
+
+def q_event_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-adjusted anomaly screen: z-scores against the
+    (event_type, day-of-week, hour) baseline instead of the global
+    per-type stats — the screen that stops flagging every Monday 9am
+    spike as an anomaly. Same shape as the plain z-score query (one
+    group-stats aggregation broadcast back, rounded-z flag) with the
+    seasonality key; cells with undefined stddev (singleton cells)
+    are excluded rather than flagged."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_id", "event_type", "value",
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    )
+    stats = keyed.groupBy("event_type", "dow", "hour").agg(
+        F.avg("value").alias("__m"),
+        F.stddev_samp("value").alias("__sd"),
+    )
+    z = F.round(
+        (F.col("value") - F.col("__m")) / F.col("__sd"), 4
+    )
+    return (
+        keyed.join(F.broadcast(stats), ["event_type", "dow", "hour"])
+        .where(F.col("__sd").isNotNull() & (F.col("__sd") > 0))
+        .withColumn("seasonal_z", z)
+        .where(F.abs(F.col("seasonal_z")) >= 3.0)
+        .select("event_id", "event_type", "dow", "hour", "value",
+                "seasonal_z")
+    )
+
+
+ORACLE_EVENT_SEASONAL_OUTLIERS = """
+WITH keyed AS (
+  SELECT event_id, event_type, value,
+         CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+         CAST(hour(ts) AS INTEGER) AS hour
+  FROM events
+),
+stats AS (
+  SELECT event_type, dow, hour,
+         AVG(value) AS m, stddev_samp(value) AS sd
+  FROM keyed GROUP BY 1, 2, 3
+)
+SELECT k.event_id, k.event_type, k.dow, k.hour, k.value,
+       ROUND((k.value - s.m) / s.sd, 4) AS seasonal_z
+FROM keyed k
+JOIN stats s
+  ON s.event_type = k.event_type AND s.dow = k.dow AND s.hour = k.hour
+WHERE s.sd IS NOT NULL AND s.sd > 0
+  AND ABS(ROUND((k.value - s.m) / s.sd, 4)) >= 3.0
+"""
+
+QUERIES["event_seasonal_outliers"] = QuerySpec(
+    q_event_seasonal_outliers, ORACLE_EVENT_SEASONAL_OUTLIERS
+)
