@@ -55,7 +55,11 @@ def canonicalize_url(col: Column | str) -> Column:
         )
     s = F.regexp_replace(s, r"[?&]" + _TRACKING + r"=[^&#]*$", "")
     s = F.regexp_replace(s, r"[?&]$", "")
-    s = F.regexp_replace(s, r"/$", "")
+    # Strip the whole trailing-slash RUN in one pass: "/$" removed
+    # only one slash, so "https://a.a//" needed two canonicalization
+    # passes to reach a fixed point — a URL-keyed dedup that
+    # re-canonicalizes stored keys would miss matches.
+    s = F.regexp_replace(s, r"/+$", "")
     return s
 
 

@@ -7446,7 +7446,7 @@ c7 AS (SELECT doc_id, url, regexp_replace(s,
 c8 AS (SELECT doc_id, url, regexp_replace(s,
   '[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&#]*$', '') AS s FROM c7),
 c9 AS (SELECT doc_id, url, regexp_replace(s, '[?&]$', '') AS s FROM c8),
-canon AS (SELECT doc_id, url, regexp_replace(s, '/$', '') AS canonical
+canon AS (SELECT doc_id, url, regexp_replace(s, '/+$', '') AS canonical
           FROM c9),
 keyed AS (
   SELECT doc_id, canonical,

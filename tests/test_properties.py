@@ -473,6 +473,21 @@ def test_canonicalize_url_idempotent_and_variant_stable(
     assert again == c1
 
 
+def test_canonicalize_url_trailing_slash_run(spark):
+    """Regression (r5 verdict): a trailing RUN of slashes must reach
+    the fixed point in ONE pass — `/$` stripped only one slash, so
+    `https://a.a//` needed two canonicalization passes."""
+    from data_pipeline_mlops_spark.functions.url import canonicalize_url
+
+    urls = ["https://a.a//", "https://a.a///", "https://a.a/p///"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    first = [r.c for r in df.select(canonicalize_url("url").alias("c")).collect()]
+    assert first == ["https://a.a", "https://a.a", "https://a.a/p"]
+    df2 = spark.createDataFrame([(c,) for c in first], "url string")
+    second = [r.c for r in df2.select(canonicalize_url("url").alias("c")).collect()]
+    assert second == first
+
+
 @given(
     weights=st.lists(st.integers(1, 50), min_size=5, max_size=60),
     k=st.integers(1, 20),
