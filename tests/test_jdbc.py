@@ -195,3 +195,66 @@ def test_idempotent_append_exactly_once(spark, derby_url):
     )
     trusted = got.join(markers, "batch_id", "left_semi")
     assert trusted.count() == 3
+
+
+def test_idempotent_append_crash_windows(spark, derby_url):
+    """Every crash window of the staged-publish protocol:
+    (a) crash AFTER staging, BEFORE publish — retry overwrites the
+        stage and publishes exactly one copy;
+    (b) crash AFTER commit, BEFORE staging drop — retry sees the
+        marker, returns False, and cleans the leftover stage;
+    (c) a non-missing-table error during the marker probe PROPAGATES
+        (it must fail the batch, not be misread as 'first batch')."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_mlops_spark.sources.jdbc import (
+        idempotent_jdbc_append,
+        read_jdbc_table,
+    )
+
+    df = spark.createDataFrame([(10, "a"), (11, "b")], "id bigint, s string")
+
+    # (a) simulate the stage-then-crash state: only the staging write
+    # ran (same shape the real function writes), no publish happened.
+    staged = df.withColumn("batch_id", F.lit(7).cast("long"))
+    (
+        staged.write.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "sink_cw_stage")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .mode("overwrite")
+        .save()
+    )
+    assert idempotent_jdbc_append(
+        df, batch_id=7, url=derby_url, table="sink_cw", properties=PROPS
+    )
+    got = read_jdbc_table(
+        spark, url=derby_url, table="sink_cw", properties=PROPS
+    )
+    assert got.count() == 2  # exactly one copy despite the pre-stage
+
+    # (b) leftover stage + applied marker == crash after commit:
+    (
+        staged.write.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "sink_cw_stage")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .mode("overwrite")
+        .save()
+    )
+    assert not idempotent_jdbc_append(
+        df, batch_id=7, url=derby_url, table="sink_cw", properties=PROPS
+    )
+    assert got.count() == 2
+    with pytest.raises(Exception):
+        read_jdbc_table(  # stage was cleaned up
+            spark, url=derby_url, table="sink_cw_stage", properties=PROPS
+        ).count()
+
+    # (c) a genuine SQL error (invalid marker-table identifier) is NOT
+    # swallowed as "first batch":
+    with pytest.raises(Exception):
+        idempotent_jdbc_append(
+            df, batch_id=8, url=derby_url, table="sink_cw",
+            marker_table="1 bogus !", properties=PROPS,
+        )
