@@ -65,8 +65,13 @@ def merge_into(
     dedup_keep_latest); target keys are unique by the table's own
     merge history.
     """
-    target = table.read(spark)
+    # Pin the snapshot FIRST, then read it by version: the whole merge
+    # (survivor scan, touched-partition discovery, staging) is computed
+    # from v, and commit(expected_version=v) turns any concurrent
+    # change to a touched partition into an explicit conflict instead
+    # of a silent lost update.
     v = table.latest_version()
+    target = table.read(spark, version=v)
     pcol = table._manifest(v)["partition_col"]
     is_del = (
         F.col(delete_col).cast("boolean")
@@ -83,7 +88,10 @@ def merge_into(
         survivors = target.join(src_keys, on=on, how="left_anti")
         upserts = src.where(~F.col("__is_delete")).drop("__is_delete")
         merged = survivors.unionByName(upserts)
-        return table.commit(merged, partition_col=None, mode="replace_all")
+        return table.commit(
+            merged, partition_col=None, mode="replace_all",
+            expected_version=v,
+        )
 
     # Touched partitions: where source rows land, plus where matched
     # target rows currently live (an update can MOVE a row across
@@ -102,7 +110,7 @@ def merge_into(
     if not touched:
         return v  # empty source: nothing to do
 
-    tgt_touched = table.read(spark, partitions=touched)
+    tgt_touched = table.read(spark, version=v, partitions=touched)
     survivors = tgt_touched.join(src_keys, on=on, how="left_anti")
     upserts = src.where(~F.col("__is_delete")).drop("__is_delete")
     merged = survivors.unionByName(upserts)
@@ -113,6 +121,7 @@ def merge_into(
         partition_col=pcol,
         mode="replace_partitions",
         drop_partitions=touched,
+        expected_version=v,
     )
 
 

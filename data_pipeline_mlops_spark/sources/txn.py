@@ -58,6 +58,22 @@ class CommitConflict(RuntimeError):
     """Another writer committed the version this transaction targeted."""
 
 
+class ConcurrentModificationError(CommitConflict):
+    """A concurrent commit changed partitions THIS transaction read and
+    replaces — re-pointing onto the newer base would silently discard
+    the other writer's changes (Delta raises the same way)."""
+
+
+def _hive_part_value(v) -> str:
+    """The dir-name fragment Spark writes for a partition VALUE: null
+    and empty string both land in ``__HIVE_DEFAULT_PARTITION__`` — a
+    drop key built as ``f"{col}={None}"`` would never match it and
+    stale base files would silently carry over."""
+    if v is None or v == "":
+        return "__HIVE_DEFAULT_PARTITION__"
+    return str(v)
+
+
 class ManifestTable:
     """A manifest-committed parquet table rooted at ``path``."""
 
@@ -146,6 +162,7 @@ class ManifestTable:
         max_retries: int = 5,
         drop_partitions: list | None = None,
         enforce_schema: bool = False,
+        expected_version: int | None = None,
     ) -> int:
         """Stage ``df``'s files, then commit a new snapshot; returns the
         committed version.
@@ -164,6 +181,17 @@ class ManifestTable:
         row of a touched partition was deleted: staging writes no dir
         for an empty partition, so without the explicit drop the stale
         base files would silently carry over.
+
+        ``expected_version`` declares the snapshot this transaction's
+        content was COMPUTED FROM (read-modify-write callers: MERGE,
+        incremental refresh). On a commit-retry against a newer base,
+        partitions this commit replaces/drops are compared between the
+        new base and the expected version: if a concurrent commit
+        changed any of them, :class:`ConcurrentModificationError` is
+        raised instead of silently re-pointing over the other writer's
+        work (for ``replace_all``, ANY newer base conflicts). Blind
+        writers (plain overwrite, append) leave it None — appends are
+        commutative and plain overwrites declare no read dependency.
 
         Staging happens ONCE; only the manifest step retries on
         conflict (the data files are already durable and get re-pointed
@@ -205,10 +233,18 @@ class ManifestTable:
         from urllib.parse import unquote
 
         drop_keys = (
-            {f"{partition_col}={v}" for v in drop_partitions}
+            {f"{partition_col}={_hive_part_value(v)}" for v in drop_partitions}
             if drop_partitions
             else set()
         )
+        expected_parts: dict[str, list[str]] | None = None
+        if expected_version is not None:
+            expected_parts = {
+                k: sorted(v)
+                for k, v in self._manifest(expected_version)[
+                    "partitions"
+                ].items()
+            }
         for _ in range(max_retries):
             base_v = self.latest_version()
             base: dict[str, list[str]] = (
@@ -218,6 +254,28 @@ class ManifestTable:
                     for k, v in self._manifest(base_v)["partitions"].items()
                 }
             )
+            if expected_parts is not None and base_v != expected_version:
+                if mode == "replace_all":
+                    raise ConcurrentModificationError(
+                        f"replace_all computed from v{expected_version} "
+                        f"but base is now v{base_v} at {self.path}"
+                    )
+                # replace_partitions: conflict iff a partition THIS
+                # commit replaces/drops changed since it was read.
+                touched_keys = set(staged) | {
+                    k for k in base if unquote(k) in drop_keys
+                } | {
+                    k for k in (expected_parts or {})
+                    if unquote(k) in drop_keys
+                }
+                for k in touched_keys:
+                    if sorted(base.get(k, [])) != expected_parts.get(k, []):
+                        raise ConcurrentModificationError(
+                            f"partition {unquote(k)!r} changed between "
+                            f"v{expected_version} (read) and v{base_v} "
+                            f"(current base) at {self.path}; re-run the "
+                            "merge against the new snapshot"
+                        )
             if mode == "replace_all":
                 parts = {k: [d] for k, d in staged.items()}
             elif mode == "replace_partitions":
@@ -284,8 +342,9 @@ class ManifestTable:
             # Spark escapes special chars in hive partition dir names
             # (escapePathName: "a b" -> "a%20b"); compare against the
             # DECODED name so callers pass the logical value, not the
-            # encoded dir fragment.
-            wanted = {f"{pcol}={p}" for p in partitions}
+            # encoded dir fragment. None/"" map to the hive default
+            # partition like the writer does.
+            wanted = {f"{pcol}={_hive_part_value(p)}" for p in partitions}
         # Partition dirs are grouped by their txn dir so each group
         # shares one basePath (restoring the partition column from the
         # hive dir name); groups union into one lazy plan.

@@ -205,3 +205,56 @@ def test_incremental_aggregate_prunes_and_drops(spark, tmp_path):
     man = ia.summary._manifest(ia.summary.latest_version())["partitions"]
     assert "day=30" not in man                      # emptied group dropped
     assert man["day=10"] == day10_dirs              # untouched files carry over
+
+
+def test_merge_deletes_null_partition_rows(spark, tmp_path):
+    """A MERGE that deletes every row of the NULL partition must drop
+    it — the drop key maps to __HIVE_DEFAULT_PARTITION__, not
+    'p=None'."""
+    t = ManifestTable(str(tmp_path / "mn"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, None, 10), (2, "b", 20)], "k long, p string, v long"
+        ),
+        partition_col="p", mode="replace_all",
+    )
+    src = spark.createDataFrame(
+        [(1, None, 0, True)], "k long, p string, v long, is_delete boolean"
+    )
+    merge_into(spark, t, src, on=["k"], delete_col="is_delete")
+    got = {(r.k, r.p, r.v) for r in t.read(spark).collect()}
+    assert got == {(2, "b", 20)}
+
+
+def test_merge_concurrent_writer_conflicts(spark, table):
+    """merge_into pins expected_version: a concurrent commit to a
+    partition the merge touches raises instead of losing the update."""
+    from data_pipeline_mlops_spark.sources.txn import (
+        ConcurrentModificationError,
+    )
+
+    class RacingTable(ManifestTable):
+        # injects a concurrent commit between the merge's snapshot
+        # read and its own commit
+        def commit(self, df, **kw):
+            if kw.get("expected_version") is not None and not getattr(
+                self, "_raced", False
+            ):
+                self._raced = True
+                ManifestTable(self.path).commit(
+                    df.sparkSession.createDataFrame(
+                        [(77, "a", 770)], "k long, p string, v long"
+                    ),
+                    partition_col="p", mode="replace_partitions",
+                )
+            return super().commit(df, **kw)
+
+    rt = RacingTable(table.path)
+    src = spark.createDataFrame(
+        [(2, "a", 21, False)], "k long, p string, v long, is_delete boolean"
+    )
+    with pytest.raises(ConcurrentModificationError):
+        merge_into(spark, rt, src, on=["k"], delete_col="is_delete")
+    # the concurrent writer's row SURVIVED (nothing was lost)
+    got = {(r.k, r.v) for r in table.read(spark).collect()}
+    assert (77, 770) in got

@@ -486,3 +486,73 @@ def test_vacuum_dry_run_and_stats(spark, tmp_path):
     assert sorted(did) == sorted(would)
     for p in did:
         assert not os.path.exists(p)
+
+
+def test_expected_version_conflict_on_touched_partition(spark, tmp_path):
+    """A read-modify-write commit (expected_version set) must RAISE
+    when a concurrent commit changed a partition it replaces — silent
+    re-pointing would discard the concurrent writer's rows (the Delta
+    ConcurrentModificationException contract)."""
+    from data_pipeline_mlops_spark.sources.txn import (
+        ConcurrentModificationError,
+        ManifestTable,
+    )
+
+    t = ManifestTable(str(tmp_path / "cc"))
+    v0 = t.commit(
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "k long, p string, v long"),
+        partition_col="p", mode="replace_all",
+    )
+    # concurrent writer replaces partition a AFTER our reader snapshot
+    t.commit(
+        spark.createDataFrame([(9, "a", 99)], "k long, p string, v long"),
+        partition_col="p", mode="replace_partitions",
+    )
+    with pytest.raises(ConcurrentModificationError):
+        t.commit(
+            spark.createDataFrame([(1, "a", 11)], "k long, p string, v long"),
+            partition_col="p", mode="replace_partitions",
+            expected_version=v0,
+        )
+    # non-overlapping concurrent commit (partition b untouched by us,
+    # partition c untouched by them) composes fine:
+    v = t.commit(
+        spark.createDataFrame([(3, "c", 30)], "k long, p string, v long"),
+        partition_col="p", mode="replace_partitions",
+        expected_version=v0,
+    )
+    got = {(r.k, r.p, r.v) for r in t.read(spark, version=v).collect()}
+    assert got == {(9, "a", 99), (2, "b", 20), (3, "c", 30)}
+    # replace_all computed from a stale base always conflicts
+    with pytest.raises(ConcurrentModificationError):
+        t.commit(
+            spark.createDataFrame([(0, "z", 0)], "k long, p string, v long"),
+            partition_col="p", mode="replace_all", expected_version=v0,
+        )
+
+
+def test_null_partition_value_drop_and_read(spark, tmp_path):
+    """None (and '') partition values live in
+    __HIVE_DEFAULT_PARTITION__; drop_partitions and read(partitions=)
+    must target it — 'col=None' string keys silently matched nothing
+    and stale base files carried over."""
+    from data_pipeline_mlops_spark.sources.txn import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "np"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, None, 10), (2, "b", 20), (3, None, 30)],
+            "k long, p string, v long",
+        ),
+        partition_col="p", mode="replace_all",
+    )
+    null_rows = t.read(spark, partitions=[None]).collect()
+    assert {r.k for r in null_rows} == {1, 3}
+    # drop the whole null partition (stage carries no rows for it)
+    t.commit(
+        spark.createDataFrame([], "k long, p string, v long"),
+        partition_col="p", mode="replace_partitions",
+        drop_partitions=[None],
+    )
+    got = {(r.k, r.p) for r in t.read(spark).collect()}
+    assert got == {(2, "b")}
