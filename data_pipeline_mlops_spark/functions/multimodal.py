@@ -227,17 +227,35 @@ def jpeg_dimensions_udf():
             b = bytes(buf or b"")
             if len(b) >= 4 and b[0] == 0xFF and b[1] == 0xD8:
                 pos = 2
-                while pos + 9 < len(b):
+                while pos + 1 < len(b):
                     if b[pos] != 0xFF:
                         break
+                    # JPEG allows runs of 0xFF FILL bytes before the
+                    # marker id — skip to the last 0xFF of the run.
+                    while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+                        pos += 1
+                    if pos + 1 >= len(b):
+                        break
                     marker = b[pos + 1]
+                    # Standalone markers carry NO length field: TEM
+                    # (0x01) and RSTn (0xD0-0xD7). Treating their next
+                    # two bytes as a length misreads spec-valid files.
+                    if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                        pos += 2
+                        continue
                     if 0xC0 <= marker <= 0xCF and marker not in (
                         0xC4, 0xC8, 0xCC
                     ):
+                        if pos + 9 > len(b):
+                            break  # truncated SOF
                         h = (b[pos + 5] << 8) | b[pos + 6]
                         w = (b[pos + 7] << 8) | b[pos + 8]
                         break
+                    if pos + 4 > len(b):
+                        break  # truncated segment header
                     seg_len = (b[pos + 2] << 8) | b[pos + 3]
+                    if seg_len < 2:
+                        break  # malformed length
                     pos += 2 + seg_len
             ws.append(w)
             hs.append(h)

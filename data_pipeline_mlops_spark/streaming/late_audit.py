@@ -38,10 +38,24 @@ class LateAuditGate:
     late rows, advance the watermark transactionally."""
 
     def __init__(
-        self, base_dir: str, *, ts_col: str, delay_us: int
+        self,
+        base_dir: str,
+        *,
+        ts_col: str,
+        delay_us: int,
+        retain_batches: int = 100,
+        compact_every: int = 32,
     ) -> None:
         self.ts_col = ts_col
         self.delay_us = int(delay_us)
+        # Bounded marker horizon, like Spark's own commit-log retention
+        # (minBatchesToRetain): the engine only ever redelivers the
+        # LAST uncommitted batch, so retaining the newest N markers
+        # keeps the replay guard while letting compaction bound the
+        # wm table — without it, per-batch driver work and manifest
+        # count grew with STREAM LIFETIME, not state size.
+        self.retain_batches = int(retain_batches)
+        self.compact_every = int(compact_every)
         self.on_time = ManifestTable(f"{base_dir}/on_time")
         self.late = ManifestTable(f"{base_dir}/late")
         self.wm = ManifestTable(f"{base_dir}/watermark")
@@ -110,3 +124,20 @@ class LateAuditGate:
             [(int(batch_id), new_wm)], "batch_id long, watermark_us long"
         )
         self.wm.commit(wm_row, mode="append")
+        if len(self.wm.versions()) >= self.compact_every:
+            self._compact(spark)
+
+    def _compact(self, spark: SparkSession) -> None:
+        """Fold the wm table to its newest ``retain_batches`` markers
+        and drop old manifest versions. The per-batch watermark is
+        monotone (each commit takes max(old, new)), so the newest
+        marker carries the global frontier — nothing is lost by
+        truncating history. Safe to vacuum with zero retention here:
+        the gate is foreachBatch-serialized, the table's only writer."""
+        kept = (
+            self.wm.read(spark)
+            .orderBy(F.col("batch_id").desc())
+            .limit(self.retain_batches)
+        )
+        self.wm.commit(kept, mode="replace_all")
+        self.wm.vacuum(keep_versions=1, retention_seconds=0.0)

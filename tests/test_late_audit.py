@@ -78,3 +78,38 @@ def test_first_batch_has_no_frontier(spark, tmp_path):
     gate(_batch(spark, [(1, _ts("2020-01-01T00:00:00"))]), 0)
     assert gate.late.read(spark).count() == 0
     assert {r.event_id for r in gate.on_time.read(spark).collect()} == {1}
+
+
+def test_wm_table_compacts_bounded(spark, tmp_path):
+    """Long-running stream: the watermark table must stay bounded —
+    markers fold to the newest retain_batches rows, old manifest
+    versions vacuum away, and the frontier + replay guard survive."""
+    from datetime import datetime, timezone
+
+    from data_pipeline_mlops_spark.streaming.late_audit import (
+        LateAuditGate,
+    )
+
+    gate = LateAuditGate(
+        str(tmp_path / "g"), ts_col="ts", delay_us=1_000_000,
+        retain_batches=5, compact_every=4,
+    )
+
+    def batch(i):
+        ts = datetime.fromtimestamp(1_700_000_000 + i * 10, tz=timezone.utc)
+        return spark.createDataFrame([(i, ts)], "id long, ts timestamp")
+
+    for i in range(12):
+        gate(batch(i), i)
+
+    wm_rows = gate.wm.read(spark).collect()
+    assert len(wm_rows) <= 5 + 3  # retained fold + at most a few post-compact appends
+    assert len(gate.wm.versions()) < 12  # old versions vacuumed
+    # frontier survived compaction: max event time seen - delay
+    assert gate.current_watermark_us(spark) == (
+        (1_700_000_000 + 11 * 10) * 1_000_000 - 1_000_000
+    )
+    # replay guard: recent batch redelivery is still a no-op
+    before = gate.on_time.read(spark).count()
+    gate(batch(11), 11)
+    assert gate.on_time.read(spark).count() == before

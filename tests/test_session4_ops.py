@@ -312,6 +312,38 @@ def test_image_dimensions_parses_real_headers(spark):
     assert got[4] == ("unknown", None, None)
 
 
+def test_jpeg_fill_bytes_and_standalone_markers(spark):
+    """Spec-valid JPEGs can carry 0xFF FILL byte runs before a marker
+    id, and standalone markers (TEM 0x01, RSTn 0xD0-0xD7) have NO
+    length field — treating their payload bytes as a segment length
+    misread seg_len and broke the SOF walk."""
+    import struct as pystruct
+
+    from data_pipeline_mlops_spark.functions.multimodal import (
+        image_dimensions,
+    )
+
+    sof = b"\xff\xc0" + pystruct.pack(">H", 17) + b"\x08" + pystruct.pack(
+        ">HH", 120, 160
+    ) + b"\x03" + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    app0 = b"\xff\xe0" + pystruct.pack(">H", 4) + b"\x00\x00"
+    fill = b"\xff\xff\xff"          # fill-byte run, then marker id
+    tem = b"\xff\x01"                # standalone, no length
+    rst = b"\xff\xd3"                # standalone RST3, no length
+    cases = [
+        (1, b"\xff\xd8" + fill + sof),
+        (2, b"\xff\xd8" + tem + app0 + sof),
+        (3, b"\xff\xd8" + rst + sof),
+        (4, b"\xff\xd8" + fill[:1] * 0 + app0 + fill + tem + sof),
+    ]
+    df = spark.createDataFrame(cases, "media_id long, content binary")
+    got = {
+        r.media_id: (r.width, r.height)
+        for r in image_dimensions(df).collect()
+    }
+    assert got == {i: (160, 120) for i in (1, 2, 3, 4)}
+
+
 def test_wav_metadata_parses_real_header(spark):
     import struct as pystruct
 
