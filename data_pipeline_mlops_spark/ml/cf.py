@@ -32,12 +32,35 @@ def item_counts(interactions: DataFrame, *, item_col: str) -> DataFrame:
     return interactions.groupBy(item_col).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def cap_basket_size(
+    df: DataFrame, *, basket_col: str, item_col: str, max_items: int
+) -> DataFrame:
+    """Deterministic per-basket truncation to ``max_items`` rows: rank
+    items inside each basket by md5(item) (an order-free, seed-free,
+    engine-portable hash — DuckDB replays it bit-for-bit) and keep the
+    first ``max_items``. This is the in-operator bound for basket²
+    self-join fan-out: one bot mega-basket of 10k items otherwise
+    contributes 10^8 pairs to the shuffle BEFORE any min-support
+    filter can run. The reference's generator never exceeds 5 items
+    per order (scripts/setup_source_db.py:192-195), so at parity scale
+    the cap is a no-op; at 100 TB it is the first thing that matters."""
+    w = Window.partitionBy(basket_col).orderBy(
+        F.md5(F.col(item_col).cast("string")), F.col(item_col)
+    )
+    return (
+        df.withColumn("__br", F.row_number().over(w))
+        .where(F.col("__br") <= int(max_items))
+        .drop("__br")
+    )
+
+
 def item_similarity(
     interactions: DataFrame,
     *,
     user_col: str,
     item_col: str,
     min_cooccurrence: int = 1,
+    max_basket_size: int | None = None,
 ) -> DataFrame:
     """M5+M6: upper-triangle item-item cosine similarity.
 
@@ -45,7 +68,19 @@ def item_similarity(
     to 6 dp). Equivalent to the reference's dense
     cosine_similarity + fill_diagonal(0) — the diagonal simply never
     appears (a < b), matching the reference's zeroed self-similarity.
+
+    ``max_basket_size`` (opt-in, changes results for baskets above the
+    cap) truncates each user's basket deterministically BEFORE the
+    self-join — see :func:`cap_basket_size`. Item counts are taken
+    over the capped interactions so cosine stays internally consistent.
     """
+    if max_basket_size is not None:
+        interactions = cap_basket_size(
+            interactions,
+            basket_col=user_col,
+            item_col=item_col,
+            max_items=max_basket_size,
+        )
     a = interactions.select(
         F.col(user_col).alias("__u"), F.col(item_col).alias("item_a")
     )

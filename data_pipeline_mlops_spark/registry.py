@@ -2004,15 +2004,57 @@ QUERIES: dict[str, QuerySpec] = {
 }
 
 
+# The external driver value-hashes only the FIRST 50 entries of
+# queries(); everything after is covered by the builder's own parity
+# suite. Rotate flagship newer operators into that window each round so
+# driver-environment divergence (e.g. DuckDB HUGEINT canonicalization,
+# found in r4 ONLY by the driver) gets probed on new operator surface.
+# The window keeps the reference-parity core (medallion pipeline, CF
+# stack) and the LLM-pipeline anchors, then the r5 additions that the
+# driver has never hashed: lakehouse MERGE/CDC/incremental, retrieval,
+# sampling, sketches, graph, multimodal metadata, analytics.
+_DRIVER_WINDOW: list[str] = [
+    # reference-parity core (§2 medallion + CF)
+    "silver_clean", "daily_summary", "overall_metrics",
+    "category_performance", "top_products", "regional_stats",
+    "hourly_events", "status_matrix", "data_quality",
+    "interactions_distinct", "dedup_keep_latest",
+    "top_customers_per_region", "active_customers",
+    "inactive_customers", "eval_accumulate", "repeat_customers",
+    "event_alerts", "train_eval_split", "item_similarity",
+    "similar_items", "recommendations", "recommendations_capped",
+    "recommendations_served", "cf_coverage",
+    # LLM-pipeline anchors
+    "doc_exact_dedup", "doc_quality", "doc_lang_id",
+    "minhash_lsh_candidates", "ann_cosine_topk",
+    "incremental_dedup_decisions",
+    # rotated in for round 6 (never driver-hashed before)
+    "orders_merge_upsert", "orders_cdc_diff",
+    "orders_incremental_summary", "doc_bm25_search",
+    "doc_winnowing_fps", "doc_weighted_sample", "corpus_mixture_plan",
+    "user_count_cms", "bloom_order_pruning", "bpe_merges",
+    "item_pagerank", "item_communities", "item_triangles",
+    "multimodal_image_dims", "multimodal_audio_meta",
+    "multimodal_video_meta", "doc_length_drift_psi", "customer_rfm",
+    "association_rules", "embedding_near_dups_lsh",
+]
+
+
+def _ordered_names() -> list[str]:
+    win = [n for n in _DRIVER_WINDOW if n in QUERIES]
+    seen = set(win)
+    return win + [n for n in QUERIES if n not in seen]
+
+
 def spark_queries() -> dict[str, SparkQuery]:
-    return {name: spec.spark for name, spec in QUERIES.items()}
+    return {name: QUERIES[name].spark for name in _ordered_names()}
 
 
 def oracle_queries() -> dict[str, str]:
     return {
-        name: spec.oracle
-        for name, spec in QUERIES.items()
-        if spec.oracle is not None
+        name: QUERIES[name].oracle
+        for name in _ordered_names()
+        if QUERIES[name].oracle is not None
     }
 
 
@@ -8993,4 +9035,163 @@ WHERE s.sd IS NOT NULL AND s.sd > 0
 
 QUERIES["event_seasonal_outliers"] = QuerySpec(
     q_event_seasonal_outliers, ORACLE_EVENT_SEASONAL_OUTLIERS
+)
+
+
+# --------------------------------------------------------------------------
+# basket-size-capped variants (the in-operator bound for basket² fan-out)
+# --------------------------------------------------------------------------
+
+
+def q_item_similarity_basket_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """M6 with max_basket_size=20: each customer's basket is truncated
+    to 20 items by deterministic md5 rank BEFORE the self-join, so a
+    bot mega-basket contributes at most 20² pairs to the shuffle
+    instead of |basket|². At TPC-H scale this truncates real baskets
+    (avg ~27 items per customer at sf0.01), so the oracle replays the
+    exact same md5 ranking."""
+    inter = _materialize(_interactions(spark, sf_dir))
+    return cf.item_similarity(
+        inter,
+        user_col="customer_id",
+        item_col="product_id",
+        min_cooccurrence=2,
+        max_basket_size=20,
+    ).select("item_a", "item_b", "cooccurrence", "cosine_sim")
+
+
+ORACLE_ITEM_SIMILARITY_BASKET_CAPPED = f"""
+WITH i0 AS ({ORACLE_INTERACTIONS}),
+i AS (
+  SELECT customer_id, product_id FROM (
+    SELECT customer_id, product_id,
+           row_number() OVER (
+             PARTITION BY customer_id
+             ORDER BY md5(CAST(product_id AS VARCHAR)), product_id
+           ) AS br
+    FROM i0
+  ) WHERE br <= 20
+),
+cnt AS (SELECT product_id, COUNT(*) AS c FROM i GROUP BY 1),
+cooc AS (
+  SELECT a.product_id AS item_a, b.product_id AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS co
+  FROM i a JOIN i b ON a.customer_id = b.customer_id
+  WHERE a.product_id < b.product_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+)
+SELECT item_a, item_b, co AS cooccurrence,
+       ROUND(co / SQRT(ca.c * cb.c), 6) AS cosine_sim
+FROM cooc
+JOIN cnt ca ON ca.product_id = item_a
+JOIN cnt cb ON cb.product_id = item_b
+"""
+
+QUERIES["item_similarity_basket_capped"] = QuerySpec(
+    q_item_similarity_basket_capped, ORACLE_ITEM_SIMILARITY_BASKET_CAPPED
+)
+
+
+def q_association_rules_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """association_rules with per-order baskets capped at 5 items
+    (md5-rank truncation) — bounds the pair shuffle at basket² ≤ 25
+    per order regardless of upstream order size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    inter = _materialize(
+        cf.cap_basket_size(
+            li.select(
+                F.col("l_orderkey").alias("ok"),
+                F.col("l_partkey").alias("item"),
+            ).distinct(),
+            basket_col="ok",
+            item_col="item",
+            max_items=5,
+        )
+    )
+    nb = inter.agg(F.countDistinct("ok").cast("double").alias("__nb"))
+    item_n = inter.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    pair_n = (
+        inter.alias("a")
+        .join(inter.alias("b"), "ok")
+        .where(F.col("a.item") != F.col("b.item"))
+        .groupBy(
+            F.col("a.item").alias("ante"), F.col("b.item").alias("cons")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= 3)
+    )
+    joined = (
+        pair_n.join(
+            item_n.withColumnRenamed("item", "ante").withColumnRenamed(
+                "n_item", "n_ante"
+            ),
+            "ante",
+        )
+        .join(
+            item_n.withColumnRenamed("item", "cons").withColumnRenamed(
+                "n_item", "n_cons"
+            ),
+            "cons",
+        )
+    )
+    conf = F.col("n_pair").cast("double") / F.col("n_ante").cast("double")
+    lift = conf / (F.col("n_cons").cast("double") / F.col("__nb"))
+    out = joined.crossJoin(F.broadcast(nb)).select(
+        "ante", "cons", "n_pair", "n_ante", "n_cons",
+        F.round(conf, 6).alias("confidence"),
+        F.round(lift, 6).alias("lift"),
+    )
+    return out.orderBy(
+        F.col("confidence").desc(), F.col("lift").desc(),
+        F.col("ante").asc(), F.col("cons").asc(),
+    ).limit(50)
+
+
+ORACLE_ASSOCIATION_RULES_CAPPED = """
+WITH inter0 AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+),
+inter AS (
+  SELECT ok, item FROM (
+    SELECT ok, item,
+           row_number() OVER (
+             PARTITION BY ok
+             ORDER BY md5(CAST(item AS VARCHAR)), item
+           ) AS br
+    FROM inter0
+  ) WHERE br <= 5
+),
+nb AS (SELECT CAST(COUNT(DISTINCT ok) AS DOUBLE) AS n_baskets FROM inter),
+item_n AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item FROM inter GROUP BY 1
+),
+pair_n AS (
+  SELECT a.item AS ante, b.item AS cons, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM inter a JOIN inter b ON a.ok = b.ok AND a.item <> b.item
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+)
+SELECT ante, cons, n_pair,
+       ia.n_item AS n_ante, ic.n_item AS n_cons,
+       ROUND(CAST(n_pair AS DOUBLE) / CAST(ia.n_item AS DOUBLE), 6)
+         AS confidence,
+       ROUND((CAST(n_pair AS DOUBLE) / CAST(ia.n_item AS DOUBLE))
+             / (CAST(ic.n_item AS DOUBLE) / nb.n_baskets), 6) AS lift
+FROM pair_n
+JOIN item_n ia ON ia.item = ante
+JOIN item_n ic ON ic.item = cons
+CROSS JOIN nb
+ORDER BY confidence DESC, lift DESC, ante ASC, cons ASC
+LIMIT 50
+"""
+
+QUERIES["association_rules_capped"] = QuerySpec(
+    q_association_rules_capped, ORACLE_ASSOCIATION_RULES_CAPPED
 )

@@ -396,3 +396,45 @@ def test_lloyd_training_reduces_quantization_error(spark):
     )
     e0, e2 = total_err(seeds), total_err(trained)
     assert e2 < e0 * 0.9  # strict improvement on clustered data
+
+
+def test_cap_basket_size_bounds_mega_basket(spark):
+    """A planted 10k-item bot basket is truncated to the cap; normal
+    baskets pass through untouched; the truncation is deterministic
+    (same survivors regardless of input partitioning)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_mlops_spark.ml.cf import cap_basket_size
+
+    bot = [(999, i) for i in range(10_000)]
+    normal = [(1, 10), (1, 11), (2, 20)]
+    df = spark.createDataFrame(bot + normal, "u long, item long")
+    capped = cap_basket_size(df, basket_col="u", item_col="item", max_items=20)
+    sizes = {
+        r.u: r.n
+        for r in capped.groupBy("u").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {999: 20, 1: 2, 2: 1}
+    survivors = {(r.u, r.item) for r in capped.collect()}
+    survivors_repart = {
+        (r.u, r.item)
+        for r in cap_basket_size(
+            df.repartition(13, "item"), basket_col="u", item_col="item",
+            max_items=20,
+        ).collect()
+    }
+    assert survivors == survivors_repart
+    assert survivors >= {(1, 10), (1, 11), (2, 20)}
+
+
+def test_item_similarity_max_basket_size_bounded_pairs(spark):
+    """With the cap, the mega-basket contributes at most cap*(cap-1)/2
+    upper-triangle pairs; without it, basket²/2."""
+    from data_pipeline_mlops_spark.ml.cf import item_similarity
+
+    bot = [(999, i) for i in range(200)]
+    df = spark.createDataFrame(bot, "u long, item long")
+    capped = item_similarity(
+        df, user_col="u", item_col="item", max_basket_size=10
+    )
+    assert capped.count() == 10 * 9 // 2
