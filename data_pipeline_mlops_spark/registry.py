@@ -104,16 +104,20 @@ def _materialize(df: DataFrame) -> DataFrame:
     long-lived multi-pipeline driver they crowd the pool and later
     heavy queries spill (measured: recommendations_capped 40.6 s
     fresh-JVM vs ~100 s crowded at 10x — SCALING_r5 annotation).
-    Setting ``SPARK_GRAFT_CHECKPOINT_DIR`` switches to RELIABLE
-    checkpoints on storage instead: same values, same lineage cut,
-    zero storage-memory footprint — the 100 TB deployment shape."""
+    RELIABLE checkpoints to storage are therefore the default whenever
+    a checkpoint location is available — either the session already
+    has one (``sc.setCheckpointDir``) or ``SPARK_GRAFT_CHECKPOINT_DIR``
+    names one: same values, same lineage cut, zero storage-memory
+    footprint — the 100 TB deployment shape, where a long-lived
+    driver is the norm. localCheckpoint remains only the zero-config
+    fallback for ad-hoc sessions."""
     import os
 
+    sc = df.sparkSession.sparkContext
     ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
-    if ckpt_dir:
-        sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() is None:
-            sc.setCheckpointDir(ckpt_dir)
+    if ckpt_dir and sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(ckpt_dir)
+    if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=False)
 

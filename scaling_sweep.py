@@ -59,6 +59,14 @@ QUERIES = [
     "item_communities",
     "orders_incremental_summary",
     "doc_dsir_selection",
+    # r6: the two shapes most likely to curve (basket self-join,
+    # degree-oriented wedge join), RFM (3 window quartiles), and the
+    # MinHash-sourced component closure
+    "association_rules",
+    "association_rules_capped",
+    "customer_rfm",
+    "item_triangles",
+    "doc_dup_components_minhash",
 ]
 
 SHIFT_KEYS = {
@@ -112,26 +120,44 @@ def build_scaled(spark, scaled_dir: str) -> None:
 
 
 def _release_persistent_rdds(spark) -> None:
-    """Unpersist every cached RDD (the lazy localCheckpoints queries
-    leave behind). Without this, sequentially-timed queries CROWD the
+    """Unpersist every cached RDD and clear finished reliable
+    checkpoints. Without this, sequentially-timed queries CROWD the
     storage pool: by the time the CF queries run at 10x, earlier
     queries' checkpoint blocks have taken the memory and every pass
     spills (~2.5x inflation, measured 98.7 s vs 40.6 s warm in a fresh
     JVM) — the ratio then measures cache pressure, not the operator.
     The same discipline applies to a real multi-pipeline driver:
-    unpersist between pipelines or checkpoint to storage instead."""
+    unpersist between pipelines or checkpoint to storage instead.
+
+    The sweep now ALSO runs with SPARK_GRAFT_CHECKPOINT_DIR set (see
+    main), so _materialize cuts lineage via reliable checkpoints on
+    disk instead of executor storage memory; checkpoint files of
+    completed queries are deleted here to bound sweep disk usage
+    (each timed query rebuilds its plan from scratch, so no live plan
+    references an older query's checkpoint)."""
     jsc = spark.sparkContext._jsc.sc()
     it = jsc.getPersistentRDDs().values().iterator()
     while it.hasNext():
         it.next().unpersist(True)
+    ckpt = spark.sparkContext.getCheckpointDir()
+    if ckpt and os.path.isdir(ckpt):
+        for d in os.listdir(ckpt):
+            shutil.rmtree(os.path.join(ckpt, d), ignore_errors=True)
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, float]:
+def time_queries(
+    spark, sf_dir: str, samples: dict[str, list[float]] | None = None
+) -> dict[str, float]:
     from data_pipeline_mlops_spark.registry import QUERIES as REG
 
+    queries = QUERIES
+    only = os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "")
+    if only:
+        wanted = [q.strip() for q in only.split(",") if q.strip()]
+        queries = [q for q in QUERIES if q in wanted] or wanted
     best: dict[str, float] = {}
     for p in range(RUNS + 1):  # pass 0 = cold, discarded
-        for name in QUERIES:
+        for name in queries:
             _release_persistent_rdds(spark)
             t0 = time.perf_counter()
             REG[name].spark(spark, sf_dir).write.mode("overwrite").format(
@@ -140,6 +166,8 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
             dt = time.perf_counter() - t0
             if p > 0:
                 best[name] = min(best.get(name, dt), dt)
+                if samples is not None:
+                    samples.setdefault(name, []).append(round(dt, 3))
         print(f"# {sf_dir}: pass {p}/{RUNS}", file=sys.stderr)
     return best
 
@@ -205,12 +233,69 @@ def time_dedup_batch(spark, sf_dir: str, index_root: str) -> dict:
     return {"t_batch_sec": round(best, 3), "index_band_rows": band_rows}
 
 
+def time_mega_basket(spark) -> dict:
+    """Bot-basket axis (VERDICT r5 #4): plant ONE 10k-item basket into
+    the base interactions and time capped item-item similarity against
+    the unplanted baseline. With max_basket_size=20 the planted basket
+    contributes at most 190 pairs, so capped-with-bot must track the
+    baseline; the uncapped contrast (10k²/2 ≈ 5·10⁷ extra pairs from
+    one user) is also timed to show what the cap prevents."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_mlops_spark.ml import cf
+    from data_pipeline_mlops_spark.sources.tables import load_table
+
+    li = load_table(spark, BASE, "lineitem")
+    o = load_table(spark, BASE, "orders")
+    inter = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("item")
+        )
+        .distinct()
+    )
+    bot = spark.range(10_000).select(
+        F.lit(-1).cast("long").alias("u"), F.col("id").alias("item")
+    )
+    variants = {
+        "baseline_capped": (inter, 20),
+        "with_bot_capped": (inter.unionByName(bot), 20),
+        "with_bot_uncapped": (inter.unionByName(bot), None),
+    }
+    out = {}
+    for name, (df, cap) in variants.items():
+        best = None
+        for p in range(RUNS + 1):
+            _release_persistent_rdds(spark)
+            t0 = time.perf_counter()
+            cf.item_similarity(
+                df, user_col="u", item_col="item",
+                min_cooccurrence=2, max_basket_size=cap,
+            ).write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            if p > 0:
+                best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
+        print(f"# mega_basket {name}: {out[name]}s", file=sys.stderr)
+    out["capped_overhead_ratio"] = round(
+        out["with_bot_capped"] / out["baseline_capped"], 2
+    )
+    return out
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+    repo_ = os.path.dirname(os.path.abspath(__file__))
+    # Reliable checkpoints by default: lineage cuts go to disk, not
+    # executor storage memory — the crowded-JVM remedy measured in r5.
+    os.environ.setdefault(
+        "SPARK_GRAFT_CHECKPOINT_DIR",
+        os.path.join(repo_, ".scale_cache", "ckpt"),
+    )
     from data_pipeline_mlops_spark.session import get_spark
 
     spark = get_spark(app_name="scaling-sweep")
-    repo = os.path.dirname(os.path.abspath(__file__))
+    repo = repo_
     scaled_dir = os.path.join(repo, ".scale_cache", f"sf0.1x{COPIES}")
     if not os.path.exists(os.path.join(scaled_dir, "documents.parquet")):
         build_scaled(spark, scaled_dir)
@@ -234,8 +319,11 @@ def main() -> None:
         print(json.dumps(prev["incremental_dedup_batch"]))
         return
 
-    t1 = time_queries(spark, BASE)
-    t10 = time_queries(spark, scaled_dir)
+    samples1: dict[str, list[float]] = {}
+    samples10: dict[str, list[float]] = {}
+    t1 = time_queries(spark, BASE, samples1)
+    t10 = time_queries(spark, scaled_dir, samples10)
+    mega = time_mega_basket(spark)
     ded_root = os.path.join(repo, ".scale_cache", "dedup_index")
     ded1 = time_dedup_batch(spark, BASE, f"{ded_root}_1x")
     ded10 = time_dedup_batch(spark, scaled_dir, f"{ded_root}_10x")
@@ -244,15 +332,19 @@ def main() -> None:
         "copies": COPIES,
         "runs": RUNS,
         "base_sf_dir": BASE,
+        "checkpoint_dir": os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR"),
         "queries": {
             name: {
                 "t_1x_sec": round(t1[name], 3),
                 "t_10x_sec": round(t10[name], 3),
                 "ratio": round(t10[name] / t1[name], 2),
                 "super_linear": t10[name] / t1[name] > COPIES * 1.3,
+                "samples_1x_sec": samples1.get(name),
+                "samples_10x_sec": samples10.get(name),
             }
-            for name in QUERIES
+            for name in t1
         },
+        "mega_basket_cap": mega,
         # fixed 500-doc probe batch vs a 1x- and a 10x-seeded index:
         # per-batch cost must track batch size, not history size
         "incremental_dedup_batch": {
