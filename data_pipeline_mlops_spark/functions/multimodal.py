@@ -391,3 +391,235 @@ def mp4_metadata_udf():
         return pd.DataFrame({"timescale": tss, "duration_ms": durs})
 
     return _meta
+
+
+# -- real PNG pixel decode (stdlib zlib + numpy, no codec library) ----------
+#
+# PNG is the one mainstream image container fully decodable with the
+# standard library: chunk walk + zlib inflate + the five scanline
+# filters. This closes the pixel tier for PNG — the codec stub now
+# covers only JPEG/audio/video sample data. The decoder is generic
+# (8-bit gray / gray+alpha / RGB / RGBA / palette, non-interlaced);
+# the encoder exists so planted-pixel tests can exercise EVERY
+# unfilter path with hand-computable pixel content.
+
+import struct as _struct
+import zlib as _zlib
+
+import numpy as _np
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        _struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + _struct.pack(">I", _zlib.crc32(tag + payload))
+    )
+
+
+def encode_png(pixels, *, filter_type: int = 0) -> bytes:
+    """Minimal PNG encoder: ``pixels`` is a uint8 numpy array of shape
+    (h, w) for grayscale or (h, w, 3) for RGB; every scanline uses the
+    single given filter type (0 none / 1 sub / 2 up / 3 average /
+    4 paeth). Test/plant support — production corpora carry real PNGs;
+    what matters at scale is the DECODER below."""
+    px = _np.asarray(pixels, dtype=_np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    ch = 1 if gray else px.shape[2]
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    raw = px.reshape(h, w * ch).astype(_np.int32)
+    prev = _np.zeros(w * ch, dtype=_np.int32)
+    lines = []
+    for y in range(h):
+        cur = raw[y]
+        left = _np.zeros_like(cur)
+        left[ch:] = cur[:-ch]
+        prev_left = _np.zeros_like(prev)
+        prev_left[ch:] = prev[:-ch]
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prev
+        elif filter_type == 3:
+            filt = cur - (left + prev) // 2
+        elif filter_type == 4:
+            p = left + prev - prev_left
+            pa, pb, pc = (
+                _np.abs(p - left), _np.abs(p - prev), _np.abs(p - prev_left)
+            )
+            pred = _np.where(
+                (pa <= pb) & (pa <= pc), left,
+                _np.where(pb <= pc, prev, prev_left),
+            )
+            filt = cur - pred
+        else:
+            raise ValueError(f"unknown PNG filter {filter_type}")
+        lines.append(bytes([filter_type]) + (filt % 256).astype(_np.uint8).tobytes())
+        prev = cur
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        bytes.fromhex(PNG_MAGIC_HEX)
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(data: bytes):
+    """Real PNG pixel decode with the standard library only: chunk
+    walk, concatenated-IDAT zlib inflate, per-scanline unfilter (all
+    five filter types), palette resolution. Supports 8-bit depth,
+    color types 0/2/3/4/6, non-interlaced. Returns a uint8 array of
+    shape (h, w, channels), or None for non-PNG / unsupported /
+    corrupt input (the audit posture: never an error).
+
+    Unfiltering is numpy per scanline — filters 0/2 fully vectorized,
+    1 (sub) via per-lane cumulative sum, 3/4 as per-pixel loops (the
+    left-neighbor dependence is inherently sequential). At corpus
+    scale this runs inside mapInPandas partitions, so throughput
+    scales with executors; swap libpng via decode_media when codecs
+    are available."""
+    b = bytes(data or b"")
+    if len(b) < 33 or b[:8] != bytes.fromhex(PNG_MAGIC_HEX):
+        return None
+    pos = 8
+    ihdr = None
+    idat = []
+    plte = None
+    try:
+        while pos + 8 <= len(b):
+            (length,) = _struct.unpack(">I", b[pos:pos + 4])
+            tag = b[pos + 4:pos + 8]
+            payload = b[pos + 8:pos + 8 + length]
+            if len(payload) < length:
+                return None
+            if tag == b"IHDR":
+                ihdr = _struct.unpack(">IIBBBBB", payload)
+            elif tag == b"IDAT":
+                idat.append(payload)
+            elif tag == b"PLTE":
+                plte = _np.frombuffer(payload, dtype=_np.uint8).reshape(-1, 3)
+            elif tag == b"IEND":
+                break
+            pos += 12 + length
+        if ihdr is None or not idat:
+            return None
+        w, h, depth, color_type, comp, filt_m, interlace = ihdr
+        if depth != 8 or comp != 0 or filt_m != 0 or interlace != 0:
+            return None
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+        if channels is None or w == 0 or h == 0:
+            return None
+        raw = _zlib.decompress(b"".join(idat))
+        stride = w * channels
+        if len(raw) < h * (stride + 1):
+            return None
+        out = _np.zeros((h, stride), dtype=_np.uint8)
+        prev = _np.zeros(stride, dtype=_np.int32)
+        for y in range(h):
+            row = raw[y * (stride + 1): (y + 1) * (stride + 1)]
+            ft = row[0]
+            cur = _np.frombuffer(
+                row[1:], dtype=_np.uint8
+            ).astype(_np.int32)
+            if ft == 0:
+                rec = cur
+            elif ft == 1:
+                # sub: per-lane prefix sum (recon[i] = filt[i] +
+                # recon[i-bpp]) — cumsum in int64 then mod 256
+                rec = cur.copy()
+                for lane in range(channels):
+                    rec[lane::channels] = _np.cumsum(
+                        cur[lane::channels], dtype=_np.int64
+                    ) % 256
+            elif ft == 2:
+                rec = (cur + prev) % 256
+            elif ft in (3, 4):
+                rec = _np.zeros(stride, dtype=_np.int32)
+                for i in range(stride):
+                    left = rec[i - channels] if i >= channels else 0
+                    up = int(prev[i])
+                    ul = int(prev[i - channels]) if i >= channels else 0
+                    if ft == 3:
+                        pred = (left + up) // 2
+                    else:
+                        p = left + up - ul
+                        pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                        pred = (
+                            left if pa <= pb and pa <= pc
+                            else up if pb <= pc else ul
+                        )
+                    rec[i] = (int(cur[i]) + pred) % 256
+            else:
+                return None
+            out[y] = rec.astype(_np.uint8)
+            prev = rec
+        px = out.reshape(h, w, channels)
+        if color_type == 3:
+            if plte is None or int(px.max()) >= len(plte):
+                return None
+            px = plte[px[:, :, 0]]
+        return px
+    except Exception:
+        return None
+
+
+def png_pixel_stats(
+    df: DataFrame, *, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """Decode PNG pixels and emit integer-exact luminance statistics
+    per image: n_pixels, sum_luma, min_luma, max_luma (luma = the gray
+    value for grayscale, (r+g+b)//3 integer for color — exact, so an
+    external engine can replay planted images arithmetically). Arrow
+    mapInPandas; undecodable rows emit nulls, never errors."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("n_pixels", T.LongType(), True),
+            T.StructField("sum_luma", T.LongType(), True),
+            T.StructField("min_luma", T.IntegerType(), True),
+            T.StructField("max_luma", T.IntegerType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "media_id", "width", "height", "n_pixels",
+                "sum_luma", "min_luma", "max_luma",
+            )}
+            for mid, buf in zip(pdf[id_col], pdf[content_col]):
+                px = decode_png_pixels(buf)
+                rows["media_id"].append(mid)
+                if px is None:
+                    for k in (
+                        "width", "height", "n_pixels", "sum_luma",
+                        "min_luma", "max_luma",
+                    ):
+                        rows[k].append(None)
+                    continue
+                h, w, ch = px.shape
+                if ch >= 3:
+                    luma = (
+                        px[:, :, 0].astype(_np.int64)
+                        + px[:, :, 1] + px[:, :, 2]
+                    ) // 3
+                else:
+                    luma = px[:, :, 0].astype(_np.int64)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(int(w) * int(h))
+                rows["sum_luma"].append(int(luma.sum()))
+                rows["min_luma"].append(int(luma.min()))
+                rows["max_luma"].append(int(luma.max()))
+            yield pd.DataFrame(rows)
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(content_col)
+    ).mapInPandas(batches, schema=out_schema)

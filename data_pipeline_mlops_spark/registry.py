@@ -9199,3 +9199,97 @@ LIMIT 50
 QUERIES["association_rules_capped"] = QuerySpec(
     q_association_rules_capped, ORACLE_ASSOCIATION_RULES_CAPPED
 )
+
+
+def q_multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG pixel decode (functions/multimodal.py::
+    decode_png_pixels — stdlib zlib inflate + all five scanline
+    unfilters): four planted image families per doc (solid gray /
+    horizontal gradient / vertical gradient / solid RGB), each encoded
+    with a DIFFERENT PNG filter type (none/average/up/paeth) so every
+    unfilter path faces real compressed bytes. The oracle recomputes
+    the planted pixel sums arithmetically, so value equality proves
+    the decoder restores exact pixel content. Narrows the codec stub
+    to JPEG/audio/video sample data."""
+    from data_pipeline_mlops_spark.functions.multimodal import (
+        encode_png,
+        png_pixel_stats,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+
+    def plant(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, blobs = [], []
+            for d, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, nc = int(d), int(nc)
+                w, h = d % 13 + 4, nc % 11 + 4
+                case = d % 4
+                if case == 0:
+                    px = np.full((h, w), d % 256, np.uint8)
+                    ft = 0
+                elif case == 1:
+                    row = (np.arange(w) * 7 + d) % 256
+                    px = np.tile(row, (h, 1)).astype(np.uint8)
+                    ft = 3
+                elif case == 2:
+                    col = (np.arange(h) * 11 + d) % 256
+                    px = np.tile(col[:, None], (1, w)).astype(np.uint8)
+                    ft = 2
+                else:
+                    px = np.zeros((h, w, 3), np.uint8)
+                    px[:, :, 0] = d % 256
+                    px[:, :, 1] = (d * 3) % 256
+                    px[:, :, 2] = (d * 7) % 256
+                    ft = 4
+                ids.append(d)
+                blobs.append(encode_png(px, filter_type=ft))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(plant, "media_id long, content binary")
+    return png_pixel_stats(media)
+
+
+ORACLE_MULTIMODAL_PNG_PIXELS = """
+WITH d AS (
+  SELECT doc_id, n_chars,
+         CAST(doc_id % 13 + 4 AS INTEGER) AS w,
+         CAST(n_chars % 11 + 4 AS INTEGER) AS h
+  FROM documents
+)
+SELECT doc_id AS media_id, w AS width, h AS height,
+  CAST(w * h AS BIGINT) AS n_pixels,
+  CAST(CASE doc_id % 4
+    WHEN 0 THEN (doc_id % 256) * w * h
+    WHEN 1 THEN h * list_sum(
+      list_transform(range(0, w), x -> (x * 7 + doc_id) % 256))
+    WHEN 2 THEN w * list_sum(
+      list_transform(range(0, h), y -> (y * 11 + doc_id) % 256))
+    ELSE ((doc_id % 256 + (doc_id * 3) % 256 + (doc_id * 7) % 256) // 3)
+         * w * h
+  END AS BIGINT) AS sum_luma,
+  CAST(CASE doc_id % 4
+    WHEN 0 THEN doc_id % 256
+    WHEN 1 THEN list_min(
+      list_transform(range(0, w), x -> (x * 7 + doc_id) % 256))
+    WHEN 2 THEN list_min(
+      list_transform(range(0, h), y -> (y * 11 + doc_id) % 256))
+    ELSE (doc_id % 256 + (doc_id * 3) % 256 + (doc_id * 7) % 256) // 3
+  END AS INTEGER) AS min_luma,
+  CAST(CASE doc_id % 4
+    WHEN 0 THEN doc_id % 256
+    WHEN 1 THEN list_max(
+      list_transform(range(0, w), x -> (x * 7 + doc_id) % 256))
+    WHEN 2 THEN list_max(
+      list_transform(range(0, h), y -> (y * 11 + doc_id) % 256))
+    ELSE (doc_id % 256 + (doc_id * 3) % 256 + (doc_id * 7) % 256) // 3
+  END AS INTEGER) AS max_luma
+FROM d
+"""
+
+QUERIES["multimodal_png_pixels"] = QuerySpec(
+    q_multimodal_png_pixels, ORACLE_MULTIMODAL_PNG_PIXELS
+)

@@ -45,9 +45,23 @@ class LateAuditGate:
         delay_us: int,
         retain_batches: int = 100,
         compact_every: int = 32,
+        ts_is_epoch_us: bool = False,
+        publish=None,
     ) -> None:
         self.ts_col = ts_col
         self.delay_us = int(delay_us)
+        # ts_col may already BE epoch microseconds (e.g. the throttle
+        # operator's fired_at_us) — skip the timestamp conversion then.
+        self.ts_is_epoch_us = bool(ts_is_epoch_us)
+        # Optional downstream publish step, called with
+        # (on_time_df, batch_id) AFTER the quarantine commits and
+        # BEFORE the watermark/applied-marker commit. Because the
+        # marker lands last, a crash inside publish replays the whole
+        # batch — so publish MUST be idempotent under identical input
+        # (a keyed merge/upsert is; a blind append is not). This is
+        # how a transactional sink composes with the gate without a
+        # second marker table.
+        self.publish = publish
         # Bounded marker horizon, like Spark's own commit-log retention
         # (minBatchesToRetain): the engine only ever redelivers the
         # LAST uncommitted batch, so retaining the newest N markers
@@ -87,7 +101,12 @@ class LateAuditGate:
         if int(batch_id) in self.applied_batches(spark):
             return  # redelivery: already fully committed
         wm_us = self.current_watermark_us(spark)
-        ev = batch_df.withColumn("__ev_us", epoch_us(self.ts_col))
+        ev_expr = (
+            F.col(self.ts_col).cast("long")
+            if self.ts_is_epoch_us
+            else epoch_us(self.ts_col)
+        )
+        ev = batch_df.withColumn("__ev_us", ev_expr)
 
         if wm_us is None:
             on_time = ev
@@ -111,6 +130,8 @@ class LateAuditGate:
             partition_col="batch_id",
             mode="replace_partitions",
         )
+        if self.publish is not None:
+            self.publish(on_time.drop("__ev_us"), int(batch_id))
         # frontier advance: new watermark = max(old, max(ev) - delay).
         # Computed from ON-TIME rows only (late rows must not move the
         # frontier). One scalar row per batch; committed LAST as the
