@@ -623,3 +623,172 @@ def png_pixel_stats(
     return df.select(
         F.col(id_col).cast("long").alias(id_col), F.col(content_col)
     ).mapInPandas(batches, schema=out_schema)
+
+
+# -- real WAV PCM sample decode (stdlib struct + numpy, no codec) -----------
+#
+# PCM WAV is raw interleaved integer samples behind a RIFF chunk walk
+# — fully decodable with the standard library, like PNG above. This
+# closes the AUDIO sample tier for PCM (the dominant uncompressed
+# corpus format); the codec stub now covers only JPEG pixel data and
+# compressed audio/video (MP3/AAC/H.264). Reference parity: the
+# reference has no media decode at all — this is beyond-reference
+# surface for a multimodal training corpus.
+
+
+def encode_wav(
+    samples, *, sample_rate: int = 8000, bits: int = 16,
+    extra_chunk: bool = False,
+) -> bytes:
+    """Minimal PCM WAV encoder for planted-sample tests. ``samples``
+    is an int numpy array of shape (n_frames,) mono or
+    (n_frames, channels); values must fit the signed range of
+    ``bits`` (8-bit is stored unsigned +128 per the WAV spec).
+    ``extra_chunk`` inserts a LIST chunk between fmt and data so the
+    decoder's chunk WALK (not a fixed 44-byte layout) is exercised."""
+    px = _np.asarray(samples)
+    if px.ndim == 1:
+        px = px[:, None]
+    n, ch = px.shape
+    flat = px.reshape(-1)
+    if bits == 8:
+        body = (flat + 128).astype(_np.uint8).tobytes()
+    elif bits == 16:
+        body = flat.astype("<i2").tobytes()
+    elif bits == 24:
+        as32 = flat.astype("<i4").tobytes()
+        # keep the low three little-endian bytes of each int32
+        b = _np.frombuffer(as32, dtype=_np.uint8).reshape(-1, 4)
+        body = b[:, :3].tobytes()
+    elif bits == 32:
+        body = flat.astype("<i4").tobytes()
+    else:
+        raise ValueError(f"unsupported bits {bits}")
+    block_align = ch * bits // 8
+    fmt = _struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * block_align,
+        block_align, bits,
+    )
+    chunks = b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:
+        info = b"INFOICMT" + _struct.pack("<I", 5) + b"test\x00" + b"\x00"
+        chunks += b"LIST" + _struct.pack("<I", len(info)) + info
+    chunks += b"data" + _struct.pack("<I", len(body)) + body
+    if len(body) % 2:
+        chunks += b"\x00"  # RIFF word alignment pad
+    return b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav_samples(data: bytes):
+    """Real PCM WAV decode with the standard library only: RIFF chunk
+    walk (word-aligned, tolerates LIST/fact/cue chunks in any order),
+    fmt parse, and interleaved sample extraction for 8 (unsigned,
+    recentred to signed)/16/24/32-bit PCM. Returns
+    (samples int32 array of shape (n_frames, channels), sample_rate)
+    or None for non-WAV / non-PCM / truncated input — audit posture,
+    never an error. Compressed codecs (format tags other than 1)
+    return None and stay behind decode_media."""
+    b = bytes(data or b"")
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    body = None
+    try:
+        while pos + 8 <= len(b):
+            tag = b[pos:pos + 4]
+            (size,) = _struct.unpack("<I", b[pos + 4:pos + 8])
+            payload = b[pos + 8:pos + 8 + size]
+            if len(payload) < size:
+                return None
+            if tag == b"fmt " and size >= 16:
+                fmt = _struct.unpack("<HHIIHH", payload[:16])
+            elif tag == b"data":
+                body = payload
+            pos += 8 + size + (size % 2)  # chunks are word-aligned
+        if fmt is None or body is None:
+            return None
+        audio_format, ch, rate, _byte_rate, _block, bits = fmt
+        if audio_format != 1 or ch == 0:
+            return None
+        if bits == 8:
+            flat = _np.frombuffer(body, dtype=_np.uint8).astype(
+                _np.int32
+            ) - 128
+        elif bits == 16:
+            flat = _np.frombuffer(body, dtype="<i2").astype(_np.int32)
+        elif bits == 24:
+            raw = _np.frombuffer(body, dtype=_np.uint8)
+            raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3)
+            flat = (
+                raw[:, 0].astype(_np.int32)
+                | (raw[:, 1].astype(_np.int32) << 8)
+                | (raw[:, 2].astype(_np.int32) << 16)
+            )
+            flat = _np.where(flat >= 1 << 23, flat - (1 << 24), flat)
+        elif bits == 32:
+            flat = _np.frombuffer(body, dtype="<i4").astype(_np.int32)
+        else:
+            return None
+        n = len(flat) // ch
+        if n == 0:
+            return None
+        return flat[: n * ch].reshape(n, ch), int(rate)
+    except Exception:
+        return None
+
+
+def wav_sample_stats(
+    df: DataFrame, *, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """Decode PCM WAV samples and emit integer-exact per-clip
+    statistics: n_frames, channels, sample_rate, sum_abs (summed over
+    all channels), min/max sample, and zero_crossings (per channel,
+    strict sign-product < 0 between consecutive frames, summed over
+    channels — integer-exact so an external engine can replay planted
+    waveforms arithmetically). Arrow mapInPandas; undecodable rows
+    emit nulls, never errors."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("channels", T.IntegerType(), True),
+            T.StructField("n_frames", T.LongType(), True),
+            T.StructField("sum_abs", T.LongType(), True),
+            T.StructField("min_sample", T.IntegerType(), True),
+            T.StructField("max_sample", T.IntegerType(), True),
+            T.StructField("zero_crossings", T.LongType(), True),
+        ]
+    )
+    cols = (
+        "media_id", "sample_rate", "channels", "n_frames",
+        "sum_abs", "min_sample", "max_sample", "zero_crossings",
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in cols}
+            for mid, buf in zip(pdf[id_col], pdf[content_col]):
+                rows["media_id"].append(mid)
+                dec = decode_wav_samples(buf)
+                if dec is None:
+                    for k in cols[1:]:
+                        rows[k].append(None)
+                    continue
+                px, rate = dec
+                sign = _np.sign(px)
+                zc = int(((sign[:-1] * sign[1:]) < 0).sum())
+                rows["sample_rate"].append(rate)
+                rows["channels"].append(px.shape[1])
+                rows["n_frames"].append(px.shape[0])
+                rows["sum_abs"].append(
+                    int(_np.abs(px.astype(_np.int64)).sum())
+                )
+                rows["min_sample"].append(int(px.min()))
+                rows["max_sample"].append(int(px.max()))
+                rows["zero_crossings"].append(zc)
+            yield pd.DataFrame(rows)
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(content_col)
+    ).mapInPandas(batches, schema=out_schema)

@@ -9293,3 +9293,109 @@ FROM d
 QUERIES["multimodal_png_pixels"] = QuerySpec(
     q_multimodal_png_pixels, ORACLE_MULTIMODAL_PNG_PIXELS
 )
+
+
+def q_multimodal_wav_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM WAV sample decode (functions/multimodal.py::
+    decode_wav_samples — RIFF chunk walk + 8/16/24/32-bit interleaved
+    PCM extraction, stdlib only): four planted waveform families per
+    doc (constant/16-bit, alternating/32-bit, odd-ramp/24-bit with an
+    extra LIST chunk before data, stereo-constant/8-bit), so every
+    bit-depth branch and the non-canonical chunk layout face real
+    bytes. The oracle recomputes the planted sample statistics
+    arithmetically — value equality proves the decoder restores exact
+    sample content. Narrows the codec stub to JPEG pixels and
+    compressed audio/video only."""
+    from data_pipeline_mlops_spark.functions.multimodal import (
+        encode_wav,
+        wav_sample_stats,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+
+    def plant(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, blobs = [], []
+            for d, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, nc = int(d), int(nc)
+                n = nc % 50 + 10
+                case = d % 4
+                if case == 0:
+                    c = d % 201 - 100
+                    blob = encode_wav(
+                        np.full(n, c), sample_rate=8000, bits=16
+                    )
+                elif case == 1:
+                    a = d % 80 + 1
+                    s = np.where(np.arange(n) % 2 == 0, a, -a)
+                    blob = encode_wav(s, sample_rate=16000, bits=32)
+                elif case == 2:
+                    h = n // 2
+                    s = 2 * (np.arange(n) - h) + 1
+                    blob = encode_wav(
+                        s, sample_rate=22050, bits=24, extra_chunk=True
+                    )
+                else:
+                    c0, c1 = d % 101 - 50, (d * 3) % 101 - 50
+                    s = np.stack([np.full(n, c0), np.full(n, c1)], axis=1)
+                    blob = encode_wav(s, sample_rate=44100, bits=8)
+                ids.append(d)
+                blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(plant, "media_id long, content binary")
+    return wav_sample_stats(media)
+
+
+ORACLE_MULTIMODAL_WAV_SAMPLES = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(n_chars % 50 + 10 AS BIGINT) AS n,
+         CAST(doc_id % 4 AS INTEGER) AS cs,
+         CAST(doc_id % 201 - 100 AS INTEGER) AS c,
+         CAST(doc_id % 80 + 1 AS INTEGER) AS a,
+         CAST((n_chars % 50 + 10) // 2 AS BIGINT) AS h,
+         CAST(doc_id % 101 - 50 AS INTEGER) AS c0,
+         CAST((doc_id * 3) % 101 - 50 AS INTEGER) AS c1
+  FROM documents
+)
+SELECT doc_id AS media_id,
+  CAST(CASE cs WHEN 0 THEN 8000 WHEN 1 THEN 16000
+       WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS sample_rate,
+  CAST(CASE WHEN cs = 3 THEN 2 ELSE 1 END AS INTEGER) AS channels,
+  n AS n_frames,
+  CAST(CASE cs
+    WHEN 0 THEN n * abs(c)
+    WHEN 1 THEN n * a
+    WHEN 2 THEN list_sum(
+      list_transform(range(0, CAST(n AS INTEGER)),
+                     i -> abs(2 * (i - h) + 1)))
+    ELSE n * (abs(c0) + abs(c1))
+  END AS BIGINT) AS sum_abs,
+  CAST(CASE cs
+    WHEN 0 THEN c
+    WHEN 1 THEN -a
+    WHEN 2 THEN 1 - 2 * h
+    ELSE least(c0, c1)
+  END AS INTEGER) AS min_sample,
+  CAST(CASE cs
+    WHEN 0 THEN c
+    WHEN 1 THEN a
+    WHEN 2 THEN 2 * (n - 1 - h) + 1
+    ELSE greatest(c0, c1)
+  END AS INTEGER) AS max_sample,
+  CAST(CASE cs
+    WHEN 0 THEN 0
+    WHEN 1 THEN n - 1
+    WHEN 2 THEN 1
+    ELSE 0
+  END AS BIGINT) AS zero_crossings
+FROM d
+"""
+
+QUERIES["multimodal_wav_samples"] = QuerySpec(
+    q_multimodal_wav_samples, ORACLE_MULTIMODAL_WAV_SAMPLES
+)
