@@ -10,13 +10,19 @@ tiers:
    scan speed), JPEG/MP4 as Arrow-vectorized marker/box walks. This
    is the screen-and-meter stage a 100 TB media corpus runs BEFORE
    paying any decode.
-2. **Pixel/sample decode — STUBBED**: the actual codecs
-   (PIL/librosa/ffmpeg) are not in this container, so the decode
-   kernels use a deterministic fake extractor and the real hook
-   raises NotImplementedError. The Spark-side machinery — schema,
-   batch shape, partition sizing, Arrow transfer through
-   mapInPandas — is real and tested; swapping in a real decoder
-   changes only the inner function body.
+2. **Pixel/sample decode — REAL for PNG, baseline JPEG, and PCM
+   WAV** (stdlib + numpy, no codec library): PNG via zlib inflate +
+   scanline unfiltering (decode_png_pixels), JPEG via a full T.81
+   baseline decoder (functions/jpeg_codec.py — Huffman entropy
+   decode, dequant, IDCT, 4:2:0 upsampling), WAV via a RIFF chunk
+   walk + 8/16/24/32-bit PCM extraction (decode_wav_samples). Each
+   has an oracled registry query with planted content replayed
+   arithmetically in DuckDB. Only compressed audio/video codecs
+   (MP3/AAC/H.264 — require PIL/librosa/ffmpeg, absent in this
+   container) remain behind the decode_media hook, which raises
+   NotImplementedError; the embedding-feature kernel uses a
+   deterministic fake so the Arrow/mapInPandas plumbing stays
+   end-to-end tested.
 """
 
 from __future__ import annotations
@@ -787,6 +793,64 @@ def wav_sample_stats(
                 rows["min_sample"].append(int(px.min()))
                 rows["max_sample"].append(int(px.max()))
                 rows["zero_crossings"].append(zc)
+            yield pd.DataFrame(rows)
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(content_col)
+    ).mapInPandas(batches, schema=out_schema)
+
+
+def jpeg_pixel_stats(
+    df: DataFrame, *, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """Decode baseline JPEG pixels (functions/jpeg_codec.py — real
+    T.81 Huffman+IDCT decoder, stdlib+numpy only) and emit the same
+    integer-exact luminance statistics as png_pixel_stats. Arrow
+    mapInPandas; undecodable/progressive rows emit nulls."""
+    from data_pipeline_mlops_spark.functions.jpeg_codec import (
+        decode_jpeg_pixels,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("n_pixels", T.LongType(), True),
+            T.StructField("sum_luma", T.LongType(), True),
+            T.StructField("min_luma", T.IntegerType(), True),
+            T.StructField("max_luma", T.IntegerType(), True),
+        ]
+    )
+    cols = (
+        "media_id", "width", "height", "n_pixels",
+        "sum_luma", "min_luma", "max_luma",
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in cols}
+            for mid, buf in zip(pdf[id_col], pdf[content_col]):
+                rows["media_id"].append(mid)
+                px = decode_jpeg_pixels(buf)
+                if px is None:
+                    for k in cols[1:]:
+                        rows[k].append(None)
+                    continue
+                h, w, ch = px.shape
+                if ch >= 3:
+                    luma = (
+                        px[:, :, 0].astype(_np.int64)
+                        + px[:, :, 1] + px[:, :, 2]
+                    ) // 3
+                else:
+                    luma = px[:, :, 0].astype(_np.int64)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(int(w) * int(h))
+                rows["sum_luma"].append(int(luma.sum()))
+                rows["min_luma"].append(int(luma.min()))
+                rows["max_luma"].append(int(luma.max()))
             yield pd.DataFrame(rows)
 
     return df.select(

@@ -2021,10 +2021,10 @@ _DRIVER_WINDOW: list[str] = [
     # reference-parity core (§2 medallion + CF)
     "silver_clean", "daily_summary", "overall_metrics",
     "category_performance", "top_products", "regional_stats",
-    "hourly_events", "status_matrix", "data_quality",
+    "data_quality",
     "interactions_distinct", "dedup_keep_latest",
     "top_customers_per_region", "active_customers",
-    "inactive_customers", "eval_accumulate", "repeat_customers",
+    "inactive_customers", "eval_accumulate",
     "event_alerts", "train_eval_split", "item_similarity",
     "similar_items", "recommendations", "recommendations_capped",
     "recommendations_served", "cf_coverage",
@@ -2041,6 +2041,14 @@ _DRIVER_WINDOW: list[str] = [
     "multimodal_image_dims", "multimodal_audio_meta",
     "multimodal_video_meta", "doc_length_drift_psi", "customer_rfm",
     "association_rules", "embedding_near_dups_lsh",
+    # rotated in for round 7: the REAL decode tier (PNG pixels via
+    # zlib+unfilter, baseline-JPEG Huffman+IDCT, PCM WAV chunk walk)
+    # — newest operator surface, so it meets the driver's DuckDB
+    # environment first. hourly_events/status_matrix/repeat_customers
+    # rotate out (driver-green r1-r5, still covered by the builder's
+    # full parity sweep).
+    "multimodal_png_pixels", "multimodal_jpeg_pixels",
+    "multimodal_wav_samples",
 ]
 
 
@@ -9398,4 +9406,78 @@ FROM d
 
 QUERIES["multimodal_wav_samples"] = QuerySpec(
     q_multimodal_wav_samples, ORACLE_MULTIMODAL_WAV_SAMPLES
+)
+
+
+def q_multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG pixel decode (functions/jpeg_codec.py — the
+    full T.81 chain: marker walk, DQT/DHT/SOF0/SOS parse, canonical
+    Huffman entropy decode with byte-stuffing + restart markers,
+    dequant, de-zigzag, 8x8 IDCT): planted gray images of 2-6
+    constant 8x8 blocks with EVEN block values, which survive the
+    quality-50 DC quantization EXACTLY (qdc = (v-128)/2 integer, so
+    the decoded block reproduces v bit-for-bit — see the determinism
+    contract in jpeg_codec.py). Every third doc adds restart markers.
+    Value equality against the arithmetic oracle proves the entire
+    entropy-coded pipeline restores exact pixel content. With PNG and
+    PCM WAV this completes REAL decode for images+audio; only
+    compressed audio/video codecs remain stubbed."""
+    from data_pipeline_mlops_spark.functions.jpeg_codec import (
+        encode_jpeg_baseline,
+    )
+    from data_pipeline_mlops_spark.functions.multimodal import (
+        jpeg_pixel_stats,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+
+    def plant(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, blobs = [], []
+            for d, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, nc = int(d), int(nc)
+                h, w = 8 * (d % 2 + 1), 8 * (nc % 3 + 1)
+                bw = w // 8
+                img = np.zeros((h, w), np.uint8)
+                for b in range((h // 8) * bw):
+                    v = ((d * 7 + b * 13) % 128) * 2
+                    my, mx = b // bw, b % bw
+                    img[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = v
+                blob = encode_jpeg_baseline(
+                    img, quality=50,
+                    restart_interval=1 if d % 3 == 0 else 0,
+                )
+                ids.append(d)
+                blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(plant, "media_id long, content binary")
+    return jpeg_pixel_stats(media)
+
+
+ORACLE_MULTIMODAL_JPEG_PIXELS = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(8 * (doc_id % 2 + 1) AS INTEGER) AS h,
+         CAST(8 * (n_chars % 3 + 1) AS INTEGER) AS w
+  FROM documents
+), b AS (
+  SELECT doc_id, h, w,
+         list_transform(range(0, (h // 8) * (w // 8)),
+                        i -> ((doc_id * 7 + i * 13) % 128) * 2) AS vs
+  FROM d
+)
+SELECT doc_id AS media_id, w AS width, h AS height,
+  CAST(h * w AS BIGINT) AS n_pixels,
+  CAST(64 * list_sum(vs) AS BIGINT) AS sum_luma,
+  CAST(list_min(vs) AS INTEGER) AS min_luma,
+  CAST(list_max(vs) AS INTEGER) AS max_luma
+FROM b
+"""
+
+QUERIES["multimodal_jpeg_pixels"] = QuerySpec(
+    q_multimodal_jpeg_pixels, ORACLE_MULTIMODAL_JPEG_PIXELS
 )
