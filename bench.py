@@ -238,6 +238,24 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     r1_total = round(sum(timings[k] for k in R1_KEYS if k in timings), 3)
+    # Verbose diagnostics go to STDERR: the driver keeps only the tail
+    # of stdout, and through round 7 the huge samples/median/spread
+    # payload pushed the JSON line's head (metric/value/queries) past
+    # the tail window, so BENCH_r{N}.json recorded "parsed": null every
+    # round. The final stdout line must stay compact enough (<~2 KB) to
+    # survive the window whole.
+    print(
+        json.dumps(
+            {
+                "median": medians,
+                "spread": spreads,
+                "spread_trimmed": spreads_trim,
+                "samples": raw,
+                **({"delta_vs_baseline": deltas} if deltas else {}),
+            }
+        ),
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
@@ -245,14 +263,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "median": medians,
-                "spread": spreads,
-                "spread_trimmed": spreads_trim,
-                "samples": raw,
                 "runs": runs,
                 "interleaved": True,
                 "r1_comparable_total": r1_total,
-                **({"delta_vs_baseline": deltas} if deltas else {}),
                 "sf": sf,
             }
         )

@@ -256,6 +256,12 @@ def decode_jpeg_pixels(data: bytes):
         while pos + 4 <= len(b):
             if b[pos] != 0xFF:
                 return None
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may precede
+            # the marker byte; advance past the run before reading it.
+            while pos + 2 <= len(b) and b[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 4 > len(b):
+                return None
             marker = b[pos + 1]
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
                 pos += 2
@@ -304,6 +310,13 @@ def decode_jpeg_pixels(data: bytes):
                 if frame is None:
                     return None
                 ns = seg[0]
+                if ns < len(frame["comps"]):
+                    # Multi-scan (non-interleaved) baseline: the first
+                    # SOS covers only a subset of frame components.
+                    # Decoding just that scan would report e.g. a
+                    # Y-only image for a color file — keep the
+                    # None-on-unsupported posture instead.
+                    return None
                 scan = []
                 for si in range(ns):
                     cs, tdta = seg[1 + 2 * si], seg[2 + 2 * si]

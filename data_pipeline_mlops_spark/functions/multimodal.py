@@ -709,12 +709,24 @@ def decode_wav_samples(data: bytes):
                 return None
             if tag == b"fmt " and size >= 16:
                 fmt = _struct.unpack("<HHIIHH", payload[:16])
+                fmt_payload = payload
             elif tag == b"data":
                 body = payload
             pos += 8 + size + (size % 2)  # chunks are word-aligned
         if fmt is None or body is None:
             return None
         audio_format, ch, rate, _byte_rate, _block, bits = fmt
+        if audio_format == 0xFFFE:
+            # WAVE_FORMAT_EXTENSIBLE: PCM only if the 16-byte SubFormat
+            # GUID (KSDATAFORMAT_SUBTYPE_PCM) says so — common for
+            # 24-bit and multichannel corpora.
+            pcm_guid = (
+                b"\x01\x00\x00\x00\x00\x00\x10\x00"
+                b"\x80\x00\x00\xaa\x00\x38\x9b\x71"
+            )
+            if len(fmt_payload) < 40 or fmt_payload[24:40] != pcm_guid:
+                return None
+            audio_format = 1
         if audio_format != 1 or ch == 0:
             return None
         if bits == 8:

@@ -2018,37 +2018,39 @@ QUERIES: dict[str, QuerySpec] = {
 # driver has never hashed: lakehouse MERGE/CDC/incremental, retrieval,
 # sampling, sketches, graph, multimodal metadata, analytics.
 _DRIVER_WINDOW: list[str] = [
-    # reference-parity core (§2 medallion + CF)
+    # reference-parity core (§2 medallion + CF) — kept every round
     "silver_clean", "daily_summary", "overall_metrics",
     "category_performance", "top_products", "regional_stats",
-    "data_quality",
-    "interactions_distinct", "dedup_keep_latest",
-    "top_customers_per_region", "active_customers",
-    "inactive_customers", "eval_accumulate",
-    "event_alerts", "train_eval_split", "item_similarity",
-    "similar_items", "recommendations", "recommendations_capped",
-    "recommendations_served", "cf_coverage",
-    # LLM-pipeline anchors
-    "doc_exact_dedup", "doc_quality", "doc_lang_id",
-    "minhash_lsh_candidates", "ann_cosine_topk",
-    "incremental_dedup_decisions",
-    # rotated in for round 6 (never driver-hashed before)
-    "orders_merge_upsert", "orders_cdc_diff",
-    "orders_incremental_summary", "doc_bm25_search",
-    "doc_winnowing_fps", "doc_weighted_sample", "corpus_mixture_plan",
-    "user_count_cms", "bloom_order_pruning", "bpe_merges",
-    "item_pagerank", "item_communities", "item_triangles",
-    "multimodal_image_dims", "multimodal_audio_meta",
-    "multimodal_video_meta", "doc_length_drift_psi", "customer_rfm",
-    "association_rules", "embedding_near_dups_lsh",
-    # rotated in for round 7: the REAL decode tier (PNG pixels via
-    # zlib+unfilter, baseline-JPEG Huffman+IDCT, PCM WAV chunk walk)
-    # — newest operator surface, so it meets the driver's DuckDB
-    # environment first. hourly_events/status_matrix/repeat_customers
-    # rotate out (driver-green r1-r5, still covered by the builder's
-    # full parity sweep).
-    "multimodal_png_pixels", "multimodal_jpeg_pixels",
-    "multimodal_wav_samples",
+    "data_quality", "dedup_keep_latest", "top_customers_per_region",
+    "item_similarity", "recommendations", "recommendations_served",
+    # rotated in for round 8: 38 queries the driver has NEVER hashed
+    # (79 remained after r1-r7 windows; this window + the builder's
+    # full parity sweep keeps everything covered). r6/r7 entrants
+    # rotate out driver-green.
+    # LLM corpus pipeline tiers
+    "corpus_pipeline", "dedup_tier_agreement",
+    "doc_dup_components_capped", "doc_dup_components_minhash",
+    "dup_cluster_keep_best", "doc_skeleton_dedup",
+    "doc_passage_removal", "eval_decontamination",
+    "doc_pack_sequences", "doc_pack_ffd", "doc_tfidf",
+    "doc_dsir_selection", "doc_stratified_sample",
+    "doc_training_shards", "doc_quality_filter", "doc_repetition",
+    "doc_char_lm_score", "doc_domain_stats", "doc_chunks",
+    # embedding / ANN tiers
+    "pq_trained_topk", "ivf_pq_topk", "embedding_kmeans_clusters",
+    "embedding_quantize", "minhash_jaccard_estimate",
+    # sketches
+    "distinct_users_kmv", "user_overlap_kmv",
+    # event analytics
+    "event_session_windows", "event_funnel", "event_rollup_cascade",
+    "event_value_percentiles", "event_type_stats_salted",
+    # warehouse analytics
+    "grouping_sets_revenue", "customer_scd2",
+    "customer_rolling_features", "cohort_retention",
+    "salted_priority_join",
+    # round-8 NEW operators (crawl extraction + corpus labeling) meet
+    # the driver environment first, per the rotation discipline
+    "doc_html_extract", "doc_label_classifier",
 ]
 
 
@@ -9480,4 +9482,164 @@ FROM b
 
 QUERIES["multimodal_jpeg_pixels"] = QuerySpec(
     q_multimodal_jpeg_pixels, ORACLE_MULTIMODAL_JPEG_PIXELS
+)
+
+
+# --------------------------------------------------------------------------
+# HTML -> text extraction (functions/html.py) and corpus labeling
+# (ml/textclf.py) — the two stages UPSTREAM of every quality/dedup tier
+# in a real crawl pipeline. Beyond-parity: the reference's documents
+# arrive pre-extracted (dags/daily_pipeline.py reads clean text).
+
+
+def q_doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-page extraction end to end. The synthetic docs are plain
+    text, so a full HTML page is PLANTED deterministically around each
+    document (head with title/style/script, nav with anchors, comment,
+    the text in <p>, a conditional <ul>, an anchor-only footer) — the
+    same deterministic-construction move as the planted PNG/JPEG/WAV
+    tiers. Both engines build the identical page, so the oracle checks
+    construction + script/style/comment removal + block-newline
+    normalization + entity decode + whitespace canonicalization +
+    anchor accounting end to end, byte-exact on the extracted text.
+    Entirely map-side regexp chains (whole-stage codegen, no UDF, no
+    shuffle)."""
+    from data_pipeline_mlops_spark.functions.html import html_extract
+
+    docs = _docs(spark, sf_dir)
+    page = F.concat(
+        F.lit('<html><head><title>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><style>p {color: red}</style>'
+              '<script type="text/javascript">var x = "<p>";</script>'
+              '</head><body><div class="nav"><a href="/">Home</a> '
+              '<a href="/about">About &amp; more</a></div><h1>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('</h1><!-- crawler: drop this --><p>'),
+        F.col("text"),
+        F.lit("</p>"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit("<ul><li>alpha</li><li>beta &lt;3</li></ul>"),
+        ).otherwise(F.lit("")),
+        F.lit('<footer><a href="/tos">Terms&nbsp;of use</a></footer>'
+              "</body></html>"),
+    )
+    pages = docs.select("doc_id", page.alias("html"))
+    return html_extract(pages, id_col="doc_id", html_col="html")
+
+
+def _oracle_doc_html_extract() -> str:
+    from data_pipeline_mlops_spark.functions.html import strip_html_sql
+
+    page = (
+        "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || "
+        "'</title><style>p {color: red}</style>"
+        '<script type="text/javascript">var x = "<p>";</script>'
+        "</head><body><div class=\"nav\"><a href=\"/\">Home</a> "
+        "<a href=\"/about\">About &amp; more</a></div><h1>Doc ' || "
+        "CAST(doc_id AS VARCHAR) || "
+        "'</h1><!-- crawler: drop this --><p>' || text || '</p>' || "
+        "CASE WHEN doc_id % 4 = 0 "
+        "THEN '<ul><li>alpha</li><li>beta &lt;3</li></ul>' ELSE '' END || "
+        "'<footer><a href=\"/tos\">Terms&nbsp;of use</a></footer>"
+        "</body></html>'"
+    )
+    anchors = (
+        "regexp_extract_all(html, '(?is)<a\\b[^>]*>(.*?)</a\\s*>', 1)"
+    )
+    # per-anchor strip THEN join — same order of operations as the
+    # Spark side (transform + array_join), not strip-of-join
+    anchor_clean = (
+        f"array_to_string(list_transform({anchors}, "
+        f"a -> {strip_html_sql('a')}), ' ')"
+    )
+    clean = strip_html_sql("html")
+    return f"""
+WITH pages AS (
+  SELECT doc_id, {page} AS html FROM documents
+), x AS (
+  SELECT doc_id,
+         {clean} AS text,
+         CAST(len({anchors}) AS INTEGER) AS n_links,
+         CAST(length({clean}) AS INTEGER) AS n_chars,
+         CAST(length({anchor_clean}) AS INTEGER) AS n_anchor
+  FROM pages
+)
+SELECT doc_id, text, n_links, n_chars,
+       CASE WHEN n_chars > 0
+            THEN CAST(n_anchor AS DOUBLE) / CAST(n_chars AS DOUBLE)
+            ELSE 0.0 END AS link_text_share
+FROM x
+"""
+
+
+QUERIES["doc_html_extract"] = QuerySpec(
+    q_doc_html_extract, _oracle_doc_html_extract()
+)
+
+
+def q_doc_label_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus labeling (ml/textclf.py): train the label-conditional
+    token-frequency classifier on the 80% train slice (doc_id % 5 != 0,
+    label = source), classify the held-out 20%. Counts stay exact
+    BIGINTs; the single double per (doc, label) is one int/int
+    division (IEEE-exact in both engines) — the log-free member of the
+    NB family, chosen so the oracle can hash-match scores bit-for-bit.
+    Train = one token-key groupBy; score = one token-key join + per-doc
+    argmax window over |labels| rows."""
+    from data_pipeline_mlops_spark.ml import textclf
+
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % 5 != 0).select(
+        F.col("source").alias("label"), "text"
+    )
+    test = docs.where(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    model = textclf.train_token_frequency_model(
+        train, label_col="label", text_col="text"
+    )
+    return textclf.classify(test, model, id_col="doc_id", text_col="text")
+
+
+ORACLE_DOC_LABEL_CLASSIFIER = r"""
+WITH occ_train AS (
+  SELECT source AS label, t.token
+  FROM documents,
+       UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS t(token)
+  WHERE doc_id % 5 != 0 AND t.token != ''
+), tl AS (
+  SELECT token, label, CAST(COUNT(*) AS BIGINT) AS c
+  FROM occ_train GROUP BY token, label
+), tot AS (
+  SELECT label, CAST(SUM(c) AS BIGINT) AS label_tokens
+  FROM tl GROUP BY label
+), occ_test AS (
+  SELECT doc_id, t.token
+  FROM documents,
+       UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS t(token)
+  WHERE doc_id % 5 = 0 AND t.token != ''
+), scored AS (
+  SELECT o.doc_id, tl.label, tot.label_tokens,
+         CAST(COUNT(*) AS BIGINT) AS matched_tokens,
+         CAST(SUM(tl.c) AS BIGINT) AS score_num
+  FROM occ_test o
+  JOIN tl USING (token)
+  JOIN tot USING (label)
+  GROUP BY o.doc_id, tl.label, tot.label_tokens
+), ranked AS (
+  SELECT *,
+         CAST(score_num AS DOUBLE) / CAST(label_tokens AS DOUBLE) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id
+           ORDER BY CAST(score_num AS DOUBLE) / CAST(label_tokens AS DOUBLE)
+                    DESC, label
+         ) AS rk
+  FROM scored
+)
+SELECT doc_id, label AS pred_label, matched_tokens, score_num, score
+FROM ranked WHERE rk = 1
+"""
+
+QUERIES["doc_label_classifier"] = QuerySpec(
+    q_doc_label_classifier, ORACLE_DOC_LABEL_CLASSIFIER
 )

@@ -28,27 +28,30 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "BROADCAST_AUDIT.json"
 
 
-def _session(threshold: str):
+def _session():
     from pyspark.sql import SparkSession
 
     b = (
         SparkSession.builder.master(
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]"
         )
-        .appName(f"broadcast-audit-{threshold}")
+        .appName("broadcast-audit")
         .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.autoBroadcastJoinThreshold", threshold)
         .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
     )
     return b.getOrCreate()
 
 
-def _sweep(threshold: str) -> dict[str, dict]:
+def _sweep(spark, threshold: str) -> dict[str, dict]:
     from data_pipeline_mlops_spark.plans.diagnose import plan_summary
     from data_pipeline_mlops_spark.registry import spark_queries
 
-    spark = _session(threshold)
+    # autoBroadcastJoinThreshold is a runtime SQL conf — set it on the
+    # ONE shared session rather than rebuilding sessions (static confs
+    # like spark.driver.memory are inert on a second getOrCreate in the
+    # same JVM, and leftover confs could bleed between sessions).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     out: dict[str, dict] = {}
     for name, fn in spark_queries().items():
         try:
@@ -61,13 +64,14 @@ def _sweep(threshold: str) -> dict[str, dict]:
             }
         except Exception as exc:  # noqa: BLE001 — audit must finish
             out[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
-    spark.stop()
     return out
 
 
 def main() -> None:
-    base = _sweep("10485760")  # Spark default 10 MB
-    off = _sweep("-1")
+    spark = _session()
+    base = _sweep(spark, "10485760")  # Spark default 10 MB
+    off = _sweep(spark, "-1")
+    spark.stop()
     degraded, robust_hinted, unaffected = [], [], []
     for name, b in base.items():
         o = off.get(name, {})

@@ -160,3 +160,51 @@ def test_stats_kernel(spark):
     assert out[1]["sum_luma"] == 64 * (200 + 100)
     assert out[1]["min_luma"] == 100 and out[1]["max_luma"] == 200
     assert out[2]["n_pixels"] is None
+
+
+def test_fill_bytes_between_markers_decode():
+    # T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+    # bytes. Insert fill runs before every table/frame marker and
+    # assert the decode is byte-identical to the clean blob's.
+    img = np.random.RandomState(11).randint(0, 256, (16, 16)).astype(
+        np.uint8
+    )
+    blob = encode_jpeg_baseline(img, quality=90)
+    ref = decode_jpeg_pixels(blob)
+    padded = bytearray()
+    padded += blob[:2]  # SOI
+    pos = 2
+    scan_start = blob.find(b"\xff\xda")
+    while pos < scan_start:
+        assert blob[pos] == 0xFF
+        import struct as _s
+
+        (seglen,) = _s.unpack(">H", blob[pos + 2:pos + 4])
+        padded += b"\xff\xff\xff"  # two fill bytes + marker prefix
+        padded += blob[pos + 1:pos + 2 + seglen]
+        pos += 2 + seglen
+    padded += blob[pos:]  # SOS + entropy stream untouched
+    out = decode_jpeg_pixels(bytes(padded))
+    assert out is not None and (out == ref).all()
+
+
+def test_multi_scan_first_sos_subset_returns_none():
+    # A non-interleaved baseline JPEG whose first SOS covers only Y of
+    # a 3-component frame must return None (unsupported), not decode a
+    # 1-channel image as if the file were grayscale.
+    img = np.random.RandomState(3).randint(0, 256, (8, 8, 3)).astype(
+        np.uint8
+    )
+    blob = encode_jpeg_baseline(img, quality=90)
+    sos = blob.find(b"\xff\xda")
+    import struct as _s
+
+    (seglen,) = _s.unpack(">H", blob[sos + 2:sos + 4])
+    seg = blob[sos + 4:sos + 2 + seglen]
+    ns = seg[0]
+    assert ns == 3
+    # rebuild SOS with ns=1: first (cs, td/ta) pair + Ss/Se/AhAl tail
+    new_seg = bytes([1]) + seg[1:3] + seg[1 + 2 * ns:]
+    new_sos = b"\xff\xda" + _s.pack(">H", 2 + len(new_seg)) + new_seg
+    patched = blob[:sos] + new_sos + blob[sos + 2 + seglen:]
+    assert decode_jpeg_pixels(patched) is None
