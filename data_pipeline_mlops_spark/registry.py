@@ -17,7 +17,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_mlops_spark.functions import dedup_text, similarity, text
@@ -2046,11 +2046,11 @@ _DRIVER_WINDOW: list[str] = [
     "event_value_percentiles", "event_type_stats_salted",
     # warehouse analytics
     "grouping_sets_revenue", "customer_scd2",
-    "customer_rolling_features", "cohort_retention",
-    "salted_priority_join",
-    # round-8 NEW operators (crawl extraction + corpus labeling) meet
-    # the driver environment first, per the rotation discipline
-    "doc_html_extract", "doc_label_classifier",
+    "customer_rolling_features", "salted_priority_join",
+    # round-8 NEW operators (crawl extraction, corpus labeling, the
+    # composed crawl front half) meet the driver environment first,
+    # per the rotation discipline
+    "doc_html_extract", "doc_label_classifier", "crawl_pipeline",
 ]
 
 
@@ -9492,31 +9492,28 @@ QUERIES["multimodal_jpeg_pixels"] = QuerySpec(
 # arrive pre-extracted (dags/daily_pipeline.py reads clean text).
 
 
-def q_doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Web-page extraction end to end. The synthetic docs are plain
-    text, so a full HTML page is PLANTED deterministically around each
-    document (head with title/style/script, nav with anchors, comment,
-    the text in <p>, a conditional <ul>, an anchor-only footer) — the
-    same deterministic-construction move as the planted PNG/JPEG/WAV
-    tiers. Both engines build the identical page, so the oracle checks
-    construction + script/style/comment removal + block-newline
-    normalization + entity decode + whitespace canonicalization +
-    anchor accounting end to end, byte-exact on the extracted text.
-    Entirely map-side regexp chains (whole-stage codegen, no UDF, no
-    shuffle)."""
-    from data_pipeline_mlops_spark.functions.html import html_extract
-
-    docs = _docs(spark, sf_dir)
-    page = F.concat(
+def _planted_page_expr(
+    text_expr: Column, label_expr: Column | None = None
+) -> Column:
+    """Deterministic full-page HTML around a text column: head with
+    title/style/script, nav with anchors, comment, the text in <p>, a
+    conditional <ul>, an anchor-only footer. ``label_expr`` fills the
+    title/h1 (defaults to the doc_id; crawl_pipeline passes a constant
+    so planted duplicate BODIES yield byte-identical pages)."""
+    label = (
+        label_expr if label_expr is not None
+        else F.col("doc_id").cast("string")
+    )
+    return F.concat(
         F.lit('<html><head><title>Doc '),
-        F.col("doc_id").cast("string"),
+        label,
         F.lit('</title><style>p {color: red}</style>'
               '<script type="text/javascript">var x = "<p>";</script>'
               '</head><body><div class="nav"><a href="/">Home</a> '
               '<a href="/about">About &amp; more</a></div><h1>Doc '),
-        F.col("doc_id").cast("string"),
+        label,
         F.lit('</h1><!-- crawler: drop this --><p>'),
-        F.col("text"),
+        text_expr,
         F.lit("</p>"),
         F.when(
             F.col("doc_id") % 4 == 0,
@@ -9525,26 +9522,50 @@ def q_doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('<footer><a href="/tos">Terms&nbsp;of use</a></footer>'
               "</body></html>"),
     )
-    pages = docs.select("doc_id", page.alias("html"))
+
+
+def _planted_page_sql(
+    text_expr: str, label_expr: str = "CAST(doc_id AS VARCHAR)"
+) -> str:
+    """The DuckDB twin of :func:`_planted_page_expr`."""
+    return (
+        f"'<html><head><title>Doc ' || {label_expr} || "
+        "'</title><style>p {color: red}</style>"
+        '<script type="text/javascript">var x = "<p>";</script>'
+        "</head><body><div class=\"nav\"><a href=\"/\">Home</a> "
+        "<a href=\"/about\">About &amp; more</a></div><h1>Doc ' || "
+        f"{label_expr} || "
+        f"'</h1><!-- crawler: drop this --><p>' || {text_expr} || '</p>' || "
+        "CASE WHEN doc_id % 4 = 0 "
+        "THEN '<ul><li>alpha</li><li>beta &lt;3</li></ul>' ELSE '' END || "
+        "'<footer><a href=\"/tos\">Terms&nbsp;of use</a></footer>"
+        "</body></html>'"
+    )
+
+
+def q_doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-page extraction end to end. The synthetic docs are plain
+    text, so a full HTML page is PLANTED deterministically around each
+    document (_planted_page_expr) — the same deterministic-construction
+    move as the planted PNG/JPEG/WAV tiers. Both engines build the
+    identical page, so the oracle checks construction + script/style/
+    comment removal + block-newline normalization + entity decode +
+    whitespace canonicalization + anchor accounting end to end,
+    byte-exact on the extracted text. Entirely map-side regexp chains
+    (whole-stage codegen, no UDF, no shuffle)."""
+    from data_pipeline_mlops_spark.functions.html import html_extract
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        "doc_id", _planted_page_expr(F.col("text")).alias("html")
+    )
     return html_extract(pages, id_col="doc_id", html_col="html")
 
 
 def _oracle_doc_html_extract() -> str:
     from data_pipeline_mlops_spark.functions.html import strip_html_sql
 
-    page = (
-        "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || "
-        "'</title><style>p {color: red}</style>"
-        '<script type="text/javascript">var x = "<p>";</script>'
-        "</head><body><div class=\"nav\"><a href=\"/\">Home</a> "
-        "<a href=\"/about\">About &amp; more</a></div><h1>Doc ' || "
-        "CAST(doc_id AS VARCHAR) || "
-        "'</h1><!-- crawler: drop this --><p>' || text || '</p>' || "
-        "CASE WHEN doc_id % 4 = 0 "
-        "THEN '<ul><li>alpha</li><li>beta &lt;3</li></ul>' ELSE '' END || "
-        "'<footer><a href=\"/tos\">Terms&nbsp;of use</a></footer>"
-        "</body></html>'"
-    )
+    page = _planted_page_sql("text")
     anchors = (
         "regexp_extract_all(html, '(?is)<a\\b[^>]*>(.*?)</a\\s*>', 1)"
     )
@@ -9642,4 +9663,119 @@ FROM ranked WHERE rk = 1
 
 QUERIES["doc_label_classifier"] = QuerySpec(
     q_doc_label_classifier, ORACLE_DOC_LABEL_CLASSIFIER
+)
+
+
+_CRAWL_DUP_TEXT = (
+    "duplicate filler page content shared across many crawl mirrors"
+)
+
+
+def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed crawl front half (plans/crawl.py): planted HTML
+    pages -> extraction -> lang-id -> quality + link-density gate ->
+    exact dedup, ONE lazy plan. Every doc_id % 9 == 7 page carries an
+    identical body (_CRAWL_DUP_TEXT) and the page label is constant,
+    so those pages are byte-identical up to the doc_id % 4 == 0 <ul>
+    furniture and the dedup stage has real work: the 9-residue class
+    collapses to exactly TWO survivors (the lowest doc_id with and
+    without the <ul> variant — 7 and 16 on the test corpus). The oracle
+    replays construction + all four stages in a single DuckDB query.
+    Plan shape: map-side regexp/arithmetic until the ONE hash-key
+    dedup shuffle."""
+    from data_pipeline_mlops_spark.plans.crawl import crawl_to_corpus
+
+    docs = _docs(spark, sf_dir)
+    body = F.when(
+        F.col("doc_id") % 9 == 7, F.lit(_CRAWL_DUP_TEXT)
+    ).otherwise(F.col("text"))
+    pages = docs.select(
+        "doc_id",
+        _planted_page_expr(body, F.lit("(crawl)")).alias("html"),
+    )
+    return crawl_to_corpus(pages, id_col="doc_id", html_col="html")
+
+
+def _oracle_crawl_pipeline() -> str:
+    from data_pipeline_mlops_spark.functions.html import strip_html_sql
+
+    page = _planted_page_sql(
+        f"CASE WHEN doc_id % 9 = 7 THEN '{_CRAWL_DUP_TEXT}' "
+        "ELSE text END",
+        "'(crawl)'",
+    )
+    anchors = (
+        "regexp_extract_all(html, '(?is)<a\\b[^>]*>(.*?)</a\\s*>', 1)"
+    )
+    anchor_clean = (
+        f"array_to_string(list_transform({anchors}, "
+        f"a -> {strip_html_sql('a')}), ' ')"
+    )
+    clean = strip_html_sql("html")
+    marker = {
+        lang: "len(list_filter(toks, x -> x IN ({})))".format(
+            ", ".join(f"'{w}'" for w in text.LANG_MARKERS[lang])
+        )
+        for lang in text.LANG_MARKERS
+    }
+    greatest = "GREATEST(hits_en, hits_de, hits_es, hits_fr, hits_zh)"
+    return f"""
+WITH pages AS (
+  SELECT doc_id, {page} AS html FROM documents
+), x AS (
+  SELECT doc_id,
+         {clean} AS text,
+         CAST(length({clean}) AS INTEGER) AS n_chars,
+         CAST(length({anchor_clean}) AS INTEGER) AS n_anchor
+  FROM pages
+), t AS (
+  SELECT *,
+         CASE WHEN n_chars > 0
+              THEN CAST(n_anchor AS DOUBLE) / CAST(n_chars AS DOUBLE)
+              ELSE 0.0 END AS link_text_share,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM x
+), h AS (
+  SELECT *,
+         {marker['en']} AS hits_en,
+         {marker['de']} AS hits_de,
+         {marker['es']} AS hits_es,
+         {marker['fr']} AS hits_fr,
+         {marker['zh']} AS hits_zh,
+         len(toks) AS n,
+         len(list_distinct(toks)) AS d,
+         len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS s
+  FROM t
+), scored AS (
+  SELECT doc_id, text, n_chars, link_text_share,
+         CASE
+           WHEN {greatest} = 0 THEN 'unknown'
+           WHEN hits_en = {greatest} THEN 'en'
+           WHEN hits_de = {greatest} THEN 'de'
+           WHEN hits_es = {greatest} THEN 'es'
+           WHEN hits_fr = {greatest} THEN 'fr'
+           ELSE 'zh'
+         END AS predicted_lang,
+         ROUND((d / n) * CAST(0.6 AS DOUBLE)
+               + (s / n) * CAST(0.2 AS DOUBLE)
+               + LEAST(n / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                 * CAST(0.2 AS DOUBLE), 6) AS quality_score
+  FROM h
+), gated AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(text) ORDER BY doc_id
+         ) AS rk
+  FROM scored
+  WHERE quality_score >= 0.3 AND link_text_share < 0.5
+        AND length(text) > 0
+)
+SELECT doc_id, text, predicted_lang, quality_score, n_chars,
+       link_text_share
+FROM gated WHERE rk = 1
+"""
+
+
+QUERIES["crawl_pipeline"] = QuerySpec(
+    q_crawl_pipeline, _oracle_crawl_pipeline()
 )

@@ -20,17 +20,27 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
 
 def main() -> None:
-    from data_pipeline_mlops_spark.registry import QUERIES, _ordered_names
-    from data_pipeline_mlops_spark.session import get_spark
+    # the driver supplies ITS OWN plain SparkSession (no UTC tz, no
+    # AQE/legacy confs) and calls __spark_entry__ — simulate exactly
+    # that, not data_pipeline_mlops_spark.session.get_spark
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry_mod
     from tests.oracle_compare import compare, duckdb_conn
 
-    spark = get_spark(app_name="driver-window-check")
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-window-check")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+    osql = entry_mod.oracle_sql()
     con = duckdb_conn(SF_DIR)
     bad = []
-    for name in _ordered_names()[:50]:
-        spec = QUERIES[name]
+    for name in list(qs)[:50]:
         try:
-            r = compare(spec.spark(spark, SF_DIR), con, spec.oracle)
+            r = compare(qs[name](spark, SF_DIR), con, osql[name])
             ok = r["cols_match"] and r["rows_match"] and r["values_match"]
         except Exception as exc:  # noqa: BLE001 — report, keep going
             ok, r = False, {"error": f"{type(exc).__name__}: {exc}"[:300]}

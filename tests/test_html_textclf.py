@@ -174,7 +174,7 @@ def test_textclf_recovers_planted_vocabulary(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["doc_html_extract", "doc_label_classifier"]
+    "name", ["doc_html_extract", "doc_label_classifier", "crawl_pipeline"]
 )
 def test_new_queries_oracle_parity(spark, name):
     from data_pipeline_mlops_spark.registry import QUERIES
@@ -188,3 +188,32 @@ def test_new_queries_oracle_parity(spark, name):
     assert result["cols_match"], result
     assert result["rows_match"], result
     assert result["values_match"], result
+
+
+def test_crawl_pipeline_dedup_and_gate(spark):
+    from data_pipeline_mlops_spark.registry import QUERIES
+    from tests.conftest import SF_SMALL
+
+    df = QUERIES["crawl_pipeline"].spark(spark, SF_SMALL)
+    rows = df.collect()
+    ids = {r["doc_id"] for r in rows}
+    # planted duplicate bodies (doc_id % 9 == 7) collapse to exactly
+    # one survivor per furniture variant: 7 (no <ul>) and 16 (<ul>)
+    assert {i for i in ids if i % 9 == 7} == {7, 16}
+    # survivors carry extraction artifacts: no tags, label line intact
+    for r in rows[:20]:
+        assert "<" not in r["text"].replace("beta <3", "")
+        assert r["text"].startswith("Doc (crawl)\n")
+    # every surviving text is unique (exact dedup held)
+    texts = [r["text"] for r in rows]
+    assert len(texts) == len(set(texts))
+
+
+def test_crawl_pipeline_single_shuffle(spark):
+    from data_pipeline_mlops_spark.registry import QUERIES
+    from tests.conftest import SF_SMALL
+
+    df = QUERIES["crawl_pipeline"].spark(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one hash-key exchange for the dedup window, nothing else wide
+    assert plan.count("Exchange hashpartitioning") == 1
