@@ -868,3 +868,184 @@ def jpeg_pixel_stats(
     return df.select(
         F.col(id_col).cast("long").alias(id_col), F.col(content_col)
     ).mapInPandas(batches, schema=out_schema)
+
+
+# -- real GIF + BMP pixel decode (stdlib struct + numpy, no codec) ----------
+#
+# GIF's LZW lives in functions/gif_codec.py (the substantial part —
+# variable-width codes, clears, interlace). BMP below is the trivial
+# uncompressed DIB: BITMAPINFOHEADER, BI_RGB, 8-bit palette or 24-bit
+# BGR, 4-byte row padding, bottom-up or top-down.
+
+
+def encode_bmp(pixels, *, palette=None, top_down: bool = False) -> bytes:
+    """Planted-fixture encoder: (h, w) uint8 indices with a palette,
+    or (h, w, 3) uint8 RGB. BI_RGB only."""
+    px = _np.asarray(pixels, dtype=_np.uint8)
+    h, w = px.shape[:2]
+    pal_bytes = b""
+    if palette is not None:
+        pal = _np.asarray(palette, dtype=_np.uint8).reshape(-1, 3)
+        bpp, n_colors = 8, 256
+        stride = (w + 3) & ~3
+        rows = _np.zeros((h, stride), dtype=_np.uint8)
+        rows[:, :w] = px
+        buf = bytearray()  # palette entries are stored BGRX
+        for r, g, b in pal:
+            buf += bytes((b, g, r, 0))
+        buf += b"\x00" * (4 * (256 - len(pal)))
+        pal_bytes = bytes(buf)
+    else:
+        bpp, n_colors = 24, 0
+        stride = (3 * w + 3) & ~3
+        rows = _np.zeros((h, stride), dtype=_np.uint8)
+        rows[:, : 3 * w] = px[:, :, ::-1].reshape(h, 3 * w)  # RGB -> BGR
+    raster = (rows if top_down else rows[::-1]).tobytes()
+    data_off = 14 + 40 + len(pal_bytes)
+    height_field = -h if top_down else h
+    header = b"BM" + _struct.pack(
+        "<IHHI", data_off + len(raster), 0, 0, data_off
+    )
+    dib = _struct.pack(
+        "<IiiHHIIiiII", 40, w, height_field, 1, bpp, 0,
+        len(raster), 2835, 2835, n_colors, 0,
+    )
+    return header + dib + pal_bytes + raster
+
+
+def decode_bmp_pixels(data: bytes):
+    """BI_RGB BITMAPINFOHEADER decode: 8-bit palette or 24-bit BGR,
+    bottom-up (positive height) or top-down. Returns (h, w, 3) uint8
+    RGB, or None for non-BMP / compressed / unsupported depth."""
+    b = bytes(data or b"")
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    try:
+        (data_off,) = _struct.unpack("<I", b[10:14])
+        size, w, height_field, planes, bpp, comp = _struct.unpack(
+            "<IiiHHI", b[14:32]
+        )
+        if size < 40 or planes != 1 or comp != 0 or w <= 0:
+            return None
+        h = abs(height_field)
+        if h == 0:
+            return None
+        if bpp == 8:
+            (n_colors,) = _struct.unpack("<I", b[46:50])
+            n_colors = n_colors or 256
+            pal_off = 14 + size
+            pal = _np.frombuffer(
+                b[pal_off:pal_off + 4 * n_colors], dtype=_np.uint8
+            )
+            if len(pal) < 4 * n_colors:
+                return None
+            pal = pal.reshape(-1, 4)[:, :3][:, ::-1]  # BGRX -> RGB
+            stride = (w + 3) & ~3
+            raster = _np.frombuffer(
+                b[data_off:data_off + h * stride], dtype=_np.uint8
+            )
+            if len(raster) < h * stride:
+                return None
+            idx = raster.reshape(h, stride)[:, :w]
+            if int(idx.max(initial=0)) >= len(pal):
+                return None
+            px = pal[idx]
+        elif bpp == 24:
+            stride = (3 * w + 3) & ~3
+            raster = _np.frombuffer(
+                b[data_off:data_off + h * stride], dtype=_np.uint8
+            )
+            if len(raster) < h * stride:
+                return None
+            rows = raster.reshape(h, stride)[:, : 3 * w]
+            px = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+        else:
+            return None
+        if height_field > 0:  # bottom-up storage
+            px = px[::-1]
+        return _np.ascontiguousarray(px)
+    except Exception:
+        return None
+
+
+_RASTER_STAT_COLS = (
+    "width", "height", "n_pixels", "sum_luma", "min_luma", "max_luma",
+)
+
+
+def _raster_stats(df, decode, *, id_col, content_col, frame_count):
+    """Shared mapInPandas kernel behind gif/bmp pixel stats: decode
+    each blob, emit integer-exact luminance stats ((r+g+b)//3), null
+    row on undecodable input. ``decode`` returns an (h, w, 3) array or
+    (array, n_frames) when frame_count is set."""
+    fields = [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_pixels", T.LongType(), True),
+        T.StructField("sum_luma", T.LongType(), True),
+        T.StructField("min_luma", T.IntegerType(), True),
+        T.StructField("max_luma", T.IntegerType(), True),
+    ]
+    if frame_count:
+        fields.append(T.StructField("n_frames", T.IntegerType(), True))
+    cols = ("media_id",) + _RASTER_STAT_COLS + (
+        ("n_frames",) if frame_count else ()
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in cols}
+            for mid, buf in zip(pdf[id_col], pdf[content_col]):
+                rows["media_id"].append(mid)
+                dec = decode(buf)
+                if dec is None:
+                    for k in cols[1:]:
+                        rows[k].append(None)
+                    continue
+                if frame_count:
+                    px, n_frames = dec
+                    rows["n_frames"].append(int(n_frames))
+                else:
+                    px = dec
+                h, w = px.shape[:2]
+                luma = (
+                    px[:, :, 0].astype(_np.int64)
+                    + px[:, :, 1] + px[:, :, 2]
+                ) // 3
+                rows["width"].append(int(w))
+                rows["height"].append(int(h))
+                rows["n_pixels"].append(int(w) * int(h))
+                rows["sum_luma"].append(int(luma.sum()))
+                rows["min_luma"].append(int(luma.min()))
+                rows["max_luma"].append(int(luma.max()))
+            yield pd.DataFrame(rows)
+
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"), F.col(content_col)
+    ).mapInPandas(batches, schema=T.StructType(fields))
+
+
+def gif_pixel_stats(
+    df: DataFrame, *, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """First-frame luminance stats + frame count per GIF (real LZW
+    decode via functions/gif_codec.py)."""
+    from data_pipeline_mlops_spark.functions.gif_codec import (
+        decode_gif_pixels,
+    )
+
+    return _raster_stats(
+        df, decode_gif_pixels,
+        id_col=id_col, content_col=content_col, frame_count=True,
+    )
+
+
+def bmp_pixel_stats(
+    df: DataFrame, *, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """Luminance stats per BMP (BI_RGB 8-bit palette / 24-bit)."""
+    return _raster_stats(
+        df, decode_bmp_pixels,
+        id_col=id_col, content_col=content_col, frame_count=False,
+    )

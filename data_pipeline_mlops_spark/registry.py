@@ -7606,7 +7606,12 @@ def q_user_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     union_k = (
         ka.unionByName(kb).distinct().orderBy(F.col("__h").asc()).limit(k)
     )
-    both = union_k.join(ka, "__h", "left_semi").join(kb, "__h", "left_semi")
+    # the sketches are <=k rows BY CONSTRUCTION at any corpus size —
+    # explicit hints so the semi-joins stay broadcast even when
+    # autoBroadcastJoinThreshold is off (BROADCAST_AUDIT r8)
+    both = union_k.join(F.broadcast(ka), "__h", "left_semi").join(
+        F.broadcast(kb), "__h", "left_semi"
+    )
     stats = union_k.agg(
         F.max("__h").alias("__hk"),
         F.count(F.lit(1)).cast("long").alias("n_union_k"),
