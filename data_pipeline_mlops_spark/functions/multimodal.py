@@ -923,7 +923,7 @@ def decode_bmp_pixels(data: bytes):
     try:
         (data_off,) = _struct.unpack("<I", b[10:14])
         size, w, height_field, planes, bpp, comp = _struct.unpack(
-            "<IiiHHI", b[14:32]
+            "<IiiHHI", b[14:34]
         )
         if size < 40 or planes != 1 or comp != 0 or w <= 0:
             return None

@@ -9784,3 +9784,165 @@ FROM gated WHERE rk = 1
 QUERIES["crawl_pipeline"] = QuerySpec(
     q_crawl_pipeline, _oracle_crawl_pipeline()
 )
+
+
+def q_multimodal_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode (functions/gif_codec.py — variable-width LZW
+    with clear-code handling, interlace de-passing, multi-frame walk):
+    per doc, a planted GIF whose first frame is a deterministic
+    64-color index pattern (pixel i = (doc_id*7 + i*13) % 64 over a
+    palette with luma (7j)//3), doc_id % 3 extra frames, and an
+    interlaced first frame every doc_id % 5 == 0 (stats are
+    row-order-invariant, so interlace correctness is additionally
+    pinned pixel-exact in tests/test_gif_bmp_codec.py). The oracle
+    recomputes the planted stats arithmetically — value equality
+    proves the LZW decoder restores exact pixel content."""
+    from data_pipeline_mlops_spark.functions.multimodal import (
+        gif_pixel_stats,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+
+    def plant(it):
+        import numpy as np
+        import pandas as pd
+
+        from data_pipeline_mlops_spark.functions.gif_codec import (
+            encode_gif,
+        )
+
+        pal = np.stack(
+            [np.arange(64) * 4, np.arange(64) * 2, np.arange(64)],
+            axis=1,
+        ).astype(np.uint8)
+        for pdf in it:
+            ids, blobs = [], []
+            for d, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, nc = int(d), int(nc)
+                w, h = d % 9 + 3, nc % 7 + 3
+                idx = (
+                    (d * 7 + np.arange(h * w) * 13) % 64
+                ).astype(np.uint8).reshape(h, w)
+                frames = [idx] + [
+                    ((idx.astype(int) + k + 1) % 64).astype(np.uint8)
+                    for k in range(d % 3)
+                ]
+                ids.append(d)
+                blobs.append(
+                    encode_gif(
+                        frames, pal, interlace_first=(d % 5 == 0)
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(plant, "media_id long, content binary")
+    return gif_pixel_stats(media)
+
+
+ORACLE_MULTIMODAL_GIF_PIXELS = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id % 9 + 3 AS INTEGER) AS w,
+         CAST(n_chars % 7 + 3 AS INTEGER) AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h,
+         list_transform(
+           range(0, w * h),
+           i -> (7 * ((doc_id * 7 + i * 13) % 64)) // 3
+         ) AS lumas
+  FROM d
+)
+SELECT doc_id AS media_id, w AS width, h AS height,
+  CAST(w * h AS BIGINT) AS n_pixels,
+  CAST(list_sum(lumas) AS BIGINT) AS sum_luma,
+  CAST(list_min(lumas) AS INTEGER) AS min_luma,
+  CAST(list_max(lumas) AS INTEGER) AS max_luma,
+  CAST(doc_id % 3 + 1 AS INTEGER) AS n_frames
+FROM px
+"""
+
+QUERIES["multimodal_gif_pixels"] = QuerySpec(
+    q_multimodal_gif_pixels, ORACLE_MULTIMODAL_GIF_PIXELS
+)
+
+
+def q_multimodal_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode (functions/multimodal.py::decode_bmp_pixels —
+    BI_RGB BITMAPINFOHEADER, 24-bit BGR and 8-bit palette, bottom-up
+    AND top-down rasters): even docs plant a 24-bit gradient, odd docs
+    an 8-bit palette pattern; orientation alternates on doc_id % 4 so
+    both raster directions face real bytes (stats are row-order-
+    invariant; orientation is pinned pixel-exact in tests). Oracle
+    recomputes the planted stats arithmetically."""
+    from data_pipeline_mlops_spark.functions.multimodal import (
+        bmp_pixel_stats,
+        encode_bmp,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+
+    def plant(it):
+        import numpy as np
+        import pandas as pd
+
+        pal = np.stack(
+            [np.arange(64) * 4, np.arange(64) * 2, np.arange(64)],
+            axis=1,
+        ).astype(np.uint8)
+        for pdf in it:
+            ids, blobs = [], []
+            for d, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, nc = int(d), int(nc)
+                w, h = d % 9 + 3, nc % 7 + 3
+                top_down = d % 4 < 2
+                if d % 2 == 0:
+                    i = np.arange(h * w)
+                    px = np.zeros((h, w, 3), np.uint8)
+                    px[:, :, 0] = ((i % w * 3 + d) % 256).reshape(h, w)
+                    px[:, :, 1] = ((i // w * 5 + d) % 256).reshape(h, w)
+                    px[:, :, 2] = (d * 11) % 256
+                    blob = encode_bmp(px, top_down=top_down)
+                else:
+                    idx = (
+                        (d * 3 + np.arange(h * w) * 5) % 64
+                    ).astype(np.uint8).reshape(h, w)
+                    blob = encode_bmp(idx, palette=pal, top_down=top_down)
+                ids.append(d)
+                blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(plant, "media_id long, content binary")
+    return bmp_pixel_stats(media)
+
+
+ORACLE_MULTIMODAL_BMP_PIXELS = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id % 9 + 3 AS INTEGER) AS w,
+         CAST(n_chars % 7 + 3 AS INTEGER) AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h,
+         CASE WHEN doc_id % 2 = 0 THEN
+           list_transform(range(0, w * h), i ->
+             (((i % w) * 3 + doc_id) % 256
+              + ((i // w) * 5 + doc_id) % 256
+              + (doc_id * 11) % 256) // 3)
+         ELSE
+           list_transform(range(0, w * h), i ->
+             (7 * ((doc_id * 3 + i * 5) % 64)) // 3)
+         END AS lumas
+  FROM d
+)
+SELECT doc_id AS media_id, w AS width, h AS height,
+  CAST(w * h AS BIGINT) AS n_pixels,
+  CAST(list_sum(lumas) AS BIGINT) AS sum_luma,
+  CAST(list_min(lumas) AS INTEGER) AS min_luma,
+  CAST(list_max(lumas) AS INTEGER) AS max_luma
+FROM px
+"""
+
+QUERIES["multimodal_bmp_pixels"] = QuerySpec(
+    q_multimodal_bmp_pixels, ORACLE_MULTIMODAL_BMP_PIXELS
+)
