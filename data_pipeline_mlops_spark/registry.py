@@ -2046,11 +2046,13 @@ _DRIVER_WINDOW: list[str] = [
     "event_value_percentiles", "event_type_stats_salted",
     # warehouse analytics
     "grouping_sets_revenue", "customer_scd2",
-    "customer_rolling_features", "salted_priority_join",
     # round-8 NEW operators (crawl extraction, corpus labeling, the
-    # composed crawl front half) meet the driver environment first,
-    # per the rotation discipline
+    # composed crawl front half, the GIF/BMP real-decode tier) meet
+    # the driver environment first, per the rotation discipline —
+    # planted-bytes mapInPandas kernels are the likeliest to hit
+    # driver-environment quirks (Arrow batching, pandas dtypes)
     "doc_html_extract", "doc_label_classifier", "crawl_pipeline",
+    "multimodal_gif_pixels", "multimodal_bmp_pixels",
 ]
 
 
