@@ -85,6 +85,13 @@ HEADLINE = R1_KEYS + [
     "doc_winnowing_fps",
     "doc_weighted_sample",
     "doc_bm25_search",
+    # Round 8: the composed crawl front half (map-side regexp chain +
+    # one dedup shuffle), the corpus-labeling classifier (token-key
+    # groupBy + join + argmax window), and the GIF real-decode tier
+    # (Arrow mapInPandas LZW kernel).
+    "crawl_pipeline",
+    "doc_label_classifier",
+    "multimodal_gif_pixels",
 ]
 
 
