@@ -28,6 +28,27 @@ from data_pipeline_mlops_spark.functions.text import (
 )
 
 
+def extract_and_gate(
+    pages: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    min_quality: float = 0.3,
+    max_link_share: float = 0.5,
+) -> DataFrame:
+    """The map-side front: extraction + scoring + the quality/link
+    gate, NO dedup (batch pipeline adds a corpus-wide window; the
+    streaming ingest dedups against its persisted hash index
+    instead — streaming/crawl_stream.py)."""
+    extracted = html_extract(pages, id_col=id_col, html_col=html_col)
+    scored = with_quality_score(with_lang_id(extracted, "text"), "text")
+    return scored.where(
+        (F.col("quality_score") >= min_quality)
+        & (F.col("link_text_share") < max_link_share)
+        & (F.length("text") > 0)
+    )
+
+
 def crawl_to_corpus(
     pages: DataFrame,
     *,
@@ -41,12 +62,12 @@ def crawl_to_corpus(
     quality/link gate, and exact text dedup (lowest doc_id per
     identical extracted text wins). One shuffle total (the dedup
     window on the text hash)."""
-    extracted = html_extract(pages, id_col=id_col, html_col=html_col)
-    scored = with_quality_score(with_lang_id(extracted, "text"), "text")
-    gated = scored.where(
-        (F.col("quality_score") >= min_quality)
-        & (F.col("link_text_share") < max_link_share)
-        & (F.length("text") > 0)
+    gated = extract_and_gate(
+        pages,
+        id_col=id_col,
+        html_col=html_col,
+        min_quality=min_quality,
+        max_link_share=max_link_share,
     )
     w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.col(id_col))
     return (

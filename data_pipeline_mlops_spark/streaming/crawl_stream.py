@@ -1,0 +1,180 @@
+"""Streaming crawl ingest: the micro-batch twin of
+plans/crawl.py::crawl_to_corpus for a crawl that never stops arriving.
+
+Per batch: extraction + quality/link gating are the same map-side
+stages as the batch pipeline (plans/crawl.py::extract_and_gate);
+dedup runs against a PERSISTED exact-text-hash index instead of a
+corpus-wide window, so per-batch cost tracks (batch size + one hash
+anti-join against the index) — not history size. This is the exact
+tier next to streaming/dedup_stream.py's near-dup MinHash index; run
+both when the corpus needs semantic dedup too.
+
+State is three manifest-committed tables (crash mid-batch leaves
+orphan staging dirs, never a torn index):
+
+- ``seen``   (text_hash, doc_id, batch_id) — hashes of accepted docs;
+- ``corpus`` accepted extracted documents (the product);
+- ``audit``  per-doc decisions per batch (accepted / rejected_gate /
+  dup_in_batch / dup_history) — the C4-style accounting a corpus card
+  needs, committed LAST as the batch's applied marker.
+
+Exactly-once: a redelivered batch whose marker exists in ``audit`` is
+a no-op (recorded decisions are returned). A crash in the window
+after the corpus/seen commits but before the audit commit replays the
+batch; every previously-accepted doc then re-classifies as
+``dup_history`` against its own hash, so ``corpus`` and ``seen``
+converge to the batch-twin end state with nothing doubled — only the
+replayed batch's audit LABELS degrade (accepted -> dup_history), the
+documented cost of committing the marker last. (Committing the marker
+first would invert the risk into data loss, which is worse.)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_mlops_spark.plans.crawl import extract_and_gate
+from data_pipeline_mlops_spark.sources.txn import ManifestTable
+
+AUDIT_COLS = ("doc_id", "status", "text_hash", "batch_id")
+
+
+@dataclass
+class CrawlStore:
+    """Persisted streaming-crawl state under one root."""
+
+    seen: ManifestTable
+    corpus: ManifestTable
+    audit: ManifestTable
+
+    @classmethod
+    def at(cls, root: str) -> "CrawlStore":
+        return cls(
+            seen=ManifestTable(f"{root}/seen"),
+            corpus=ManifestTable(f"{root}/corpus"),
+            audit=ManifestTable(f"{root}/audit"),
+        )
+
+
+def crawl_ingest_batch(
+    pages: DataFrame,
+    store: CrawlStore,
+    *,
+    batch_id: int,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    min_quality: float = 0.3,
+    max_link_share: float = 0.5,
+) -> DataFrame:
+    """Ingest one micro-batch of (id, html) pages; returns this
+    batch's decisions (AUDIT_COLS). Mutates nothing on a full
+    redelivery of an already-applied batch."""
+    spark = pages.sparkSession
+    if store.audit.latest_version() is not None:
+        prev = store.audit.read(spark).where(F.col("batch_id") == batch_id)
+        if not prev.isEmpty():
+            return prev.select(*AUDIT_COLS)
+
+    roster = pages.select(F.col(id_col).alias("doc_id"))
+    gated = extract_and_gate(
+        pages,
+        id_col=id_col,
+        html_col=html_col,
+        min_quality=min_quality,
+        max_link_share=max_link_share,
+    ).withColumn("text_hash", F.md5(F.col("text")))
+
+    # in-batch exact dedup: lowest id per hash wins
+    w = Window.partitionBy("text_hash").orderBy(F.col(id_col))
+    ranked = gated.withColumn("__rk", F.row_number().over(w))
+    # history dedup: anti-join accepted hashes
+    if store.seen.latest_version() is not None:
+        hist = store.seen.read(spark).select("text_hash").distinct()
+        ranked = ranked.join(
+            hist.withColumn("__seen", F.lit(True)), "text_hash", "left"
+        )
+    else:
+        ranked = ranked.withColumn("__seen", F.lit(None).cast("boolean"))
+    classified = ranked.select(
+        F.col(id_col).alias("doc_id"),
+        "text", "predicted_lang", "quality_score", "n_chars",
+        "link_text_share", "text_hash",
+        F.when(F.col("__seen").isNotNull(), F.lit("dup_history"))
+        .when(F.col("__rk") > 1, F.lit("dup_in_batch"))
+        .otherwise(F.lit("accepted"))
+        .alias("status"),
+    ).localCheckpoint()  # pin before the index mutates beneath it
+
+    accepted = classified.where(F.col("status") == "accepted")
+    if not accepted.isEmpty():
+        store.corpus.commit(
+            accepted.select(
+                "doc_id", "text", "predicted_lang", "quality_score",
+                "n_chars", "link_text_share",
+            ),
+            mode="append",
+        )
+        store.seen.commit(
+            accepted.select(
+                "text_hash", "doc_id", F.lit(batch_id).alias("batch_id")
+            ),
+            mode="append",
+        )
+    decisions = (
+        roster.join(
+            classified.select("doc_id", "status", "text_hash"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("status"), F.lit("rejected_gate")).alias(
+                "status"
+            ),
+            "text_hash",
+            F.lit(batch_id).alias("batch_id"),
+        )
+        .localCheckpoint()
+    )
+    store.audit.commit(decisions, mode="append")  # the applied marker
+    return decisions
+
+
+def crawl_foreach_batch(
+    *,
+    store_root: str,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    min_quality: float = 0.3,
+    max_link_share: float = 0.5,
+    maintain_every: int = 32,
+):
+    """foreachBatch adapter: ``stream.writeStream.foreachBatch(this)``.
+    Every ``maintain_every`` batches the seen-hash index self-compacts
+    (0 disables) — each accepted batch appends one staging dir and the
+    anti-join unions one scan per dir."""
+    store = CrawlStore.at(store_root)
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        crawl_ingest_batch(
+            batch_df, store,
+            batch_id=batch_id, id_col=id_col, html_col=html_col,
+            min_quality=min_quality, max_link_share=max_link_share,
+        )
+        if maintain_every and batch_id > 0 and batch_id % maintain_every == 0:
+            from data_pipeline_mlops_spark.sources.layout import (
+                compact_if_fragmented,
+            )
+
+            compact_if_fragmented(
+                store.seen,
+                batch_df.sparkSession,
+                target_rows_per_file=4_000_000,
+            )
+
+    return body

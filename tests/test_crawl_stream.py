@@ -1,0 +1,113 @@
+"""Streaming crawl ingest (streaming/crawl_stream.py): per-batch
+extraction + gating + exact dedup against the persisted hash index;
+exactly-once semantics under full redelivery and crash-window replay;
+end state equals the batch twin (plans/crawl.py::crawl_to_corpus)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_mlops_spark.streaming.crawl_stream import (
+    CrawlStore,
+    crawl_ingest_batch,
+)
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and keeps running "
+    "through a long meadow with many distinct words to pass quality"
+)
+LINK_FARM_HTML = (
+    "<p>x</p>" + "".join(f"<a href='/{i}'>click here now {i}</a>" for i in range(20))
+)
+
+
+def _page(doc_id: int, body: str) -> tuple[int, str]:
+    return doc_id, f"<html><body><h1>t</h1><p>{body}</p></body></html>"
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, html string")
+
+
+def test_ingest_classifies_and_dedups_across_batches(spark, tmp_path):
+    store = CrawlStore.at(str(tmp_path / "crawl"))
+    b1 = _mk(spark, [
+        _page(1, GOOD),
+        _page(2, GOOD + " variant two"),
+        _page(3, GOOD),                      # in-batch dup of 1
+        (4, LINK_FARM_HTML),                 # link share too high
+    ])
+    d1 = {r["doc_id"]: r["status"] for r in crawl_ingest_batch(
+        b1, store, batch_id=1
+    ).collect()}
+    assert d1 == {
+        1: "accepted", 2: "accepted", 3: "dup_in_batch",
+        4: "rejected_gate",
+    }
+    b2 = _mk(spark, [
+        _page(10, GOOD),                     # dup of batch-1 text
+        _page(11, GOOD + " brand new text"),
+    ])
+    d2 = {r["doc_id"]: r["status"] for r in crawl_ingest_batch(
+        b2, store, batch_id=2
+    ).collect()}
+    assert d2 == {10: "dup_history", 11: "accepted"}
+    corpus = store.corpus.read(spark)
+    assert {r["doc_id"] for r in corpus.collect()} == {1, 2, 11}
+    # audit keeps full accounting
+    audit = store.audit.read(spark)
+    assert audit.count() == 6
+
+
+def test_full_redelivery_is_noop(spark, tmp_path):
+    store = CrawlStore.at(str(tmp_path / "crawl"))
+    b1 = _mk(spark, [_page(1, GOOD), _page(2, GOOD + " two")])
+    crawl_ingest_batch(b1, store, batch_id=7)
+    v_corpus = store.corpus.latest_version()
+    v_seen = store.seen.latest_version()
+    v_audit = store.audit.latest_version()
+    again = crawl_ingest_batch(b1, store, batch_id=7)
+    assert {r["status"] for r in again.collect()} == {"accepted"}
+    assert store.corpus.latest_version() == v_corpus
+    assert store.seen.latest_version() == v_seen
+    assert store.audit.latest_version() == v_audit
+
+
+def test_crash_window_replay_converges(spark, tmp_path):
+    # simulate the crash between the corpus/seen commits and the audit
+    # marker: state carries the batch's hashes but no marker, so the
+    # replay re-classifies its own docs as dup_history and appends
+    # NOTHING — corpus/seen end state equals the batch twin
+    store = CrawlStore.at(str(tmp_path / "crawl"))
+    b1 = _mk(spark, [_page(1, GOOD)])
+    crawl_ingest_batch(b1, store, batch_id=1)
+    rows_before = store.corpus.read(spark).count()
+    seen_before = store.seen.read(spark).count()
+    # replay the same docs under a NEW batch id (no marker) — the
+    # crash-window shape
+    replay = {r["doc_id"]: r["status"] for r in crawl_ingest_batch(
+        b1, store, batch_id=2
+    ).collect()}
+    assert replay == {1: "dup_history"}
+    assert store.corpus.read(spark).count() == rows_before
+    assert store.seen.read(spark).count() == seen_before
+
+
+def test_end_state_equals_batch_twin(spark, tmp_path):
+    from data_pipeline_mlops_spark.plans.crawl import crawl_to_corpus
+
+    store = CrawlStore.at(str(tmp_path / "crawl"))
+    batches = [
+        [_page(1, GOOD), _page(2, GOOD + " two"), (3, LINK_FARM_HTML)],
+        [_page(10, GOOD), _page(11, GOOD + " three")],
+        [_page(20, GOOD + " two"), _page(21, GOOD + " four")],
+    ]
+    for i, rows in enumerate(batches):
+        crawl_ingest_batch(_mk(spark, rows), store, batch_id=i)
+    streamed = store.corpus.read(spark)
+    twin = crawl_to_corpus(
+        _mk(spark, [r for b in batches for r in b])
+    )
+    a = {tuple(r) for r in streamed.select(*sorted(streamed.columns)).collect()}
+    b = {tuple(r) for r in twin.select(*sorted(twin.columns)).collect()}
+    assert a == b
