@@ -9609,8 +9609,9 @@ QUERIES["doc_html_extract"] = QuerySpec(
 
 def q_doc_label_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus labeling (ml/textclf.py): train the label-conditional
-    token-frequency classifier on the 80% train slice (doc_id % 5 != 0,
-    label = source), classify the held-out 20%. Counts stay exact
+    token-frequency classifier on the ~86% train slice (doc_id % 7
+    != 0, label = source — % 7 is coprime with the synthetic label
+    cycle % 20, see inline note), classify the held-out rest. Counts stay exact
     BIGINTs; the single double per (doc, label) is one int/int
     division (IEEE-exact in both engines) — the log-free member of the
     NB family, chosen so the oracle can hash-match scores bit-for-bit.
@@ -9619,10 +9620,15 @@ def q_doc_label_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_mlops_spark.ml import textclf
 
     docs = _docs(spark, sf_dir)
-    train = docs.where(F.col("doc_id") % 5 != 0).select(
+    # held-out gate is doc_id % 7: the synthetic source label IS
+    # doc_id % 20, so a % 5 split would put four labels entirely
+    # outside training (gcd(7, 20) = 1 keeps every label on both
+    # sides — the label-leaking-through-the-split-key trap, caught by
+    # the eval query reading 0 accuracy)
+    train = docs.where(F.col("doc_id") % 7 != 0).select(
         F.col("source").alias("label"), "text"
     )
-    test = docs.where(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    test = docs.where(F.col("doc_id") % 7 == 0).select("doc_id", "text")
     model = textclf.train_token_frequency_model(
         train, label_col="label", text_col="text"
     )
@@ -9634,7 +9640,7 @@ WITH occ_train AS (
   SELECT source AS label, t.token
   FROM documents,
        UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS t(token)
-  WHERE doc_id % 5 != 0 AND t.token != ''
+  WHERE doc_id % 7 != 0 AND t.token != ''
 ), tl AS (
   SELECT token, label, CAST(COUNT(*) AS BIGINT) AS c
   FROM occ_train GROUP BY token, label
@@ -9645,7 +9651,7 @@ WITH occ_train AS (
   SELECT doc_id, t.token
   FROM documents,
        UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS t(token)
-  WHERE doc_id % 5 = 0 AND t.token != ''
+  WHERE doc_id % 7 = 0 AND t.token != ''
 ), scored AS (
   SELECT o.doc_id, tl.label, tot.label_tokens,
          CAST(COUNT(*) AS BIGINT) AS matched_tokens,
@@ -9947,4 +9953,71 @@ FROM px
 
 QUERIES["multimodal_bmp_pixels"] = QuerySpec(
     q_multimodal_bmp_pixels, ORACLE_MULTIMODAL_BMP_PIXELS
+)
+
+
+def q_doc_label_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier EVALUATION as a query: confusion counts of
+    doc_label_classifier's held-out predictions against the true
+    source label, plus per-true-label accuracy — the measurement half
+    every corpus-labeling stage ships with (same pattern as
+    lang_id_confusion). All integer counts; accuracy is one int/int
+    division (IEEE-exact).
+
+    Expected reading on the synthetic corpus: ~5% accuracy == the
+    20-label random baseline, because documents' word soup carries no
+    source signal BY CONSTRUCTION — the eval measures that truth
+    faithfully (it read 0.0 under the original doc_id % 5 split and
+    thereby caught the label-leak bug). The classifier's
+    discriminative power on signal-bearing corpora is pinned by
+    tests/test_html_textclf.py::test_textclf_recovers_planted_vocabulary."""
+    pred = q_doc_label_classifier(spark, sf_dir).select(
+        "doc_id", "pred_label"
+    )
+    truth = _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.col("source").alias("true_label")
+    )
+    return (
+        truth.join(pred, "doc_id", "left")
+        .groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("true_label"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_correct"),
+            F.sum(
+                F.when(F.col("pred_label").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_unscored"),
+        )
+        .select(
+            "true_label", "n_docs", "n_correct", "n_unscored",
+            (
+                F.col("n_correct").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("accuracy"),
+        )
+    )
+
+
+ORACLE_DOC_LABEL_CLASSIFIER_EVAL = (
+    "WITH pred AS (" + ORACLE_DOC_LABEL_CLASSIFIER + """)
+SELECT d.source AS true_label,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN p.pred_label = d.source THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(SUM(CASE WHEN p.pred_label IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unscored,
+       CAST(SUM(CASE WHEN p.pred_label = d.source THEN 1 ELSE 0 END)
+            AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS accuracy
+FROM documents d
+LEFT JOIN pred p ON p.doc_id = d.doc_id
+WHERE d.doc_id % 7 = 0
+GROUP BY d.source
+"""
+)
+
+QUERIES["doc_label_classifier_eval"] = QuerySpec(
+    q_doc_label_classifier_eval, ORACLE_DOC_LABEL_CLASSIFIER_EVAL
 )
