@@ -2023,36 +2023,35 @@ _DRIVER_WINDOW: list[str] = [
     "category_performance", "top_products", "regional_stats",
     "data_quality", "dedup_keep_latest", "top_customers_per_region",
     "item_similarity", "recommendations", "recommendations_served",
-    # rotated in for round 8: 38 queries the driver has NEVER hashed
-    # (79 remained after r1-r7 windows; this window + the builder's
-    # full parity sweep keeps everything covered). r6/r7 entrants
-    # rotate out driver-green.
-    # LLM corpus pipeline tiers
-    "corpus_pipeline", "dedup_tier_agreement",
-    "doc_dup_components_capped", "doc_dup_components_minhash",
-    "dup_cluster_keep_best", "doc_skeleton_dedup",
-    "doc_passage_removal", "eval_decontamination",
-    "doc_pack_sequences", "doc_pack_ffd", "doc_tfidf",
-    "doc_dsir_selection", "doc_stratified_sample",
-    "doc_training_shards", "doc_quality_filter", "doc_repetition",
-    "doc_char_lm_score", "doc_domain_stats", "doc_chunks",
-    # embedding / ANN tiers
-    "pq_trained_topk", "ivf_pq_topk", "embedding_kmeans_clusters",
-    "embedding_quantize", "minhash_jaccard_estimate",
-    # sketches
-    "distinct_users_kmv", "user_overlap_kmv",
-    # event analytics
-    "event_session_windows", "event_funnel", "event_rollup_cascade",
-    "event_value_percentiles", "event_type_stats_salted",
-    # warehouse analytics
-    "grouping_sets_revenue", "customer_scd2",
-    # round-8 NEW operators (crawl extraction, corpus labeling, the
-    # composed crawl front half, the GIF/BMP real-decode tier) meet
-    # the driver environment first, per the rotation discipline —
-    # planted-bytes mapInPandas kernels are the likeliest to hit
-    # driver-environment quirks (Arrow batching, pandas dtypes)
-    "doc_html_extract", "doc_label_classifier", "crawl_pipeline",
-    "multimodal_gif_pixels", "multimodal_bmp_pixels",
+    # rotated in for round 9 (rotation 4): 38 of the 48 queries the
+    # driver has NEVER hashed through r8. The remaining 10
+    # (cf_negative_samples, embedding_drift, cohort_retention,
+    # event_funnel_latency, event_seasonality, event_seasonal_outliers,
+    # item_similarity_basket_capped, association_rules_capped,
+    # doc_label_classifier_eval, doc_skipgram_pairs) rotate in for
+    # round 10, after which every registry query has met the driver's
+    # DuckDB environment at least once.
+    # window functions / frames / histograms (the HUGEINT-divergence
+    # risk class r4 exposed)
+    "order_window_census", "customer_rolling_features",
+    "customer_order_gaps", "price_histogram", "order_value_equidepth",
+    "lineitem_moment_stats", "event_value_outliers",
+    "event_mad_outliers", "event_alert_throttle",
+    # warehouse / join / sampling tiers
+    "bucketed_order_revenue", "purchase_attribution",
+    "error_context_events", "never_finalized_customers",
+    "salted_priority_join", "fuzzy_part_matches", "orders_profile",
+    "dq_expectations", "customer_name_tokens",
+    "cluster_balanced_sample",
+    # corpus / dedup / text-analysis tiers
+    "doc_dedup_decisions", "doc_dup_components", "simhash_near_dups",
+    "corpus_report", "doc_fixed_sample", "lang_id_confusion",
+    "doc_pack_stats", "doc_pack_ffd_stats", "doc_pack_curriculum",
+    "doc_line_trim", "doc_collocations", "term_postings",
+    "doc_phrase_search", "bpe_encode_parts",
+    # embedding / ANN / sketch tiers
+    "ann_quantized_topk", "pq_fixed_topk", "pq_trained_recall",
+    "embedding_contrastive_pairs", "event_type_kmv",
 ]
 
 

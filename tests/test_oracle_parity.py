@@ -24,6 +24,7 @@ def _oracle_items():
     ]
 
 
+@pytest.mark.oracle_sweep
 @pytest.mark.parametrize(
     "name,spec", _oracle_items(), ids=[n for n, _ in _oracle_items()]
 )
@@ -34,6 +35,7 @@ def test_oracle_parity(spark, con, name, spec):
     assert result["values_match"], result
 
 
+@pytest.mark.oracle_sweep
 def test_rows_only_queries_run(spark):
     from data_pipeline_mlops_spark.registry import QUERIES
 
