@@ -667,6 +667,7 @@ def q_item_similarity_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     every model rebuild after the one-time bucketed write. Results
     identical to item_similarity (same oracle)."""
     import os
+    from urllib.parse import urlparse
 
     from data_pipeline_mlops_spark.sources.bucketed import write_bucketed
 
@@ -675,22 +676,33 @@ def q_item_similarity_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = f"b_inter_{key}_{mtime}"
     if not spark.catalog.tableExists(tbl):
         # The catalog is per-session (in-memory) but the warehouse dir
-        # persists: a previous process may have left the managed
-        # location behind, and saveAsTable refuses to reuse it
-        # (LOCATION_ALREADY_EXISTS). It's derived cache — clear it.
-        import shutil
-        from urllib.parse import urlparse
-
+        # persists, so another session — earlier OR CONCURRENT — may
+        # already have materialized this content-keyed location.
+        # Never rmtree it (a concurrent reader would have its files
+        # deleted mid-scan): a COMPLETED build (_SUCCESS marker) is
+        # adopted by registering an external bucketed table over the
+        # existing files; an INCOMPLETE leftover (crashed or still
+        # in-flight writer) is sidestepped by building under a
+        # process-unique name and leaving the foreign dir untouched.
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         loc = os.path.join(wh, tbl)
-        if os.path.exists(loc):
-            shutil.rmtree(loc)
-        write_bucketed(
-            _interactions(spark, sf_dir),
-            table=tbl,
-            bucket_col="customer_id",
-            n_buckets=8,
-        )
+        if os.path.exists(os.path.join(loc, "_SUCCESS")):
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {tbl} "
+                "(customer_id BIGINT, product_id BIGINT) USING parquet "
+                "CLUSTERED BY (customer_id) SORTED BY (customer_id) "
+                f"INTO 8 BUCKETS LOCATION '{loc}'"
+            )
+        else:
+            if os.path.exists(loc):
+                tbl = f"{tbl}_p{os.getpid()}"
+            if not spark.catalog.tableExists(tbl):
+                write_bucketed(
+                    _interactions(spark, sf_dir),
+                    table=tbl,
+                    bucket_col="customer_id",
+                    n_buckets=8,
+                )
     return cf.item_similarity(
         spark.table(tbl),
         user_col="customer_id",

@@ -61,9 +61,25 @@ class ComposedAlertPipeline:
         checkpoint_dir: str,
         cooldown_seconds: int = 1800,
         trigger_available_now: bool = True,
+        idle_timeout_ms: int | None = None,
     ):
+        """``idle_timeout_ms`` (wall-clock idle-key state eviction) must
+        stay ``None`` for availableNow runs: a pending
+        ProcessingTimeTimeout keeps the engine scheduling empty
+        timeout-evaluation micro-batches after the source is drained,
+        so ``awaitTermination`` never returns (the r8 'stall' — 71
+        batches for 2 files, each re-running the full gate over a
+        growing manifest). Continuous deployments pass a duration."""
+        if trigger_available_now and idle_timeout_ms is not None:
+            raise ValueError(
+                "idle_timeout_ms requires a continuous trigger: with "
+                "availableNow a pending processing-time timeout "
+                "prevents the query from ever terminating"
+            )
         throttled = composed_alert_stream(
-            orders, cooldown_seconds=cooldown_seconds
+            orders,
+            cooldown_seconds=cooldown_seconds,
+            idle_timeout_ms=idle_timeout_ms,
         )
         writer = throttled.writeStream.foreachBatch(self.gate).option(
             "checkpointLocation", checkpoint_dir
@@ -74,16 +90,26 @@ class ComposedAlertPipeline:
 
 
 def composed_alert_stream(
-    orders: DataFrame, *, cooldown_seconds: int = 1800
+    orders: DataFrame,
+    *,
+    cooldown_seconds: int = 1800,
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """classify -> throttle. ``orders`` carries the CDC order columns
     plus ``ev_us`` (event-time epoch microseconds — the Debezium
     envelope's source timestamp). String business keys are mapped to
     the throttle's int64 key space with xxhash64, the engine-wide
     shuffle-key idiom (int64 keys shuffle cheaper than strings and the
-    mapping is deterministic, so the batch twin reproduces it)."""
+    mapping is deterministic, so the batch twin reproduces it).
+
+    ``idle_timeout_ms=None`` (default) disables wall-clock state
+    eviction so availableNow replays terminate; see
+    :func:`data_pipeline_mlops_spark.streaming.throttle_stream.throttle_alerts`.
+    """
     return throttle_alerts(
-        _classified_keyed(orders), cooldown_seconds=cooldown_seconds
+        _classified_keyed(orders),
+        cooldown_seconds=cooldown_seconds,
+        timeout_ms=idle_timeout_ms,
     )
 
 

@@ -98,8 +98,25 @@ class LateAuditGate:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # One full traversal FIRST, unconditionally: the engine
+        # validates that foreachBatch consumed every partition (state-
+        # store commit check, STATE_STORE_COMMIT_VALIDATION_FAILED
+        # otherwise), so the early-out paths below must still have
+        # walked the batch — a bare return after a metadata probe
+        # fails the query on redelivery.
+        n_rows = batch_df.count()
         if int(batch_id) in self.applied_batches(spark):
             return  # redelivery: already fully committed
+        if n_rows == 0:
+            # Empty micro-batch (idle continuous trigger, or a
+            # stateful operator's timeout-evaluation batch): commit
+            # NOTHING — no output partitions, no marker, no watermark
+            # row. Without this, every idle trigger appended a
+            # manifest version to three tables and per-batch gate cost
+            # grew with stream LIFETIME (the r8 composed-pipeline
+            # stall's cost amplifier). Replay safety is unaffected: a
+            # redelivered empty batch is empty again and skips again.
+            return
         wm_us = self.current_watermark_us(spark)
         ev_expr = (
             F.col(self.ts_col).cast("long")

@@ -49,11 +49,23 @@ def throttle_alerts(
     events: DataFrame,
     *,
     cooldown_seconds: int = 1800,
-    timeout_ms: int = 3_600_000,
+    timeout_ms: int | None = 3_600_000,
 ) -> DataFrame:
     """events(user_id long, event_type string, event_id long,
-    ev_us long) -> throttled alerts. Streaming-only."""
+    ev_us long) -> throttled alerts. Streaming-only.
+
+    ``timeout_ms`` controls idle-key state eviction. ``None`` disables
+    eviction (GroupStateTimeout.NoTimeout) — REQUIRED for bounded
+    replays run with ``trigger(availableNow=True)``: a pending
+    ProcessingTimeTimeout makes the engine keep scheduling empty
+    timeout-evaluation micro-batches after the data is exhausted, and
+    since a long duration never fires in replay wall-time the query
+    NEVER terminates (observed: 71 micro-batches for 2 input files,
+    each one slower than the last). Wall-clock eviction is a
+    CONTINUOUS-deployment concern; pass a duration there, where the
+    trigger never terminates by design anyway."""
     cooldown_us = cooldown_seconds * 1_000_000
+    evict = timeout_ms is not None
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -78,7 +90,8 @@ def throttle_alerts(
                     last = ev
         if last is not None:
             state.update((last,))
-            state.setTimeoutDuration(timeout_ms)
+            if evict:
+                state.setTimeoutDuration(timeout_ms)
         if out_ids:
             yield pd.DataFrame(
                 {
@@ -94,5 +107,9 @@ def throttle_alerts(
         outputStructType=ALERT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if evict
+            else GroupStateTimeout.NoTimeout
+        ),
     )

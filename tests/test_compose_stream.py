@@ -93,6 +93,14 @@ def test_composed_pipeline_crash_replay_matches_batch_twin(spark, tmp_path):
         if not os.path.basename(p).startswith(".")
     )
     os.remove(commits[-1])
+    # the checkpoint manager writes a .N.crc checksum sibling; the
+    # replayed commit's rename fails if it survives the "crash"
+    crc = os.path.join(
+        os.path.dirname(commits[-1]),
+        f".{os.path.basename(commits[-1])}.crc",
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
 
     _write_file(spark, src, "f2", batch2)
     _run_available(pipe, spark, src, ckpt)  # replays f1, then f2

@@ -215,6 +215,79 @@ def test_bucketed_item_similarity_no_user_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_bucketed_cache_adopts_foreign_location(spark):
+    """Warehouse-dir race hardening (registry.q_item_similarity_bucketed):
+    a COMPLETED bucketed build left by another session (location with
+    _SUCCESS, absent from this session's catalog) is ADOPTED by
+    registering an external bucketed table over the files — never
+    rmtree'd out from under a concurrent reader; an INCOMPLETE foreign
+    dir (no _SUCCESS — a crashed or in-flight writer) is left
+    untouched and the build sidesteps to a process-unique name."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from data_pipeline_mlops_spark.registry import QUERIES
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    key = os.path.basename(os.path.normpath(SF_SMALL)).replace(".", "_")
+    mtime = int(
+        os.path.getmtime(os.path.join(SF_SMALL, "lineitem.parquet"))
+    )
+    tbl = f"b_inter_{key}_{mtime}"
+    loc = os.path.join(wh, tbl)
+    snap = loc + ".snap"
+    side = f"{tbl}_p{os.getpid()}"
+
+    # start clean (an earlier aborted run may have left any of these)
+    shutil.rmtree(snap, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {side}")
+    if not spark.catalog.tableExists(tbl):
+        shutil.rmtree(loc, ignore_errors=True)
+
+    # baseline build (registers the table and writes the location)
+    expected = sorted(
+        map(tuple, QUERIES["item_similarity_bucketed"]
+            .spark(spark, SF_SMALL).collect())
+    )
+    assert os.path.exists(os.path.join(loc, "_SUCCESS"))
+
+    # simulate "another session wrote it": files on disk, catalog
+    # empty. DROP would delete the managed files, so snapshot first.
+    shutil.copytree(loc, snap)
+    spark.sql(f"DROP TABLE {tbl}")
+    assert not os.path.exists(loc)
+    shutil.move(snap, loc)
+    files_before = sorted(os.listdir(loc))
+
+    got = sorted(
+        map(tuple, QUERIES["item_similarity_bucketed"]
+            .spark(spark, SF_SMALL).collect())
+    )
+    assert got == expected
+    # adopted, not rebuilt: same files, table now external over them
+    assert sorted(os.listdir(loc)) == files_before
+    assert spark.catalog.tableExists(tbl)
+
+    # simulate an IN-FLIGHT foreign writer: location without _SUCCESS
+    spark.sql(f"DROP TABLE {tbl}")  # external drop keeps files? no —
+    # external tables keep their files on DROP; remove marker to fake
+    # an incomplete write
+    assert os.path.exists(loc), "external DROP must not delete files"
+    os.remove(os.path.join(loc, "_SUCCESS"))
+    got = sorted(
+        map(tuple, QUERIES["item_similarity_bucketed"]
+            .spark(spark, SF_SMALL).collect())
+    )
+    assert got == expected
+    # foreign dir untouched (still no _SUCCESS), build went elsewhere
+    assert not os.path.exists(os.path.join(loc, "_SUCCESS"))
+    assert spark.catalog.tableExists(side)
+    # cleanup so other tests see a fresh, consistent cache state
+    spark.sql(f"DROP TABLE IF EXISTS {side}")
+    shutil.rmtree(loc, ignore_errors=True)
+
+
 def test_doc_normalize_single_python_boundary(spark):
     """The normalization tier pays exactly ONE Arrow hop (the NFC
     UDF); casefold feeds it JVM-side and the regex collapse + token
