@@ -65,8 +65,13 @@ class _BitStream:
 
 def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
     """Variable-width GIF LZW -> list of palette indices (length
-    capped at n_pixels). None on malformed streams."""
-    if not 2 <= min_code_size <= 11:
+    capped at n_pixels). None on malformed streams.
+
+    Guard capped at the GIF-spec maximum (8): root codes are single
+    palette BYTES, so a larger min_code_size cannot describe a valid
+    stream — and would crash the root-table build (bytes([i]) with
+    i > 255) instead of honoring the None-on-malformed contract."""
+    if not 2 <= min_code_size <= 8:
         return None
     clear = 1 << min_code_size
     eoi = clear + 1
@@ -150,15 +155,22 @@ def decode_gif_pixels(data: bytes):
             pos += 3 * n
         first = None
         n_frames = 0
+        gce_transparent = False
         while pos < len(b):
             tag = b[pos]
             if tag == 0x3B:  # trailer
                 break
             if tag == 0x21:  # extension: label + sub-blocks
+                label = b[pos + 1] if pos + 1 < len(b) else None
                 got = _read_subblocks(b, pos + 2)
                 if got is None:
                     return None
-                _, pos = got
+                ext, pos = got
+                if label == 0xF9 and len(ext) >= 1:
+                    # Graphic Control Extension: applies to the NEXT
+                    # image; bit 0 of the packed field marks one
+                    # palette index as transparent
+                    gce_transparent = bool(ext[0] & 0x01)
                 continue
             if tag != 0x2C:  # not an image separator
                 return None
@@ -185,6 +197,13 @@ def decode_gif_pixels(data: bytes):
             n_frames += 1
             if first is None:
                 if (left, top, fw, fh) != (0, 0, w, h):
+                    return None
+                if gce_transparent:
+                    # a transparent first frame composites onto the
+                    # background, which this decoder does not model —
+                    # reject rather than report the palette color at
+                    # the transparent index (same posture as the
+                    # partial-canvas-first-frame rejection above)
                     return None
                 idx = _lzw_decode(lzw, min_code_size, fw * fh)
                 if idx is None:

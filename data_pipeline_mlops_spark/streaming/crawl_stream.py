@@ -19,14 +19,30 @@ orphan staging dirs, never a torn index):
   needs, committed LAST as the batch's applied marker.
 
 Exactly-once: a redelivered batch whose marker exists in ``audit`` is
-a no-op (recorded decisions are returned). A crash in the window
-after the corpus/seen commits but before the audit commit replays the
-batch; every previously-accepted doc then re-classifies as
-``dup_history`` against its own hash, so ``corpus`` and ``seen``
-converge to the batch-twin end state with nothing doubled — only the
-replayed batch's audit LABELS degrade (accepted -> dup_history), the
-documented cost of committing the marker last. (Committing the marker
-first would invert the risk into data loss, which is worse.)
+a no-op (recorded decisions are returned). For a crash anywhere
+earlier, the commit ORDER carries the proof — ``seen`` first, then
+``corpus``, then the ``audit`` marker:
+
+- crash before the ``seen`` commit: nothing referenced by any
+  manifest; plain replay.
+- crash after ``seen``, before ``corpus``: the replay classifies the
+  batch's own accepted docs as SELF-REPLAYS (their hash row in
+  ``seen`` carries this doc_id AND this batch_id — no other writer
+  can produce that pair) and reconciles ``corpus`` by inserting
+  exactly the self-replayed docs whose doc_id is absent from it.
+  This is the window the r8 ordering (corpus first) got wrong: a
+  replayed batch found its hashes absent from ``seen``, re-accepted,
+  and APPENDED DUPLICATE corpus rows.
+- crash after ``corpus``, before ``audit``: self-replays reconcile to
+  zero missing docs; both tables already converged; only the marker
+  is re-committed.
+
+Because self-replays are detected (not re-classified as
+``dup_history``), the audit labels stay faithful across replays. The
+corpus-membership probe runs ONLY when a self-replay is present —
+i.e. only while redelivering a crashed batch — so the steady-state
+per-batch cost is unchanged (one anti-join against the compact hash
+index).
 """
 
 from __future__ import annotations
@@ -90,36 +106,64 @@ def crawl_ingest_batch(
     # in-batch exact dedup: lowest id per hash wins
     w = Window.partitionBy("text_hash").orderBy(F.col(id_col))
     ranked = gated.withColumn("__rk", F.row_number().over(w))
-    # history dedup: anti-join accepted hashes
+    # history dedup: anti-join accepted hashes. Carry the index row's
+    # (doc_id, batch_id) so a redelivered batch can recognize its OWN
+    # prior accepts (self-replays) — the key to the crash-window
+    # contract in the module docstring.
     if store.seen.latest_version() is not None:
-        hist = store.seen.read(spark).select("text_hash").distinct()
-        ranked = ranked.join(
-            hist.withColumn("__seen", F.lit(True)), "text_hash", "left"
+        hist = store.seen.read(spark).select(
+            "text_hash",
+            F.col("doc_id").alias("__seen_doc"),
+            F.col("batch_id").alias("__seen_batch"),
         )
+        ranked = ranked.join(hist, "text_hash", "left")
     else:
-        ranked = ranked.withColumn("__seen", F.lit(None).cast("boolean"))
+        ranked = ranked.withColumn(
+            "__seen_doc", F.lit(None).cast("string")
+        ).withColumn("__seen_batch", F.lit(None).cast("long"))
+    self_replay = (
+        (F.col("__seen_doc") == F.col(id_col))
+        & (F.col("__seen_batch") == F.lit(int(batch_id)))
+    )
     classified = ranked.select(
         F.col(id_col).alias("doc_id"),
         "text", "predicted_lang", "quality_score", "n_chars",
         "link_text_share", "text_hash",
-        F.when(F.col("__seen").isNotNull(), F.lit("dup_history"))
+        F.when(self_replay, F.lit("accepted"))
+        .when(F.col("__seen_doc").isNotNull(), F.lit("dup_history"))
         .when(F.col("__rk") > 1, F.lit("dup_in_batch"))
         .otherwise(F.lit("accepted"))
         .alias("status"),
+        F.coalesce(self_replay, F.lit(False)).alias("__replayed"),
     ).localCheckpoint()  # pin before the index mutates beneath it
 
     accepted = classified.where(F.col("status") == "accepted")
-    if not accepted.isEmpty():
-        store.corpus.commit(
-            accepted.select(
-                "doc_id", "text", "predicted_lang", "quality_score",
-                "n_chars", "link_text_share",
+    fresh = accepted.where(~F.col("__replayed"))
+    replayed = accepted.where(F.col("__replayed"))
+    # seen commits FIRST: the index is the at-least-once side of the
+    # pair, and replay reconciles corpus from it (see docstring).
+    if not fresh.isEmpty():
+        store.seen.commit(
+            fresh.select(
+                "text_hash", "doc_id", F.lit(batch_id).alias("batch_id")
             ),
             mode="append",
         )
-        store.seen.commit(
-            accepted.select(
-                "text_hash", "doc_id", F.lit(batch_id).alias("batch_id")
+    corpus_rows = fresh
+    if not replayed.isEmpty():
+        # crashed-batch redelivery: insert only the self-replayed docs
+        # the previous attempt did not reach the corpus commit for
+        if store.corpus.latest_version() is not None:
+            existing = store.corpus.read(spark).select("doc_id")
+            missing = replayed.join(existing, "doc_id", "left_anti")
+        else:
+            missing = replayed
+        corpus_rows = fresh.unionByName(missing)
+    if not corpus_rows.isEmpty():
+        store.corpus.commit(
+            corpus_rows.select(
+                "doc_id", "text", "predicted_lang", "quality_score",
+                "n_chars", "link_text_share",
             ),
             mode="append",
         )

@@ -93,6 +93,49 @@ def test_crash_window_replay_converges(spark, tmp_path):
     assert store.seen.read(spark).count() == seen_before
 
 
+def test_crash_between_seen_and_corpus_commits_converges(spark, tmp_path):
+    """THE window the r8 ordering got wrong (ADVICE r8): a crash after
+    the seen commit but before the corpus commit. The replay must
+    recognize its own prior accepts (self-replays: the index row
+    carries this doc_id AND this batch_id), re-insert exactly the
+    missing corpus docs, and keep the audit labels 'accepted' — no
+    duplicates, no loss, no label degradation."""
+    import os
+
+    store = CrawlStore.at(str(tmp_path / "crawl"))
+    crawl_ingest_batch(
+        _mk(spark, [_page(1, GOOD)]), store, batch_id=0
+    )
+    b1 = _mk(spark, [_page(10, GOOD + " two"), _page(11, GOOD)])
+    crawl_ingest_batch(b1, store, batch_id=1)
+    # simulate the crash: roll back the CORPUS commit and the AUDIT
+    # marker for batch 1 by deleting their newest manifest versions —
+    # seen retains batch 1's hash rows, the exact mid-pair state
+    for table in (store.corpus, store.audit):
+        v = table.latest_version()
+        os.remove(os.path.join(table.txn_path, f"v{v}.json"))
+    assert store.corpus.read(spark).count() == 1  # only batch 0's doc
+
+    replay = {r["doc_id"]: r["status"] for r in crawl_ingest_batch(
+        b1, store, batch_id=1
+    ).collect()}
+    # labels faithful: the self-replayed accept stays accepted
+    assert replay == {10: "accepted", 11: "dup_history"}
+    corpus = store.corpus.read(spark)
+    assert sorted(r["doc_id"] for r in corpus.collect()) == [1, 10]
+    # one seen row per accepted hash — nothing doubled in the index
+    assert store.seen.read(spark).count() == 2
+
+    # and a SECOND full redelivery after convergence is a pure no-op
+    v_c, v_s = store.corpus.latest_version(), store.seen.latest_version()
+    again = {r["doc_id"]: r["status"] for r in crawl_ingest_batch(
+        b1, store, batch_id=1
+    ).collect()}
+    assert again == replay
+    assert store.corpus.latest_version() == v_c
+    assert store.seen.latest_version() == v_s
+
+
 def test_end_state_equals_batch_twin(spark, tmp_path):
     from data_pipeline_mlops_spark.plans.crawl import crawl_to_corpus
 

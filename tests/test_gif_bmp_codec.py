@@ -72,6 +72,47 @@ def test_gif_rejection_posture():
     assert decode_gif_pixels(None) is None
 
 
+def _splice_gce(blob: bytes, *, flags: int) -> bytes:
+    """Insert a Graphic Control Extension immediately before the first
+    image separator of a planted encode_gif blob (which begins right
+    after the 13-byte header + global color table — searching for the
+    0x2C byte would false-match palette bytes)."""
+    gct_n = 2 << (blob[10] & 0x07)
+    at = 13 + 3 * gct_n
+    assert blob[at] == 0x2C
+    gce = b"\x21\xf9\x04" + bytes([flags, 0, 0, 0]) + b"\x00"
+    return blob[:at] + gce + blob[at:]
+
+
+def test_gif_gce_transparent_first_frame_rejected():
+    """ADVICE r8: a GCE with the transparency flag set on the first
+    frame must return None (background compositing is not modeled),
+    not the palette color at the transparent index; a GCE WITHOUT the
+    flag must not change the decode."""
+    idx = (np.arange(16, dtype=np.uint8) % 64).reshape(4, 4)
+    plain = encode_gif([idx], PAL64)
+    want, _ = decode_gif_pixels(plain)
+
+    opaque_gce = _splice_gce(plain, flags=0x04)  # disposal bits only
+    got = decode_gif_pixels(opaque_gce)
+    assert got is not None
+    assert np.array_equal(got[0], want)
+
+    transparent = _splice_gce(plain, flags=0x05)  # disposal + bit 0
+    assert decode_gif_pixels(transparent) is None
+
+
+def test_gif_lzw_min_code_size_guard_returns_none():
+    """ADVICE r8: _lzw_decode must honor its None-on-malformed
+    contract for min_code_size beyond the GIF-spec max (9-11 used to
+    raise ValueError building the root table), and for the out-of-spec
+    small values."""
+    from data_pipeline_mlops_spark.functions.gif_codec import _lzw_decode
+
+    for mcs in (0, 1, 9, 10, 11, 12, 255):
+        assert _lzw_decode(b"\x00\x01\x02", mcs, 4) is None
+
+
 @pytest.mark.parametrize("top_down", [False, True])
 def test_bmp_round_trips_exact(top_down):
     rng = np.random.RandomState(5 + top_down)
