@@ -135,12 +135,52 @@ _EXTRA_FNS = {
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="engine bench; ONE compact JSON line on stdout"
+    )
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated HEADLINE subset to (re)time; samples "
+        "merge into --state so a killed run completes across "
+        "invocations without re-timing finished queries",
+    )
+    ap.add_argument(
+        "--state",
+        default=None,
+        help="samples state file (default /tmp/bench_state_<sfdir>.json;"
+        " a FULL run resets it, an --only run merges into it)",
+    )
+    args = ap.parse_args()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
 
     from data_pipeline_mlops_spark.registry import QUERIES
     from data_pipeline_mlops_spark.session import get_spark
+
+    only = None
+    if args.only:
+        only = [q.strip() for q in args.only.split(",") if q.strip()]
+        unknown = set(only) - set(HEADLINE)
+        if unknown:
+            sys.exit(f"not HEADLINE queries: {sorted(unknown)}")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    state_path = args.state or f"/tmp/bench_state_{tag}.json"
+    prior: dict[str, list[float]] = {}
+    if only and os.path.exists(state_path):
+        with open(state_path) as fh:
+            prior = {
+                k: v for k, v in json.load(fh).items() if k in HEADLINE
+            }
+        print(
+            f"# merged prior samples for {len(prior)} queries from "
+            f"{state_path}",
+            file=sys.stderr,
+        )
 
     spark = get_spark(app_name="bench", cpus=cpus)
     try:
@@ -157,9 +197,10 @@ def main() -> None:
     ).format("noop").save()
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    timed = [n for n in HEADLINE if only is None or n in only]
+    samples: dict[str, list[float]] = {name: [] for name in timed}
     for p in range(runs + 1):  # pass 0 is the discarded cold pass
-        order = list(HEADLINE)
+        order = list(timed)
         random.Random(p).shuffle(order)  # seeded: reproducible order
         for name in order:
             fn = _EXTRA_FNS.get(name) or QUERIES[name].spark
@@ -171,13 +212,32 @@ def main() -> None:
             f"# pass {p}/{runs} done" + (" (cold, discarded)" if p == 0 else ""),
             file=sys.stderr,
         )
+        # checkpoint after every pass: a killed run resumes via --only
+        # over the unfinished queries and merges here
+        merged = {**prior, **{k: v for k, v in samples.items() if v}}
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(merged, fh)
+        os.replace(tmp, state_path)
+
+    # re-timed queries REPLACE their prior samples; untouched prior
+    # queries carry over, so two partial runs merge into one line
+    samples = {**prior, **samples}
+    missing = [n for n in HEADLINE if not samples.get(n)]
+    if missing:
+        print(
+            f"# PARTIAL: no samples yet for {missing}; run "
+            f"--only {','.join(missing)} to complete",
+            file=sys.stderr,
+        )
+    headline = [n for n in HEADLINE if samples.get(n)]
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     spreads: dict[str, float] = {}
     spreads_trim: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for name in headline:
         s = sorted(samples[name])
         timings[name] = round(s[0], 3)
         medians[name] = round(statistics.median(s), 3)
@@ -230,7 +290,7 @@ def main() -> None:
             base_q = base.get("queries", {})
             deltas = {
                 name: round(timings[name] - base_q[name], 3)
-                for name in HEADLINE
+                for name in headline
                 if name in base_q
             }
             for name, d in sorted(deltas.items(), key=lambda kv: -kv[1]):
@@ -274,6 +334,7 @@ def main() -> None:
                 "interleaved": True,
                 "r1_comparable_total": r1_total,
                 "sf": sf,
+                **({"partial_missing": missing} if missing else {}),
             }
         )
     )

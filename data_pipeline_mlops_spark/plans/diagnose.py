@@ -96,6 +96,31 @@ def plan_summary(df: DataFrame) -> PlanSummary:
     )
 
 
+def scale_safe_twin(query_name: str) -> dict:
+    """Answer "can I run this registry query at 100 TB?" from the
+    registry's own scale labels: returns
+    {"scale_safe": bool, "twin": str | None, "reason": str}.
+    For a parity-only query the twin is the registered scale-safe
+    formulation of the same semantics tier."""
+    from data_pipeline_mlops_spark.registry import QUERIES
+
+    spec = QUERIES[query_name]
+    if spec.scale_safe:
+        return {
+            "scale_safe": True,
+            "twin": None,
+            "reason": "no data-dependent unbounded cost term",
+        }
+    return {
+        "scale_safe": False,
+        "twin": spec.scale_twin,
+        "reason": (
+            "parity-only formulation (unbounded fan-out / exhaustive "
+            f"pass); run {spec.scale_twin!r} at scale"
+        ),
+    }
+
+
 def assert_scale_clean(df: DataFrame, *, allow: set[str] = frozenset()) -> None:
     """Raise AssertionError with the flag list unless the plan is
     scale-clean. ``allow`` suppresses flags whose text contains any of

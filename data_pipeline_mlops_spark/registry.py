@@ -46,6 +46,14 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 class QuerySpec:
     spark: SparkQuery
     oracle: str | None  # DuckDB SQL, None => rows-only check
+    # scale_safe=False marks a PARITY-ONLY formulation whose cost is
+    # unbounded in a data-dependent way (uncapped basket² fan-out,
+    # all-pairs verify, exhaustive eval); scale_twin names the
+    # registry query with the same semantics tier that IS the 100 TB
+    # path. Labels are applied in _PARITY_ONLY below; a test asserts
+    # every False has an existing, scale-safe twin.
+    scale_safe: bool = True
+    scale_twin: str | None = None
 
 
 # --------------------------------------------------------------------------
@@ -10032,3 +10040,47 @@ GROUP BY d.source
 QUERIES["doc_label_classifier_eval"] = QuerySpec(
     q_doc_label_classifier_eval, ORACLE_DOC_LABEL_CLASSIFIER_EVAL
 )
+
+
+# --------------------------------------------------------------------------
+# scale-safety labels (VERDICT r8 #7)
+# --------------------------------------------------------------------------
+# Parity-only formulations: each reproduces the reference's (or the
+# literature's) exact semantics with a cost term that is unbounded in a
+# data-dependent way, and each has a registered scale-safe twin that is
+# the 100 TB path. The labels make the hazard machine-readable
+# (plans/diagnose.scale_safe_twin) instead of re-litigated per round.
+_PARITY_ONLY: dict[str, str] = {
+    # uncapped min_cooccurrence CF build: user-keyed self-join fans out
+    # quadratically in basket size (one bot mega-basket dominates)
+    "item_similarity": "item_similarity_basket_capped",
+    "similar_items": "item_similarity_basket_capped",
+    "recommendations": "recommendations_capped",
+    "recommendations_served": "recommendations_capped",
+    # shingle-bucket pair generation without the stop-shingle cap:
+    # a shingle shared by k docs emits k^2 candidate pairs
+    "ngram_jaccard_dups": "ngram_jaccard_capped",
+    # components over the uncapped pair source inherit its fan-out
+    "doc_dup_components": "doc_dup_components_capped",
+    # uncapped basket² pair counting for rule mining
+    "association_rules": "association_rules_capped",
+    # exact in-bucket verify over ALL candidate pairs of every bucket
+    # without the hyperplane-LSH pre-bucketing tier's occupancy bound
+    "embedding_near_dups": "embedding_near_dups_lsh",
+    # brute-force scoring of every (query, corpus) pair — the recall
+    # baseline the ANN tiers are measured against
+    "ann_cosine_topk": "lsh_ann_topk",
+    "ann_quantized_topk": "ivf_pq_topk",
+}
+
+
+def _apply_scale_labels() -> None:
+    from dataclasses import replace
+
+    for name, twin in _PARITY_ONLY.items():
+        QUERIES[name] = replace(
+            QUERIES[name], scale_safe=False, scale_twin=twin
+        )
+
+
+_apply_scale_labels()

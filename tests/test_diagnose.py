@@ -64,3 +64,26 @@ def test_assert_scale_clean_flags_global_sort(spark):
         assert_scale_clean(noisy)
     # the same plan passes when the caller declares the bound
     assert_scale_clean(noisy, allow={"SinglePartition", "pushed"})
+
+
+def test_scale_labels_every_parity_query_has_safe_twin():
+    """Every scale_safe=False registry query must name an EXISTING,
+    scale-safe twin (VERDICT r8 #7) — and the labels must be visible
+    through plans.diagnose.scale_safe_twin."""
+    from data_pipeline_mlops_spark.plans.diagnose import scale_safe_twin
+    from data_pipeline_mlops_spark.registry import _PARITY_ONLY, QUERIES
+
+    unsafe = {n for n, s in QUERIES.items() if not s.scale_safe}
+    assert unsafe == set(_PARITY_ONLY)
+    for name in unsafe:
+        spec = QUERIES[name]
+        assert spec.scale_twin in QUERIES, (name, spec.scale_twin)
+        assert QUERIES[spec.scale_twin].scale_safe, (name, spec.scale_twin)
+        info = scale_safe_twin(name)
+        assert info == {
+            "scale_safe": False,
+            "twin": spec.scale_twin,
+            "reason": info["reason"],
+        }
+    # and a safe query reports itself safe
+    assert scale_safe_twin("recommendations_capped")["scale_safe"]
