@@ -79,9 +79,19 @@ def _fake_features(content: bytes, normalize: bool = True) -> list[float]:
 
 
 def extract_features(
-    df: DataFrame, *, use_fake: bool = True, normalize: bool = True
+    df: DataFrame,
+    *,
+    deterministic_stub: bool = True,
+    normalize: bool = True,
 ) -> DataFrame:
     """mapInPandas feature extraction over binary media columns.
+
+    ``deterministic_stub=True`` (the ONLY mode that runs in this
+    container) produces `_fake_features` — a deterministic byte-fold,
+    NOT a learned embedding; the flag is named so no caller mistakes
+    the output for model features. ``deterministic_stub=False`` routes
+    through :func:`decode_media`, which raises until a real codec/
+    model stack is installed (COVERAGE.md capability table).
 
     Arrow-batched: each pandas batch holds whole media blobs; batch size
     is bounded by spark.sql.execution.arrow.maxRecordsPerBatch, and
@@ -103,7 +113,7 @@ def extract_features(
         for pdf in it:
             feats = [
                 _fake_features(c, normalize)
-                if use_fake
+                if deterministic_stub
                 else decode_media(c, t)
                 for c, t in zip(pdf["content"], pdf["media_type"])
             ]
@@ -137,12 +147,14 @@ def resize_media(
     *,
     target_w: int,
     target_h: int,
-    use_fake: bool = True,
+    deterministic_stub: bool = True,
 ) -> DataFrame:
     """mapInPandas image resize over binary content columns.
 
     The real kernel would decode -> resample -> re-encode per blob
-    (decode_media is the stubbed hook; PIL/ffmpeg absent here). The
+    (decode_media is the stubbed hook; PIL/ffmpeg absent here —
+    ``deterministic_stub`` is named so no caller mistakes the output
+    for resampled pixels). The
     fake path performs an honest decimation on the RAW bytes — stride-
     sample the buffer down to exactly target_w*target_h bytes (zero-pad
     short blobs) — so the Spark-side contract is fully exercised:
@@ -173,7 +185,7 @@ def resize_media(
         for pdf in it:
             resized = [
                 _fake_resize(c)
-                if use_fake
+                if deterministic_stub
                 else decode_media(c, t)
                 for c, t in zip(pdf["content"], pdf["media_type"])
             ]
@@ -1049,3 +1061,166 @@ def bmp_pixel_stats(
         df, decode_bmp_pixels,
         id_col=id_col, content_col=content_col, frame_count=False,
     )
+
+
+# -- real MP3 frame-header walk (stdlib only, no codec) ----------------------
+#
+# Compressed-audio SAMPLE decode (the MDCT/filterbank synthesis) stays
+# out of scope here (see decode_media + COVERAGE.md capability table),
+# but the frame-header tier is a real, spec-complete parse: an MPEG
+# audio stream is a sequence of self-describing frames, and everything
+# a 100 TB ingest gate needs — duration, sample rate, channel count,
+# CBR/VBR, bitrate envelope — falls out of walking the headers
+# (ISO/IEC 11172-3 §2.4.1.3; the same tier ffprobe uses for its fast
+# path). The walk also skips a leading ID3v2 tag (syncsafe size).
+
+# bitrate tables in kbps, indexed [bitrate_index 1..14]; index 0 is
+# "free format" (rejected) and 15 is invalid
+_MP3_BITRATES_V1_L3 = (
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320
+)
+_MP3_BITRATES_V2_L3 = (
+    None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160
+)
+_MP3_SAMPLERATES_V1 = (44100, 48000, 32000)
+
+
+def parse_mp3_frames(data: bytes):
+    """Walk an MPEG-1/2/2.5 Layer III stream's frame headers; returns
+    {n_frames, sample_rate, channels, bitrate_min_kbps,
+    bitrate_max_kbps, is_vbr, duration_ms} or None on anything
+    malformed (no valid first frame, free-format, reserved fields,
+    mid-stream desync). Integer-exact: duration_ms =
+    total_samples * 1000 // sample_rate."""
+    b = bytes(data or b"")
+    pos = 0
+    # ID3v2 header: "ID3" ver(2) flags(1) size(4, syncsafe 7-bit bytes)
+    if len(b) >= 10 and b[:3] == b"ID3":
+        if any(x & 0x80 for x in b[6:10]):
+            return None  # malformed syncsafe size
+        size = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+        pos = 10 + size
+    n_frames = 0
+    sample_rate = None
+    channels = None
+    br_min = br_max = None
+    total_samples = 0
+    while pos + 4 <= len(b):
+        h0, h1, h2, h3 = b[pos:pos + 4]
+        if h0 != 0xFF or (h1 & 0xE0) != 0xE0:
+            break  # desync: stop at first non-frame byte
+        version_bits = (h1 >> 3) & 0x03  # 00=2.5, 10=2, 11=1 (01 rsvd)
+        layer_bits = (h1 >> 1) & 0x03    # 01=III
+        if version_bits == 0b01 or layer_bits != 0b01:
+            return None  # reserved version / not Layer III
+        br_idx = (h2 >> 4) & 0x0F
+        sr_idx = (h2 >> 2) & 0x03
+        padding = (h2 >> 1) & 0x01
+        mode = (h3 >> 6) & 0x03  # 11 = mono
+        if br_idx in (0, 15) or sr_idx == 3:
+            return None  # free-format / invalid indices
+        if version_bits == 0b11:  # MPEG-1
+            sr = _MP3_SAMPLERATES_V1[sr_idx]
+            kbps = _MP3_BITRATES_V1_L3[br_idx]
+            spf = 1152
+            frame_len = 144_000 * kbps // sr + padding
+        else:  # MPEG-2 (10) / MPEG-2.5 (00)
+            div = 2 if version_bits == 0b10 else 4
+            sr = _MP3_SAMPLERATES_V1[sr_idx] // div
+            kbps = _MP3_BITRATES_V2_L3[br_idx]
+            spf = 576
+            frame_len = 72_000 * kbps // sr + padding
+        ch = 1 if mode == 0b11 else 2
+        if sample_rate is None:
+            sample_rate, channels = sr, ch
+        elif (sr, ch) != (sample_rate, channels):
+            return None  # rate/mode switch mid-stream: not one stream
+        if pos + frame_len > len(b):
+            return None  # truncated final frame
+        n_frames += 1
+        total_samples += spf
+        br_min = kbps if br_min is None else min(br_min, kbps)
+        br_max = kbps if br_max is None else max(br_max, kbps)
+        pos += frame_len
+    if n_frames == 0:
+        return None
+    return {
+        "n_frames": n_frames,
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bitrate_min_kbps": br_min,
+        "bitrate_max_kbps": br_max,
+        "is_vbr": br_min != br_max,
+        "duration_ms": total_samples * 1000 // sample_rate,
+    }
+
+
+def encode_mp3_planted(
+    *,
+    n_frames: int,
+    sr_idx: int = 0,
+    mono: bool = False,
+    bitrate_indices,
+    id3_size: int | None = None,
+    mpeg2: bool = False,
+) -> bytes:
+    """Planted-fixture builder: spec-valid Layer III frame HEADERS
+    with zeroed payloads (the walker never reads payload bytes — same
+    planting idiom as encode_gif/encode_bmp). ``bitrate_indices``
+    cycles per frame (len>1 = VBR)."""
+    out = bytearray()
+    if id3_size is not None:
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
+             (id3_size >> 7) & 0x7F, id3_size & 0x7F]
+        )
+        out += b"\x00" * id3_size
+    version_bits = 0b10 if mpeg2 else 0b11
+    for i in range(n_frames):
+        br_idx = bitrate_indices[i % len(bitrate_indices)]
+        padding = 0
+        h1 = 0xE0 | (version_bits << 3) | (0b01 << 1) | 0x01
+        h2 = (br_idx << 4) | (sr_idx << 2) | (padding << 1)
+        h3 = (0b11 << 6) if mono else 0x00
+        if mpeg2:
+            sr = _MP3_SAMPLERATES_V1[sr_idx] // 2
+            frame_len = 72_000 * _MP3_BITRATES_V2_L3[br_idx] // sr
+        else:
+            sr = _MP3_SAMPLERATES_V1[sr_idx]
+            frame_len = 144_000 * _MP3_BITRATES_V1_L3[br_idx] // sr
+        out += bytes([0xFF, h1, h2, h3]) + b"\x00" * (frame_len - 4)
+    return bytes(out)
+
+
+def mp3_metadata(
+    df: DataFrame, *, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """Frame-walk metadata per MP3 blob (Arrow mapInPandas; null row on
+    malformed input, never an error)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("n_frames", T.IntegerType(), True),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("channels", T.IntegerType(), True),
+            T.StructField("bitrate_min_kbps", T.IntegerType(), True),
+            T.StructField("bitrate_max_kbps", T.IntegerType(), True),
+            T.StructField("is_vbr", T.BooleanType(), True),
+            T.StructField("duration_ms", T.LongType(), True),
+        ]
+    )
+    keys = [f.name for f in out_schema.fields[1:]]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("media_id", *keys)}
+            for mid, buf in zip(pdf[id_col], pdf[content_col]):
+                rows["media_id"].append(mid)
+                meta = parse_mp3_frames(buf)
+                for k in keys:
+                    rows[k].append(None if meta is None else meta[k])
+            yield pd.DataFrame(rows)
+
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"), F.col(content_col)
+    ).mapInPandas(batches, schema=out_schema)

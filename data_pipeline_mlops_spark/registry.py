@@ -1915,7 +1915,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("image").alias("media_type"),
         F.encode("text", "utf-8").alias("content"),
     )
-    feats = multimodal.extract_features(media, use_fake=True, normalize=False)
+    feats = multimodal.extract_features(
+        media, deterministic_stub=True, normalize=False
+    )
     # serialize to a CSV of exact integers: scalar (hashable for the
     # driver comparator) and engine-portable (no float formatting)
     return feats.select(
@@ -10039,6 +10041,90 @@ GROUP BY d.source
 
 QUERIES["doc_label_classifier_eval"] = QuerySpec(
     q_doc_label_classifier_eval, ORACLE_DOC_LABEL_CLASSIFIER_EVAL
+)
+
+
+def q_multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP3 frame-header walk (functions/multimodal.py::
+    parse_mp3_frames — ISO/IEC 11172-3 §2.4.1.3 header fields, frame-
+    length arithmetic, ID3v2 syncsafe skip, CBR/VBR envelope): per doc
+    a planted Layer III stream with metadata-derived frame count /
+    sample rate / channel mode / bitrate cycle / optional ID3v2 tag.
+    The oracle recomputes every field arithmetically — equality proves
+    the header walk, including the integer duration math. Compressed-
+    audio SAMPLE decode remains out of scope (COVERAGE.md capability
+    table); this is the ffprobe-fast-path tier an ingest gate needs."""
+    from data_pipeline_mlops_spark.functions.multimodal import (
+        mp3_metadata,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def plant(it):
+        import pandas as pd
+
+        from data_pipeline_mlops_spark.functions.multimodal import (
+            encode_mp3_planted,
+        )
+
+        for pdf in it:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                base = d % 14 + 1
+                idxs = [base, (d + 6) % 14 + 1] if d % 5 == 0 else [base]
+                ids.append(d)
+                blobs.append(
+                    encode_mp3_planted(
+                        n_frames=d % 7 + 2,
+                        sr_idx=d % 3,
+                        mono=(d % 2 == 1),
+                        bitrate_indices=idxs,
+                        id3_size=17 if d % 4 == 0 else None,
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(plant, "media_id long, content binary")
+    return mp3_metadata(media)
+
+
+# the MPEG-1 Layer III bitrate table as a DuckDB CASE (idx 1..14)
+_MP3_KBPS_SQL = (
+    "CASE {i} WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 WHEN 4 THEN 56"
+    " WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112"
+    " WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224"
+    " WHEN 13 THEN 256 WHEN 14 THEN 320 END"
+)
+
+ORACLE_MULTIMODAL_MP3_META = f"""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         doc_id % 7 + 2 AS n_frames,
+         CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+              ELSE 32000 END AS sample_rate,
+         CASE doc_id % 2 WHEN 1 THEN 1 ELSE 2 END AS channels,
+         {_MP3_KBPS_SQL.format(i="doc_id % 14 + 1")} AS kb_base,
+         {_MP3_KBPS_SQL.format(i="(doc_id + 6) % 14 + 1")} AS kb_alt,
+         doc_id % 5 = 0 AS vbr
+  FROM documents
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(n_frames AS INTEGER) AS n_frames,
+       CAST(sample_rate AS INTEGER) AS sample_rate,
+       CAST(channels AS INTEGER) AS channels,
+       CAST(CASE WHEN vbr THEN LEAST(kb_base, kb_alt) ELSE kb_base END
+            AS INTEGER) AS bitrate_min_kbps,
+       CAST(CASE WHEN vbr THEN GREATEST(kb_base, kb_alt) ELSE kb_base END
+            AS INTEGER) AS bitrate_max_kbps,
+       vbr AS is_vbr,
+       CAST((CAST(n_frames AS BIGINT) * 1152 * 1000) // sample_rate
+            AS BIGINT) AS duration_ms
+FROM p
+"""
+
+QUERIES["multimodal_mp3_meta"] = QuerySpec(
+    q_multimodal_mp3_meta, ORACLE_MULTIMODAL_MP3_META
 )
 
 

@@ -161,3 +161,76 @@ def test_stats_kernels(spark):
     out = {r["media_id"]: r for r in bmp_pixel_stats(bmp_df).collect()}
     assert out[1]["sum_luma"] == 179 and out[1]["max_luma"] == 147
     assert out[2]["sum_luma"] is None
+
+
+# -- MP3 frame-header walk (round 9) ----------------------------------------
+
+def test_mp3_walker_cbr_vbr_id3_and_mpeg2():
+    from data_pipeline_mlops_spark.functions.multimodal import (
+        encode_mp3_planted,
+        parse_mp3_frames,
+    )
+
+    m = parse_mp3_frames(
+        encode_mp3_planted(n_frames=5, sr_idx=0, bitrate_indices=[9])
+    )
+    assert m == {
+        "n_frames": 5, "sample_rate": 44100, "channels": 2,
+        "bitrate_min_kbps": 128, "bitrate_max_kbps": 128,
+        "is_vbr": False, "duration_ms": 5 * 1152 * 1000 // 44100,
+    }
+    m = parse_mp3_frames(
+        encode_mp3_planted(
+            n_frames=4, sr_idx=2, mono=True,
+            bitrate_indices=[5, 11], id3_size=17,
+        )
+    )
+    assert (m["channels"], m["sample_rate"]) == (1, 32000)
+    assert m["is_vbr"] and (m["bitrate_min_kbps"], m["bitrate_max_kbps"]) == (64, 192)
+    # MPEG-2: half samplerate, 576 samples/frame, the V2 bitrate table
+    m = parse_mp3_frames(
+        encode_mp3_planted(n_frames=3, sr_idx=1, bitrate_indices=[7], mpeg2=True)
+    )
+    assert m["sample_rate"] == 24000
+    assert m["duration_ms"] == 3 * 576 * 1000 // 24000
+
+
+def test_mp3_walker_rejection_posture():
+    from data_pipeline_mlops_spark.functions.multimodal import (
+        encode_mp3_planted,
+        parse_mp3_frames,
+    )
+
+    assert parse_mp3_frames(b"") is None
+    assert parse_mp3_frames(None) is None
+    assert parse_mp3_frames(b"\xff\xfb") is None          # truncated header
+    assert parse_mp3_frames(b"not audio at all") is None
+    # malformed syncsafe ID3 size (bit 7 set)
+    assert parse_mp3_frames(b"ID3\x04\x00\x00\x00\x00\x00\xff") is None
+    good = bytearray(encode_mp3_planted(n_frames=2, sr_idx=0, bitrate_indices=[9]))
+    free = bytearray(good); free[2] &= 0x0F               # bitrate idx 0
+    assert parse_mp3_frames(bytes(free)) is None
+    trunc = bytes(good[:-1])                              # torn last frame
+    assert parse_mp3_frames(trunc) is None
+    switch = bytearray(good)
+    # second frame's samplerate index flipped: rate switch mid-stream
+    flen = 144_000 * 128 // 44100
+    switch[flen + 2] = (switch[flen + 2] & ~0x0C) | (0x01 << 2)
+    assert parse_mp3_frames(bytes(switch)) is None
+
+
+def test_mp3_metadata_spark_kernel_null_on_malformed(spark):
+    import pandas as pd
+
+    from data_pipeline_mlops_spark.functions.multimodal import (
+        encode_mp3_planted,
+        mp3_metadata,
+    )
+
+    good = encode_mp3_planted(n_frames=3, sr_idx=0, bitrate_indices=[9])
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1, 2], "content": [good, b"junk"]})
+    )
+    rows = {r["media_id"]: r for r in mp3_metadata(df).collect()}
+    assert rows[1]["n_frames"] == 3 and rows[1]["sample_rate"] == 44100
+    assert rows[2]["n_frames"] is None and rows[2]["duration_ms"] is None
