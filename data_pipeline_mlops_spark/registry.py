@@ -2051,8 +2051,9 @@ _DRIVER_WINDOW: list[str] = [
     # event_funnel_latency, event_seasonality, event_seasonal_outliers,
     # item_similarity_basket_capped, association_rules_capped,
     # doc_label_classifier_eval, doc_skipgram_pairs) rotate in for
-    # round 10, after which every registry query has met the driver's
-    # DuckDB environment at least once.
+    # round 10 together with the round-9 NEW operator
+    # multimodal_mp3_meta, after which every registry query has met
+    # the driver's DuckDB environment at least once.
     # window functions / frames / histograms (the HUGEINT-divergence
     # risk class r4 exposed)
     "order_window_census", "customer_rolling_features",

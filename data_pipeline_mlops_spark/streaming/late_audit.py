@@ -97,13 +97,27 @@ class LateAuditGate:
     # -- the gate ----------------------------------------------------------
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # The batch is consumed by up to five actions (validation
+        # traversal, two table commits, publish, frontier agg): persist
+        # so the upstream plan — possibly a stateful operator with
+        # per-execution state-store loads — runs ONCE and the rest read
+        # the cached micro-batch (the pattern Spark's foreachBatch
+        # docs recommend for multi-action batches).
+        batch_df.persist()
+        try:
+            self._apply(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         # One full traversal FIRST, unconditionally: the engine
         # validates that foreachBatch consumed every partition (state-
         # store commit check, STATE_STORE_COMMIT_VALIDATION_FAILED
         # otherwise), so the early-out paths below must still have
         # walked the batch — a bare return after a metadata probe
-        # fails the query on redelivery.
+        # fails the query on redelivery. This is also what fills the
+        # persist() cache.
         n_rows = batch_df.count()
         if int(batch_id) in self.applied_batches(spark):
             return  # redelivery: already fully committed
@@ -158,8 +172,12 @@ class LateAuditGate:
         if stats.mx is not None:
             cand = int(stats.mx) - self.delay_us
             new_wm = cand if new_wm is None else max(new_wm, cand)
-        wm_row = spark.createDataFrame(
-            [(int(batch_id), new_wm)], "batch_id long, watermark_us long"
+        # JVM-only one-row plan (spark.range + lit), not
+        # createDataFrame: a parallelized Python list spins up python
+        # workers for a single scalar write inside every micro-batch
+        wm_row = spark.range(1).select(
+            F.lit(int(batch_id)).alias("batch_id"),
+            F.lit(new_wm).cast("long").alias("watermark_us"),
         )
         self.wm.commit(wm_row, mode="append")
         if len(self.wm.versions()) >= self.compact_every:
