@@ -92,6 +92,9 @@ HEADLINE = R1_KEYS + [
     "crawl_pipeline",
     "doc_label_classifier",
     "multimodal_gif_pixels",
+    # Round 9: the MP3 frame-header walk tier (Arrow mapInPandas
+    # header arithmetic, no pixel/sample payload work)
+    "multimodal_mp3_meta",
 ]
 
 
