@@ -109,3 +109,44 @@ def bm25_topk(
     return top.withColumn(
         "rank", F.row_number().over(w).cast("int")
     ).select("doc_id", "n_terms_matched", "score", "rank")
+
+
+def rrf_fuse(
+    sparse: DataFrame,
+    dense: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    sparse_rank: str = "bm25_rank",
+    dense_rank: str = "vec_rank",
+    k0: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of a keyword leg and a vector leg
+    (Cormack et al., the standard hybrid-retrieval combiner):
+    score(d) = Σ_legs 1/(k0 + rank_leg(d)), a doc missing from a leg
+    contributes 0. Each input carries (id_col, <rank col>).
+
+    Determinism: the two reciprocal terms are IEEE doubles divided
+    from exact integers and added in a FIXED order (sparse + dense),
+    so every engine reproduces the score bit-for-bit; final ordering
+    ties break on the id. The fused relation is at most
+    |sparse| + |dense| rows (two top-k lists), so the global
+    row_number window is bounded by construction — never corpus-sized.
+    """
+    fused = sparse.join(dense, id_col, "full_outer")
+    score = F.round(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(k0) + F.col(sparse_rank)), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(k0) + F.col(dense_rank)), F.lit(0.0)
+        ),
+        6,
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return (
+        fused.withColumn("rrf_score", score)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= top_k)
+        .select(id_col, sparse_rank, dense_rank, "rrf_score", "rank")
+    )

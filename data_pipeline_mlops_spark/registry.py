@@ -10129,6 +10129,122 @@ QUERIES["multimodal_mp3_meta"] = QuerySpec(
 )
 
 
+def q_doc_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword leg (functions/retrieval.py::
+    bm25_topk, query {spark, hash, window}, k=50) fused with a dense
+    vector leg (similarity.brute_force_topk: exact cosine of doc 0's
+    embedding against the corpus, k=50; doc_id/vec_id are aligned by
+    construction in the synthetic tables) via reciprocal-rank fusion
+    (rrf_fuse, k0=60, top 10). The standard two-tower + keyword
+    combiner a training-data retrieval stack needs; at scale the dense
+    leg swaps to lsh_topk/ivf (same rank contract). Both legs' ranks
+    and the fused score are engine-reproducible (fixed-order IEEE
+    arithmetic over exact integers), so the whole pipeline hashes."""
+    from data_pipeline_mlops_spark.functions.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+
+    docs = _docs(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    sparse = bm25_topk(
+        docs, ["spark", "hash", "window"],
+        id_col="doc_id", text_col="text", k=50,
+    ).select("doc_id", F.col("rank").alias("bm25_rank"))
+    dense = similarity.brute_force_topk(
+        emb.where(F.col("vec_id") == 0), emb,
+        id_col="vec_id", vec_col="embedding", k=50,
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    return rrf_fuse(sparse, dense, top_k=10)
+
+
+ORACLE_DOC_HYBRID = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(len(tk)) AS total_dl FROM d
+),
+t AS (
+  SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM d
+),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf
+  FROM t WHERE term IN ('spark', 'hash', 'window')
+  GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+rows_ AS (
+  SELECT tf.doc_id, tf.term,
+    LN(1.0 + ((CAST(stats.n_docs AS DOUBLE) - dfreq.df) + 0.5)
+             / (dfreq.df + 0.5))
+    * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)
+       / (CAST(tf.tf AS DOUBLE)
+          + 1.2 * ((1.0 - 0.75)
+                   + (0.75 * CAST(tf.dl AS DOUBLE))
+                     / (CAST(stats.total_dl AS DOUBLE)
+                        / CAST(stats.n_docs AS DOUBLE)))))
+      AS part
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+),
+g AS (
+  SELECT doc_id,
+    COALESCE(MAX(CASE WHEN term = 'spark' THEN part END), 0.0) AS p0,
+    COALESCE(MAX(CASE WHEN term = 'hash' THEN part END), 0.0) AS p1,
+    COALESCE(MAX(CASE WHEN term = 'window' THEN part END), 0.0) AS p2
+  FROM rows_ GROUP BY 1
+),
+bm25 AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY ROUND(((0.0 + p0) + p1) + p2, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS bm25_rank
+  FROM g
+  ORDER BY ROUND(((0.0 + p0) + p1) + p2, 6) DESC, doc_id ASC
+  LIMIT 50
+),
+q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+pairs AS (
+  SELECT c.vec_id AS doc_id,
+         ROUND(
+           list_dot_product(CAST(c.embedding AS DOUBLE[]), q.qv)
+           / (SQRT(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])))
+              * SQRT(list_dot_product(q.qv, q.qv))), 4) AS cosine_sim
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id <> 0
+),
+dense AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY cosine_sim DESC, doc_id ASC) AS INTEGER) AS vec_rank
+  FROM pairs
+  ORDER BY cosine_sim DESC, doc_id ASC
+  LIMIT 50
+),
+fused AS (
+  SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+         b.bm25_rank, v.vec_rank,
+         ROUND(COALESCE(1.0 / (60 + b.bm25_rank), 0.0)
+               + COALESCE(1.0 / (60 + v.vec_rank), 0.0), 6) AS rrf_score
+  FROM bm25 b FULL OUTER JOIN dense v ON b.doc_id = v.doc_id
+)
+SELECT doc_id, bm25_rank, vec_rank, rrf_score,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY rrf_score DESC, doc_id ASC) AS INTEGER) AS "rank"
+FROM fused
+QUALIFY "rank" <= 10
+"""
+
+QUERIES["doc_hybrid_search"] = QuerySpec(q_doc_hybrid_search, ORACLE_DOC_HYBRID)
+
+
 # --------------------------------------------------------------------------
 # scale-safety labels (VERDICT r8 #7)
 # --------------------------------------------------------------------------
@@ -10158,6 +10274,10 @@ _PARITY_ONLY: dict[str, str] = {
     # baseline the ANN tiers are measured against
     "ann_cosine_topk": "lsh_ann_topk",
     "ann_quantized_topk": "ivf_pq_topk",
+    # hybrid retrieval's DENSE leg is the brute-force baseline; swap
+    # it for lsh_topk/ivf at scale (same rank contract — rrf_fuse is
+    # leg-agnostic)
+    "doc_hybrid_search": "lsh_ann_topk",
 }
 
 

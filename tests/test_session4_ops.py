@@ -548,3 +548,31 @@ def test_materialize_reliable_checkpoint_switch(spark, tmp_path, monkeypatch):
     for root, _dirs, files in os.walk(ckpt):
         found.extend(files)
     assert found, "reliable checkpoint files should exist on disk"
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF on two tiny ranked lists: overlap doc scores on both legs,
+    leg-exclusive docs get the single reciprocal, ordering ties break
+    on doc_id, top_k truncates."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_mlops_spark.functions.retrieval import rrf_fuse
+
+    sparse = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, bm25_rank int"
+    )
+    dense = spark.createDataFrame(
+        [(2, 1), (4, 2)], "doc_id long, vec_rank int"
+    )
+    rows = {r["doc_id"]: r for r in rrf_fuse(
+        sparse, dense, top_k=3
+    ).collect()}
+    # doc 2 is on both legs: 1/62 + 1/61
+    assert rows[2]["rrf_score"] == round(1 / 62 + 1 / 61, 6)
+    assert rows[2]["rank"] == 1
+    # doc 1 (sparse only, rank 1) beats doc 4 (dense only, rank 2)
+    assert rows[1]["rrf_score"] == round(1 / 61, 6)
+    assert rows[1]["rank"] == 2
+    assert rows[4]["rank"] == 3 and rows[4]["bm25_rank"] is None
+    # top_k=3 truncated doc 3
+    assert 3 not in rows
