@@ -538,3 +538,52 @@ def test_winnowing_theorem_on_random_docs(spark, shared, pre_a, pre_b):
     for r in winnowing_fingerprints(df, k=4, window=5).collect():
         fps.setdefault(r.doc_id, set()).add(r.fingerprint)
     assert fps[1] & fps[2]
+
+
+# -- MP3 frame walker (round 9): encode->parse is exact on every
+#    spec-valid parameter combination, including VBR cycles, ID3v2
+#    tags, mono/stereo, all three MPEG-1 samplerates, and MPEG-2 ----
+
+from hypothesis import given
+from hypothesis import strategies as st
+
+
+@given(
+    n_frames=st.integers(min_value=1, max_value=40),
+    sr_idx=st.integers(min_value=0, max_value=2),
+    mono=st.booleans(),
+    idxs=st.lists(
+        st.integers(min_value=1, max_value=14), min_size=1, max_size=5
+    ),
+    id3=st.one_of(st.none(), st.integers(min_value=0, max_value=200)),
+    mpeg2=st.booleans(),
+)
+def test_mp3_encode_parse_round_trip(n_frames, sr_idx, mono, idxs, id3, mpeg2):
+    from data_pipeline_mlops_spark.functions.multimodal import (
+        _MP3_BITRATES_V1_L3,
+        _MP3_BITRATES_V2_L3,
+        _MP3_SAMPLERATES_V1,
+        encode_mp3_planted,
+        parse_mp3_frames,
+    )
+
+    blob = encode_mp3_planted(
+        n_frames=n_frames, sr_idx=sr_idx, mono=mono,
+        bitrate_indices=idxs, id3_size=id3, mpeg2=mpeg2,
+    )
+    got = parse_mp3_frames(blob)
+    table = _MP3_BITRATES_V2_L3 if mpeg2 else _MP3_BITRATES_V1_L3
+    used = [table[idxs[i % len(idxs)]] for i in range(n_frames)]
+    sr = _MP3_SAMPLERATES_V1[sr_idx] // (2 if mpeg2 else 1)
+    spf = 576 if mpeg2 else 1152
+    assert got == {
+        "n_frames": n_frames,
+        "sample_rate": sr,
+        "channels": 1 if mono else 2,
+        "bitrate_min_kbps": min(used),
+        "bitrate_max_kbps": max(used),
+        "is_vbr": min(used) != max(used),
+        "duration_ms": n_frames * spf * 1000 // sr,
+    }
+    # and any byte-truncation of the final frame must reject, not lie
+    assert parse_mp3_frames(blob[:-1]) is None
