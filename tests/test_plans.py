@@ -239,11 +239,15 @@ def test_bucketed_cache_adopts_foreign_location(spark):
     snap = loc + ".snap"
     side = f"{tbl}_p{os.getpid()}"
 
-    # start clean (an earlier aborted run may have left any of these)
+    # start clean — and force the baseline to be a fresh MANAGED
+    # build: the warehouse dir persists across pytest sessions, so an
+    # earlier run (or an earlier test in this module) may have left
+    # the location adopted as an EXTERNAL table, whose DROP keeps the
+    # files and would break the managed-drop step below
     shutil.rmtree(snap, ignore_errors=True)
     spark.sql(f"DROP TABLE IF EXISTS {side}")
-    if not spark.catalog.tableExists(tbl):
-        shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(loc, ignore_errors=True)
 
     # baseline build (registers the table and writes the location)
     expected = sorted(
