@@ -11,6 +11,17 @@ shows the GroupState pattern for anything stateful).
 State per key: (session_start, last_ts, n_events, sum_value). A
 processing-time timeout flushes idle keys; in availableNow/batch-test
 mode sessions also close when a newer event exceeds the gap.
+
+Trigger caveat (the round-9 compose lesson): with a pending
+ProcessingTimeTimeout the engine keeps scheduling timeout-evaluation
+micro-batches, so ``trigger(availableNow=True)`` NEVER terminates on
+this operator — unlike the alert throttle, the timeout here is core
+semantics (it is what closes the final session of each key), so it
+cannot simply be disabled. Run sessionize with a continuous trigger
+and stop the query explicitly (the pattern in
+tests/test_streaming.py::test_sessionize_stateful_operator); for a
+bounded backfill, use the batch twin (`event_session_windows` closes
+sessions from the complete history without state).
 """
 
 from __future__ import annotations
