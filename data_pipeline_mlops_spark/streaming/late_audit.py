@@ -194,7 +194,16 @@ class LateAuditGate:
         monotone (each commit takes max(old, new)), so the newest
         marker carries the global frontier — nothing is lost by
         truncating history. Safe to vacuum with zero retention here:
-        the gate is foreachBatch-serialized, the table's only writer."""
+        the gate is foreachBatch-serialized, the table's only writer.
+
+        The on_time/late OUTPUT tables get retention maintenance on
+        the same cadence: every batch appends one manifest version,
+        and without vacuum the version listing (read per commit) grew
+        with stream LIFETIME. Superseded manifests and orphaned
+        re-delivery dirs are reclaimed behind a one-hour retention
+        horizon so concurrent snapshot READERS of these product tables
+        are never pulled off their resolved files (the wm table has no
+        external readers, hence its zero horizon)."""
         kept = (
             self.wm.read(spark)
             .orderBy(F.col("batch_id").desc())
@@ -202,3 +211,8 @@ class LateAuditGate:
         )
         self.wm.commit(kept, mode="replace_all")
         self.wm.vacuum(keep_versions=1, retention_seconds=0.0)
+        for table in (self.on_time, self.late):
+            table.vacuum(
+                keep_versions=self.retain_batches,
+                retention_seconds=3600.0,
+            )

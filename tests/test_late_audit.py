@@ -113,3 +113,35 @@ def test_wm_table_compacts_bounded(spark, tmp_path):
     before = gate.on_time.read(spark).count()
     gate(batch(11), 11)
     assert gate.on_time.read(spark).count() == before
+
+
+def test_output_table_manifests_bounded(spark, tmp_path):
+    """Round 9: the on_time/late OUTPUT tables get retention
+    maintenance on the compaction cadence too — superseded manifest
+    versions must not accumulate with stream lifetime. (Retention
+    horizon only reclaims dirs older than an hour, so here only the
+    manifest version count shrinks — exactly the driver-side growth
+    term.)"""
+    from datetime import datetime, timezone
+
+    from data_pipeline_mlops_spark.streaming.late_audit import (
+        LateAuditGate,
+    )
+
+    gate = LateAuditGate(
+        str(tmp_path / "g"), ts_col="ts", delay_us=1_000_000,
+        retain_batches=3, compact_every=4,
+    )
+
+    def batch(i):
+        ts = datetime.fromtimestamp(1_700_000_000 + i * 10, tz=timezone.utc)
+        return spark.createDataFrame([(i, ts)], "id long, ts timestamp")
+
+    for i in range(12):
+        gate(batch(i), i)
+
+    # 12 commits happened, but old manifests vacuum behind the fold
+    assert len(gate.on_time.versions()) <= 3 + 4
+    assert len(gate.late.versions()) <= 3 + 4
+    # every batch's rows remain readable from the latest snapshot
+    assert gate.on_time.read(spark).count() == 12
