@@ -90,7 +90,17 @@ def crawl_ingest_batch(
     redelivery of an already-applied batch."""
     spark = pages.sparkSession
     if store.audit.latest_version() is not None:
-        prev = store.audit.read(spark).where(F.col("batch_id") == batch_id)
+        # manifest-side partition pruning: the redelivery probe opens
+        # ONLY this batch's partition dir — a full audit scan here
+        # grew with corpus lifetime (audit holds one row per page
+        # ever), the same growth term the late-audit gate fixed
+        prev = store.audit.read(
+            spark, partitions=[int(batch_id)]
+        ).withColumn(
+            # hive dir names re-infer the partition column as int;
+            # restore the table's declared long
+            "batch_id", F.col("batch_id").cast("long")
+        )
         if not prev.isEmpty():
             return prev.select(*AUDIT_COLS)
 
@@ -183,7 +193,12 @@ def crawl_ingest_batch(
         )
         .localCheckpoint()
     )
-    store.audit.commit(decisions, mode="append")  # the applied marker
+    # the applied marker — partitioned by batch_id so the redelivery
+    # probe prunes manifest-side, and replace_partitions makes a
+    # re-committed marker idempotent rather than doubled
+    store.audit.commit(
+        decisions, partition_col="batch_id", mode="replace_partitions"
+    )
     return decisions
 
 
@@ -220,5 +235,12 @@ def crawl_foreach_batch(
                 batch_df.sparkSession,
                 target_rows_per_file=4_000_000,
             )
+            # retention maintenance for the append-mostly tables:
+            # reclaim superseded manifests / orphan dirs behind a
+            # one-hour horizon (product tables may have snapshot
+            # readers); data stays fully readable from the latest
+            # snapshot
+            for t in (store.corpus, store.audit):
+                t.vacuum(keep_versions=64, retention_seconds=3600.0)
 
     return body

@@ -62,8 +62,15 @@ class DqGate:
     """foreachBatch body enforcing a row-check suite with transactional
     target/quarantine/report tables."""
 
-    def __init__(self, base_dir: str, checks: list[RowCheck]) -> None:
+    def __init__(
+        self,
+        base_dir: str,
+        checks: list[RowCheck],
+        *,
+        compact_every: int = 32,
+    ) -> None:
         self.checks = checks
+        self.compact_every = int(compact_every)
         self.target = ManifestTable(f"{base_dir}/target")
         self.quarantine = ManifestTable(f"{base_dir}/quarantine")
         self.report = ManifestTable(f"{base_dir}/report")
@@ -108,3 +115,20 @@ class DqGate:
             mode="replace_partitions",
         )
         self.report.commit(rep, mode="append")
+        # Lifetime-bounded maintenance (same cadence idea as the
+        # late-audit gate, round 9): the report is read EVERY batch by
+        # applied_batches and appends one staged dir per batch, so
+        # without a fold its scan cost grew with stream lifetime.
+        # Report rows are tiny (n_checks x n_batches) — the fold
+        # rewrites them into one dir; superseded manifests/dirs of all
+        # three tables reclaim behind a one-hour horizon (product
+        # tables may have snapshot readers).
+        if len(self.report.versions()) >= self.compact_every:
+            self.report.commit(
+                self.report.read(spark), mode="replace_all"
+            )
+            self.report.vacuum(
+                keep_versions=1, retention_seconds=3600.0
+            )
+            for t in (self.target, self.quarantine):
+                t.vacuum(keep_versions=64, retention_seconds=3600.0)

@@ -90,3 +90,24 @@ def test_partial_crash_replay_is_idempotent(spark, tmp_path):
     assert gate.target.read(spark).count() == 1
     assert gate.quarantine.read(spark).count() == 1
     assert gate.report.read(spark).where(F.col("batch_id") == 0).count() == 2
+
+
+def test_report_table_stays_bounded_over_lifetime(spark, tmp_path):
+    """Round 9: the report (the gate's applied-marker table, read
+    every batch) folds on the compaction cadence so its fragment and
+    manifest counts track the cadence, not stream lifetime — with all
+    rows still present and the replay guard intact."""
+    gate = DqGate(str(tmp_path / "dq"), _checks(), compact_every=4)
+    for i in range(12):
+        gate(_batch(spark, [(i, 1.0, "a")]), i)
+    assert len(gate.report.versions()) <= 4
+    assert gate.report.fragmentation() <= 4
+    # all 12 batches' rows survived the folds
+    assert gate.report.read(spark).select(
+        "batch_id"
+    ).distinct().count() == 12
+    assert gate.applied_batches(spark) == set(range(12))
+    # replay guard still a no-op
+    v = gate.target.latest_version()
+    gate(_batch(spark, [(99, 1.0, "a")]), 3)
+    assert gate.target.latest_version() == v
