@@ -93,8 +93,10 @@ HEADLINE = R1_KEYS + [
     "doc_label_classifier",
     "multimodal_gif_pixels",
     # Round 9: the MP3 frame-header walk tier (Arrow mapInPandas
-    # header arithmetic, no pixel/sample payload work)
+    # header arithmetic, no pixel/sample payload work) and hybrid
+    # retrieval (BM25 leg x dense cosine leg, RRF fusion)
     "multimodal_mp3_meta",
+    "doc_hybrid_search",
 ]
 
 
