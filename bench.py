@@ -93,10 +93,12 @@ HEADLINE = R1_KEYS + [
     "doc_label_classifier",
     "multimodal_gif_pixels",
     # Round 9: the MP3 frame-header walk tier (Arrow mapInPandas
-    # header arithmetic, no pixel/sample payload work) and hybrid
-    # retrieval (BM25 leg x dense cosine leg, RRF fusion)
+    # header arithmetic, no pixel/sample payload work), hybrid
+    # retrieval (BM25 leg x dense cosine leg, RRF fusion), and
+    # perceptual image dedup (BMP decode -> dHash -> banded Hamming)
     "multimodal_mp3_meta",
     "doc_hybrid_search",
+    "image_dhash_near_dups",
 ]
 
 

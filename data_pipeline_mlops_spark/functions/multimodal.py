@@ -1224,3 +1224,152 @@ def mp3_metadata(
     return df.select(
         F.col(id_col).cast("long").alias("media_id"), F.col(content_col)
     ).mapInPandas(batches, schema=out_schema)
+
+
+# -- perceptual image hashing (dHash) + banded Hamming near-dups -------------
+#
+# The multimodal counterpart of the text SimHash tier: near-duplicate
+# IMAGES (recompressed/re-encoded copies, thumbnails) collapse to the
+# same difference-hash even when their bytes differ entirely, so exact
+# content-hash dedup misses them. dHash (Krawetz) is the standard
+# cheap perceptual hash: downscale to a small luma grid, emit one bit
+# per horizontal neighbor comparison. Everything here is INTEGER-exact
+# (block sums cross-multiplied instead of float means), so the hash is
+# engine- and partitioning-invariant and the whole pipeline oracles.
+#
+# Fingerprint width is 63 bits (7 block rows x 9 comparisons) so the
+# packed hash stays a non-negative int64 — same headroom convention as
+# dedup_text.simhash (DuckDB's >> on a negative BIGINT is an
+# arithmetic shift, which would corrupt band extraction).
+
+DHASH_ROWS = 7
+DHASH_COLS = 10  # comparisons per row = DHASH_COLS - 1 = 9
+
+
+def dhash64(px) -> int | None:
+    """63-bit difference hash of an (h, w, 3) uint8 raster.
+
+    Integer luma (r+g+b)//3, average-pool onto a DHASH_ROWS x
+    DHASH_COLS grid (floor-split blocks; means compared via
+    cross-multiplied integer block sums so unequal block sizes stay
+    exact), bit (r, c) = mean(r, c) > mean(r, c+1), packed row-major.
+    None when the raster is smaller than the grid."""
+    a = _np.asarray(px)
+    h, w = a.shape[:2]
+    if h < DHASH_ROWS or w < DHASH_COLS:
+        return None
+    luma = (
+        a[:, :, 0].astype(_np.int64) + a[:, :, 1] + a[:, :, 2]
+    ) // 3
+    row_splits = _np.array_split(_np.arange(h), DHASH_ROWS)
+    col_splits = _np.array_split(_np.arange(w), DHASH_COLS)
+    sums = _np.empty((DHASH_ROWS, DHASH_COLS), dtype=_np.int64)
+    counts = _np.empty((DHASH_ROWS, DHASH_COLS), dtype=_np.int64)
+    for r, rs in enumerate(row_splits):
+        band = luma[rs[0]:rs[-1] + 1]
+        for c, cs in enumerate(col_splits):
+            blk = band[:, cs[0]:cs[-1] + 1]
+            sums[r, c] = int(blk.sum())
+            counts[r, c] = blk.size
+    fp = 0
+    bit = 0
+    for r in range(DHASH_ROWS):
+        for c in range(DHASH_COLS - 1):
+            # mean(r,c) > mean(r,c+1)  <=>  s_a * n_b > s_b * n_a
+            if sums[r, c] * counts[r, c + 1] > sums[r, c + 1] * counts[r, c]:
+                fp |= 1 << bit
+            bit += 1
+    return fp
+
+
+def image_dhash(
+    df: DataFrame,
+    *,
+    decode,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-blob dHash via Arrow mapInPandas: ``decode`` is any of the
+    real decoders (decode_bmp_pixels, decode_png_pixels, the GIF
+    first-frame decoder...) returning an (h, w, 3) array or
+    (array, n_frames); undecodable/too-small rows yield null, never
+    errors."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("dhash", T.LongType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for mid, buf in zip(pdf[id_col], pdf[content_col]):
+                ids.append(mid)
+                dec = decode(buf)
+                if dec is None:
+                    hashes.append(None)
+                    continue
+                px = dec[0] if isinstance(dec, tuple) else dec
+                hashes.append(dhash64(px))
+            yield pd.DataFrame({"media_id": ids, "dhash": hashes})
+
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"), F.col(content_col)
+    ).mapInPandas(batches, schema=out_schema)
+
+
+def dhash_near_dup_pairs(
+    hashes: DataFrame,
+    *,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate image pairs within ``max_hamming`` bit flips —
+    the same pigeonhole banded chunk join as
+    dedup_text.simhash_near_dups (two 63-bit hashes within k flips
+    must agree on one of k+1 whole chunks), candidates verified by
+    exact popcount. Bucketed, never all-pairs."""
+    nbits = 63
+    bands = max_hamming + 1
+    width = -(-nbits // bands)  # ceil
+    fp = hashes.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), F.col(hash_col).alias("__fp")
+    )
+
+    def chunk(b: int) -> F.Column:
+        start = b * width
+        w = min(width, nbits - start)
+        return F.shiftrightunsigned("__fp", start).bitwiseAND(
+            F.lit((1 << w) - 1)
+        )
+
+    banded = fp.select(
+        "__id",
+        F.posexplode(
+            F.array(*[chunk(b) for b in range(bands)])
+        ).alias("band", "chunk"),
+    )
+    a = banded.select(F.col("__id").alias("id_a"), "band", "chunk")
+    b = banded.select(F.col("__id").alias("id_b"), "band", "chunk")
+    cands = (
+        a.join(b, ["band", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = fp.select(F.col("__id").alias("id_a"), F.col("__fp").alias("__fa"))
+    fb = fp.select(F.col("__id").alias("id_b"), F.col("__fp").alias("__fb"))
+    return (
+        cands.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb"))).alias(
+                "hamming"
+            ),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -2051,9 +2051,10 @@ _DRIVER_WINDOW: list[str] = [
     # event_funnel_latency, event_seasonality, event_seasonal_outliers,
     # item_similarity_basket_capped, association_rules_capped,
     # doc_label_classifier_eval, doc_skipgram_pairs) rotate in for
-    # round 10 together with the round-9 NEW operator
-    # multimodal_mp3_meta, after which every registry query has met
-    # the driver's DuckDB environment at least once.
+    # round 10 together with the round-9 NEW operators
+    # (multimodal_mp3_meta, doc_hybrid_search, image_dhash_near_dups),
+    # after which every registry query has met the driver's DuckDB
+    # environment at least once.
     # window functions / frames / histograms (the HUGEINT-divergence
     # risk class r4 exposed)
     "order_window_census", "customer_rolling_features",
@@ -10126,6 +10127,111 @@ FROM p
 
 QUERIES["multimodal_mp3_meta"] = QuerySpec(
     q_multimodal_mp3_meta, ORACLE_MULTIMODAL_MP3_META
+)
+
+
+def q_image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs (multimodal.dhash64 /
+    dhash_near_dup_pairs): per doc a planted BMP whose 7x10 luma-block
+    grid is a deterministic function of doc_id — docs with
+    doc_id % 10 == 1 reuse their predecessor's pattern with one block
+    perturbed, so each such pair lands within Hamming 3 of the 63-bit
+    difference hash. The pipeline is REAL end-to-end: BMP decode ->
+    integer-exact average-pool -> neighbor compare -> pack -> banded
+    pigeonhole join -> popcount verify, and the oracle replays the
+    planted block values, the bit packing, the band extraction, and
+    the verify arithmetic in SQL. General (non-block-constant) pooling
+    is pinned against a Fraction-exact reference in tests."""
+    import numpy as _np_local  # noqa: F401 — used in the kernel below
+
+    from data_pipeline_mlops_spark.functions.multimodal import (
+        decode_bmp_pixels,
+        dhash_near_dup_pairs,
+        image_dhash,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def plant(it):
+        import numpy as np
+        import pandas as pd
+
+        from data_pipeline_mlops_spark.functions.multimodal import (
+            encode_bmp,
+        )
+
+        for pdf in it:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                base = d - 1 if d % 10 == 1 else d
+                img = np.zeros((28, 40, 3), np.uint8)
+                for r in range(7):
+                    for c in range(10):
+                        # multiplicative mix so distinct docs' bit
+                        # patterns are ~independent (a linear pattern
+                        # made every doc's sparse bits collide and the
+                        # pair graph degenerate)
+                        v = ((base + 1) * (r * 10 + c + 3) * 97) % 251
+                        if d % 10 == 1 and r == 0 and c == 0:
+                            v = (v + 100) % 251
+                        img[4 * r:4 * r + 4, 4 * c:4 * c + 4, :] = v
+                ids.append(d)
+                blobs.append(encode_bmp(img))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(plant, "media_id long, content binary")
+    hashes = image_dhash(media, decode=decode_bmp_pixels)
+    return dhash_near_dup_pairs(hashes, max_hamming=3)
+
+
+ORACLE_IMAGE_DHASH_NEAR_DUPS = """
+WITH grid AS (
+  SELECT d.doc_id, r.r, c.c,
+         CASE WHEN d.doc_id % 10 = 1 AND r.r = 0 AND c.c = 0
+              THEN ((d.doc_id * (r.r * 10 + c.c + 3) * 97) % 251
+                    + 100) % 251
+              ELSE (((CASE WHEN d.doc_id % 10 = 1 THEN d.doc_id - 1
+                           ELSE d.doc_id END) + 1)
+                    * (r.r * 10 + c.c + 3) * 97) % 251
+         END AS v
+  FROM documents d, range(7) r(r), range(10) c(c)
+),
+bits AS (
+  SELECT a.doc_id, a.r * 9 + a.c AS bit
+  FROM grid a
+  JOIN grid b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+  WHERE a.c < 9 AND a.v > b.v
+),
+fp AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(SUM(CAST(1 AS BIGINT) << bits.bit), 0) AS BIGINT)
+           AS dhash
+  FROM documents d LEFT JOIN bits ON bits.doc_id = d.doc_id
+  GROUP BY d.doc_id
+),
+bands AS (
+  SELECT doc_id, b,
+         (dhash >> CAST(b * 16 AS INTEGER))
+           & (CASE WHEN b = 3 THEN 32767 ELSE 65535 END) AS chunk
+  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS b) bb
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.b = b.b AND a.chunk = b.chunk
+              AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(fa.dhash, fb.dhash)) AS INTEGER) AS hamming
+FROM cand c
+JOIN fp fa ON fa.doc_id = c.id_a
+JOIN fp fb ON fb.doc_id = c.id_b
+WHERE bit_count(xor(fa.dhash, fb.dhash)) <= 3
+"""
+
+QUERIES["image_dhash_near_dups"] = QuerySpec(
+    q_image_dhash_near_dups, ORACLE_IMAGE_DHASH_NEAR_DUPS
 )
 
 

@@ -234,3 +234,124 @@ def test_mp3_metadata_spark_kernel_null_on_malformed(spark):
     rows = {r["media_id"]: r for r in mp3_metadata(df).collect()}
     assert rows[1]["n_frames"] == 3 and rows[1]["sample_rate"] == 44100
     assert rows[2]["n_frames"] is None and rows[2]["duration_ms"] is None
+
+
+# -- perceptual dHash (round 9) ----------------------------------------------
+
+def test_dhash64_matches_fraction_exact_reference():
+    """Integer cross-multiplied block-mean comparisons must equal an
+    exact rational-mean reference on arbitrary (non-divisible)
+    rasters."""
+    from fractions import Fraction
+
+    from data_pipeline_mlops_spark.functions.multimodal import (
+        DHASH_COLS,
+        DHASH_ROWS,
+        dhash64,
+    )
+
+    def ref(a):
+        h, w = a.shape[:2]
+        luma = (a[:, :, 0].astype(np.int64) + a[:, :, 1] + a[:, :, 2]) // 3
+        rs = np.array_split(np.arange(h), DHASH_ROWS)
+        cs = np.array_split(np.arange(w), DHASH_COLS)
+        means = [
+            [
+                Fraction(
+                    int(luma[r[0]:r[-1] + 1, c[0]:c[-1] + 1].sum()),
+                    int(luma[r[0]:r[-1] + 1, c[0]:c[-1] + 1].size),
+                )
+                for c in cs
+            ]
+            for r in rs
+        ]
+        fp, bit = 0, 0
+        for r in range(DHASH_ROWS):
+            for c in range(DHASH_COLS - 1):
+                if means[r][c] > means[r][c + 1]:
+                    fp |= 1 << bit
+                bit += 1
+        return fp
+
+    rng = np.random.RandomState(0)
+    for shape in [(7, 10), (13, 17), (28, 40), (100, 33), (29, 41)]:
+        a = rng.randint(0, 256, shape + (3,)).astype(np.uint8)
+        got = dhash64(a)
+        assert got == ref(a), shape
+        assert 0 <= got < (1 << 63)
+    assert dhash64(np.zeros((3, 5, 3), np.uint8)) is None  # below grid
+
+
+def test_dhash_invariant_to_reencoding_and_sensitive_to_content():
+    """The perceptual property: the same raster through different
+    encodings (BMP orientations) hashes identically; a genuinely
+    different raster does not."""
+    from data_pipeline_mlops_spark.functions.multimodal import (
+        decode_bmp_pixels,
+        dhash64,
+    )
+
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, (28, 40, 3)).astype(np.uint8)
+    h_up = dhash64(decode_bmp_pixels(encode_bmp(rgb, top_down=False)))
+    h_dn = dhash64(decode_bmp_pixels(encode_bmp(rgb, top_down=True)))
+    assert h_up == h_dn == dhash64(rgb)
+    other = rng.randint(0, 256, (28, 40, 3)).astype(np.uint8)
+    assert dhash64(other) != h_up
+
+
+def test_dhash_near_dup_pairs_equals_brute_force(spark):
+    """The banded pigeonhole join must find EXACTLY the brute-force
+    pair set within max_hamming (pigeonhole completeness + popcount
+    verify)."""
+    import itertools
+
+    from data_pipeline_mlops_spark.functions.multimodal import (
+        dhash_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(3)
+    fps = [int(rng.randint(0, 1 << 62)) for _ in range(30)]
+    # plant near pairs: flip 1-3 bits of some fingerprints
+    for i in (5, 11, 17):
+        flipped = fps[i]
+        for b in rng.choice(63, size=(i % 3) + 1, replace=False):
+            flipped ^= 1 << int(b)
+        fps.append(flipped)
+    df = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(fps)], "media_id long, dhash long"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dhash_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    want = set()
+    for (i, a), (j, b) in itertools.combinations(enumerate(fps), 2):
+        hd = bin(a ^ b).count("1")
+        if hd <= 3:
+            want.add((i, j, hd))
+    assert got == want and len(want) >= 3
+
+
+def test_image_dhash_spark_kernel_null_on_malformed(spark):
+    import pandas as pd
+
+    from data_pipeline_mlops_spark.functions.multimodal import (
+        decode_bmp_pixels,
+        image_dhash,
+    )
+
+    rgb = (np.arange(28 * 40 * 3) % 256).astype(np.uint8).reshape(28, 40, 3)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": [1, 2, 3],
+             "content": [encode_bmp(rgb), b"junk",
+                         encode_bmp(np.zeros((3, 3, 3), np.uint8))]}
+        )
+    )
+    rows = {r["media_id"]: r["dhash"] for r in image_dhash(
+        df, decode=decode_bmp_pixels
+    ).collect()}
+    assert rows[1] is not None
+    assert rows[2] is None          # undecodable
+    assert rows[3] is None          # below the hash grid
