@@ -1373,3 +1373,85 @@ def dhash_near_dup_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# -- perceptual AUDIO hashing (energy-envelope dHash) ------------------------
+#
+# The audio sibling of dhash64: re-encoded/volume-shifted copies of
+# the same clip keep their ENERGY ENVELOPE shape even when the bytes
+# differ, so comparing adjacent coarse-window energies gives a cheap
+# perceptual fingerprint (the time-domain tier of chromaprint-style
+# hashing — no FFT, so it stays integer-exact and engine-replayable).
+
+EHASH_WINDOWS = 64  # 63 comparison bits -> non-negative int64
+
+
+def audio_energy_hash(samples) -> int | None:
+    """63-bit energy-envelope hash of an (n_frames, channels) int
+    array: mono-mix by per-frame channel sum, floor-split the frames
+    into EHASH_WINDOWS windows, window energy = sum of squared mono
+    values (python ints — no int64 overflow at any bit depth), bit w =
+    mean_energy(w) > mean_energy(w+1) via cross-multiplied integer
+    sums. None when there are fewer frames than windows."""
+    a = _np.asarray(samples)
+    if a.ndim == 1:
+        a = a[:, None]
+    n = a.shape[0]
+    if n < EHASH_WINDOWS:
+        return None
+    mono = [int(x) for x in a.sum(axis=1, dtype=_np.int64)]
+    splits = _np.array_split(_np.arange(n), EHASH_WINDOWS)
+    sums = [sum(mono[i] * mono[i] for i in s) for s in splits]
+    counts = [len(s) for s in splits]
+    fp = 0
+    for w in range(EHASH_WINDOWS - 1):
+        if sums[w] * counts[w + 1] > sums[w + 1] * counts[w]:
+            fp |= 1 << w
+    return fp
+
+
+def audio_ehash(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-blob energy hash of PCM WAV content via Arrow mapInPandas
+    (decode_wav_samples then audio_energy_hash); undecodable or
+    too-short clips yield null, never errors."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("ehash", T.LongType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for mid, buf in zip(pdf[id_col], pdf[content_col]):
+                ids.append(mid)
+                dec = decode_wav_samples(buf)
+                hashes.append(
+                    None if dec is None else audio_energy_hash(dec[0])
+                )
+            yield pd.DataFrame({"media_id": ids, "ehash": hashes})
+
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"), F.col(content_col)
+    ).mapInPandas(batches, schema=out_schema)
+
+
+def hamming_near_dup_pairs(
+    hashes: DataFrame,
+    *,
+    id_col: str = "media_id",
+    hash_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Modality-neutral alias of :func:`dhash_near_dup_pairs` — the
+    banded pigeonhole Hamming join works on ANY 63-bit fingerprint
+    column (image dHash, audio energy hash, text SimHash)."""
+    return dhash_near_dup_pairs(
+        hashes, id_col=id_col, hash_col=hash_col, max_hamming=max_hamming
+    )

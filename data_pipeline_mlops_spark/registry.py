@@ -10235,6 +10235,106 @@ QUERIES["image_dhash_near_dups"] = QuerySpec(
 )
 
 
+def q_audio_ehash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO near-dup pairs (multimodal.audio_energy_hash /
+    hamming_near_dup_pairs): per doc a planted 128-frame 16-bit PCM
+    WAV whose samples are a multiplicative function of doc_id — docs
+    with doc_id % 10 == 1 reuse their predecessor's waveform with the
+    first energy window perturbed. REAL end-to-end: RIFF decode ->
+    integer energy envelope (64 windows, python-int squares, no
+    overflow at any bit depth) -> neighbor compare -> pack -> banded
+    pigeonhole join -> popcount verify; the oracle replays the planted
+    waveform, the window energies, the packing, and the band/verify
+    arithmetic in SQL."""
+    from data_pipeline_mlops_spark.functions.multimodal import (
+        audio_ehash,
+        hamming_near_dup_pairs,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def plant(it):
+        import numpy as np
+        import pandas as pd
+
+        from data_pipeline_mlops_spark.functions.multimodal import (
+            encode_wav,
+        )
+
+        for pdf in it:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                base = d - 1 if d % 10 == 1 else d
+                i = np.arange(128, dtype=np.int64)
+                s = ((base + 1) * (i + 7) * 31) % 199 - 99
+                if d % 10 == 1:
+                    s[:2] += 50  # perturb energy window 0 only
+                ids.append(d)
+                blobs.append(
+                    encode_wav(s, sample_rate=8000, bits=16)
+                )
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(plant, "media_id long, content binary")
+    hashes = audio_ehash(media)
+    return hamming_near_dup_pairs(
+        hashes, hash_col="ehash", max_hamming=3
+    )
+
+
+ORACLE_AUDIO_EHASH_NEAR_DUPS = """
+WITH frames AS (
+  SELECT d.doc_id, i.i,
+         (((CASE WHEN d.doc_id % 10 = 1 THEN d.doc_id - 1
+                 ELSE d.doc_id END) + 1) * (i.i + 7) * 31) % 199 - 99
+           + CASE WHEN d.doc_id % 10 = 1 AND i.i < 2 THEN 50 ELSE 0 END
+           AS s
+  FROM documents d, range(128) i(i)
+),
+energies AS (
+  SELECT doc_id, CAST(i // 2 AS INTEGER) AS w,
+         SUM(CAST(s AS BIGINT) * CAST(s AS BIGINT)) AS e
+  FROM frames GROUP BY doc_id, i // 2
+),
+bits AS (
+  SELECT a.doc_id, a.w AS bit
+  FROM energies a
+  JOIN energies b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+  WHERE a.w < 63 AND a.e > b.e
+),
+fp AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(SUM(CAST(1 AS BIGINT) << bits.bit), 0) AS BIGINT)
+           AS ehash
+  FROM documents d LEFT JOIN bits ON bits.doc_id = d.doc_id
+  GROUP BY d.doc_id
+),
+bands AS (
+  SELECT doc_id, b,
+         (ehash >> CAST(b * 16 AS INTEGER))
+           & (CASE WHEN b = 3 THEN 32767 ELSE 65535 END) AS chunk
+  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS b) bb
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.b = b.b AND a.chunk = b.chunk
+              AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(fa.ehash, fb.ehash)) AS INTEGER) AS hamming
+FROM cand c
+JOIN fp fa ON fa.doc_id = c.id_a
+JOIN fp fb ON fb.doc_id = c.id_b
+WHERE bit_count(xor(fa.ehash, fb.ehash)) <= 3
+"""
+
+QUERIES["audio_ehash_near_dups"] = QuerySpec(
+    q_audio_ehash_near_dups, ORACLE_AUDIO_EHASH_NEAR_DUPS
+)
+
+
 def q_doc_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 keyword leg (functions/retrieval.py::
     bm25_topk, query {spark, hash, window}, k=50) fused with a dense

@@ -355,3 +355,58 @@ def test_image_dhash_spark_kernel_null_on_malformed(spark):
     assert rows[1] is not None
     assert rows[2] is None          # undecodable
     assert rows[3] is None          # below the hash grid
+
+
+# -- perceptual audio energy hash (round 9) ----------------------------------
+
+def test_audio_energy_hash_volume_invariant_and_content_sensitive():
+    """The perceptual property: energies scale quadratically under a
+    volume change, so every adjacent-window comparison — and the hash
+    — is invariant under positive scaling; a genuinely different
+    waveform hashes differently."""
+    from data_pipeline_mlops_spark.functions.multimodal import (
+        audio_energy_hash,
+    )
+
+    rng = np.random.RandomState(11)
+    s = rng.randint(-5000, 5000, 256).astype(np.int64)
+    h = audio_energy_hash(s)
+    assert h == audio_energy_hash(s * 3)  # volume up: same envelope
+    assert h == audio_energy_hash(np.stack([s, s], axis=1))  # stereo dup
+    other = rng.randint(-5000, 5000, 256).astype(np.int64)
+    assert audio_energy_hash(other) != h
+    assert audio_energy_hash(np.zeros(32, np.int64)) is None  # < windows
+
+
+def test_audio_energy_hash_no_int64_overflow_at_32bit():
+    """32-bit full-scale samples squared exceed int64 per window —
+    the python-int energy path must stay exact."""
+    from data_pipeline_mlops_spark.functions.multimodal import (
+        audio_energy_hash,
+    )
+
+    loud = np.full(128, 2_000_000_000, dtype=np.int64)
+    loud[:2] = -2_000_000_000  # same energy: all comparisons equal
+    assert audio_energy_hash(loud) == 0
+
+
+def test_audio_ehash_spark_kernel_round_trip_and_null(spark):
+    import pandas as pd
+
+    from data_pipeline_mlops_spark.functions.multimodal import (
+        audio_ehash,
+        audio_energy_hash,
+        encode_wav,
+    )
+
+    s = ((np.arange(128) + 7) * 31 % 199 - 99).astype(np.int64)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": [1, 2],
+             "content": [encode_wav(s, sample_rate=8000, bits=16),
+                         b"not audio"]}
+        )
+    )
+    rows = {r["media_id"]: r["ehash"] for r in audio_ehash(df).collect()}
+    assert rows[1] == audio_energy_hash(s)
+    assert rows[2] is None
