@@ -2052,9 +2052,9 @@ _DRIVER_WINDOW: list[str] = [
     # item_similarity_basket_capped, association_rules_capped,
     # doc_label_classifier_eval, doc_skipgram_pairs) rotate in for
     # round 10 together with the round-9 NEW operators
-    # (multimodal_mp3_meta, doc_hybrid_search, image_dhash_near_dups),
-    # after which every registry query has met the driver's DuckDB
-    # environment at least once.
+    # (multimodal_mp3_meta, doc_hybrid_search, image_dhash_near_dups,
+    # audio_ehash_near_dups), after which every registry query has met
+    # the driver's DuckDB environment at least once.
     # window functions / frames / histograms (the HUGEINT-divergence
     # risk class r4 exposed)
     "order_window_census", "customer_rolling_features",
