@@ -1089,9 +1089,15 @@ def parse_mp3_frames(data: bytes):
     """Walk an MPEG-1/2/2.5 Layer III stream's frame headers; returns
     {n_frames, sample_rate, channels, bitrate_min_kbps,
     bitrate_max_kbps, is_vbr, duration_ms} or None on anything
-    malformed (no valid first frame, free-format, reserved fields,
-    mid-stream desync). Integer-exact: duration_ms =
-    total_samples * 1000 // sample_rate."""
+    malformed within the frame sequence (no valid first frame,
+    free-format, reserved fields, a frame whose declared length
+    overruns the buffer, mid-stream rate/mode switch). Deliberately
+    LENIENT about trailing non-frame bytes: the walk stops at the
+    first byte that is not a frame sync and reports the frames parsed
+    so far — real files end in ID3v1 tags ("TAG", 128 bytes), APE
+    tags, or junk, and ffprobe's fast path tolerates the same.
+    Integer-exact: duration_ms = total_samples * 1000 //
+    sample_rate."""
     b = bytes(data or b"")
     pos = 0
     # ID3v2 header: "ID3" ver(2) flags(1) size(4, syncsafe 7-bit bytes)
@@ -1100,6 +1106,10 @@ def parse_mp3_frames(data: bytes):
             return None  # malformed syncsafe size
         size = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
         pos = 10 + size
+        if b[5] & 0x10:
+            # ID3v2.4 footer flag: a 10-byte "3DI" footer trails the
+            # tag body and is NOT counted in the syncsafe size
+            pos += 10
     n_frames = 0
     sample_rate = None
     channels = None
@@ -1162,19 +1172,28 @@ def encode_mp3_planted(
     mono: bool = False,
     bitrate_indices,
     id3_size: int | None = None,
+    id3_footer: bool = False,
     mpeg2: bool = False,
 ) -> bytes:
     """Planted-fixture builder: spec-valid Layer III frame HEADERS
     with zeroed payloads (the walker never reads payload bytes — same
     planting idiom as encode_gif/encode_bmp). ``bitrate_indices``
-    cycles per frame (len>1 = VBR)."""
+    cycles per frame (len>1 = VBR). ``id3_footer`` sets the ID3v2.4
+    footer flag and appends the 10-byte "3DI" footer after the tag
+    body (not counted in the syncsafe size, per spec §3.1)."""
     out = bytearray()
     if id3_size is not None:
-        out += b"ID3\x04\x00\x00" + bytes(
+        flags = 0x10 if id3_footer else 0x00
+        out += b"ID3\x04\x00" + bytes([flags]) + bytes(
             [(id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
              (id3_size >> 7) & 0x7F, id3_size & 0x7F]
         )
         out += b"\x00" * id3_size
+        if id3_footer:
+            out += b"3DI\x04\x00" + bytes([flags]) + bytes(
+                [(id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
+                 (id3_size >> 7) & 0x7F, id3_size & 0x7F]
+            )
     version_bits = 0b10 if mpeg2 else 0b11
     for i in range(n_frames):
         br_idx = bitrate_indices[i % len(bitrate_indices)]

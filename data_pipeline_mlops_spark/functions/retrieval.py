@@ -134,19 +134,21 @@ def rrf_fuse(
     row_number window is bounded by construction — never corpus-sized.
     """
     fused = sparse.join(dense, id_col, "full_outer")
-    score = F.round(
-        F.coalesce(
-            F.lit(1.0) / (F.lit(k0) + F.col(sparse_rank)), F.lit(0.0)
-        )
-        + F.coalesce(
-            F.lit(1.0) / (F.lit(k0) + F.col(dense_rank)), F.lit(0.0)
-        ),
-        6,
+    # Rank on the UNROUNDED double: rounding-before-rank collapsed
+    # RRF scores closer than 1e-6 into id-ordered ties (and exposed
+    # Spark-vs-oracle half-ulp rounding differences to the ORDER).
+    # The fixed-order sum is already bit-deterministic, so the rank
+    # is exact; only the reported score is rounded for display.
+    raw = F.coalesce(
+        F.lit(1.0) / (F.lit(k0) + F.col(sparse_rank)), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(k0) + F.col(dense_rank)), F.lit(0.0)
     )
-    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    w = Window.orderBy(F.col("__rrf_raw").desc(), F.col(id_col).asc())
     return (
-        fused.withColumn("rrf_score", score)
+        fused.withColumn("__rrf_raw", raw)
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= top_k)
+        .withColumn("rrf_score", F.round(F.col("__rrf_raw"), 6))
         .select(id_col, sparse_rank, dense_rank, "rrf_score", "rank")
     )

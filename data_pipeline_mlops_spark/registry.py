@@ -674,6 +674,7 @@ def q_item_similarity_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     7.2x recommendations_capped ratio, and bucketing removes it for
     every model rebuild after the one-time bucketed write. Results
     identical to item_similarity (same oracle)."""
+    import hashlib
     import os
     from urllib.parse import urlparse
 
@@ -681,7 +682,16 @@ def q_item_similarity_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     mtime = int(os.path.getmtime(os.path.join(sf_dir, "lineitem.parquet")))
-    tbl = f"b_inter_{key}_{mtime}"
+    # The cache key folds in the bucket spec AND schema fingerprint:
+    # a persisted dir from a prior revision with a different bucket
+    # count/column or column set must MISS (get a new name), not be
+    # adopted with wrong bucket metadata — adopted-wrong metadata
+    # silently skips a shuffle the data actually needs.
+    n_buckets = 8
+    spec = "customer_id:bigint,product_id:bigint|by=customer_id" \
+        f"|n={n_buckets}|sorted=customer_id"
+    fp = hashlib.md5(spec.encode()).hexdigest()[:8]
+    tbl = f"b_inter_{key}_{mtime}_{fp}"
     if not spark.catalog.tableExists(tbl):
         # The catalog is per-session (in-memory) but the warehouse dir
         # persists, so another session — earlier OR CONCURRENT — may
@@ -699,7 +709,7 @@ def q_item_similarity_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CREATE TABLE IF NOT EXISTS {tbl} "
                 "(customer_id BIGINT, product_id BIGINT) USING parquet "
                 "CLUSTERED BY (customer_id) SORTED BY (customer_id) "
-                f"INTO 8 BUCKETS LOCATION '{loc}'"
+                f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
             )
         else:
             if os.path.exists(loc):
@@ -709,7 +719,7 @@ def q_item_similarity_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _interactions(spark, sf_dir),
                     table=tbl,
                     bucket_col="customer_id",
-                    n_buckets=8,
+                    n_buckets=n_buckets,
                 )
     return cf.item_similarity(
         spark.table(tbl),
@@ -10435,15 +10445,18 @@ dense AS (
   LIMIT 50
 ),
 fused AS (
+  -- rank on the UNROUNDED double (mirrors rrf_fuse); the reported
+  -- score is rounded separately after ranking
   SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
          b.bm25_rank, v.vec_rank,
-         ROUND(COALESCE(1.0 / (60 + b.bm25_rank), 0.0)
-               + COALESCE(1.0 / (60 + v.vec_rank), 0.0), 6) AS rrf_score
+         COALESCE(1.0 / (60 + b.bm25_rank), 0.0)
+           + COALESCE(1.0 / (60 + v.vec_rank), 0.0) AS rrf_raw
   FROM bm25 b FULL OUTER JOIN dense v ON b.doc_id = v.doc_id
 )
-SELECT doc_id, bm25_rank, vec_rank, rrf_score,
+SELECT doc_id, bm25_rank, vec_rank,
+       ROUND(rrf_raw, 6) AS rrf_score,
        CAST(ROW_NUMBER() OVER (
-         ORDER BY rrf_score DESC, doc_id ASC) AS INTEGER) AS "rank"
+         ORDER BY rrf_raw DESC, doc_id ASC) AS INTEGER) AS "rank"
 FROM fused
 QUALIFY "rank" <= 10
 """

@@ -311,6 +311,32 @@ class ManifestTable:
 
     # -- read path ---------------------------------------------------------
 
+    def partition_col(self, *, version: int | None = None) -> str | None:
+        """Partitioning column declared by the (latest) snapshot's
+        manifest, or None when the snapshot is unpartitioned or the
+        table has no committed version. Readers that want manifest-side
+        partition pruning should check this first: ``read(partitions=
+        ...)`` raises on an unpartitioned snapshot."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return None
+        return self._manifest(v)["partition_col"]
+
+    def has_unpartitioned_fragments(
+        self, *, version: int | None = None
+    ) -> bool:
+        """True when the (latest) snapshot carries data dirs committed
+        WITHOUT a partition column (the root manifest key). A table
+        upgraded from unpartitioned to partitioned commits is in this
+        mixed state: its manifest declares the new partition column but
+        the legacy dirs are invisible to ``read(partitions=...)``
+        pruning — callers that need those rows must fall back to a
+        full-snapshot read."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return False
+        return _ROOT in self._manifest(v)["partitions"]
+
     def read(
         self,
         spark: SparkSession,

@@ -93,14 +93,29 @@ def crawl_ingest_batch(
         # manifest-side partition pruning: the redelivery probe opens
         # ONLY this batch's partition dir — a full audit scan here
         # grew with corpus lifetime (audit holds one row per page
-        # ever), the same growth term the late-audit gate fixed
-        prev = store.audit.read(
-            spark, partitions=[int(batch_id)]
-        ).withColumn(
-            # hive dir names re-infer the partition column as int;
-            # restore the table's declared long
-            "batch_id", F.col("batch_id").cast("long")
-        )
+        # ever), the same growth term the late-audit gate fixed.
+        # Migration fallback: a store written by the pre-partitioned
+        # revision holds markers under the root manifest key (either
+        # partition_col is still None, or — after the first partitioned
+        # commit — the manifest is mixed and pruning cannot see the
+        # legacy dirs). Those stores take one full audit scan per
+        # probe until compacted; without the fallback a pre-upgrade
+        # batch redelivered after upgrade would re-ingest.
+        if (
+            store.audit.partition_col() == "batch_id"
+            and not store.audit.has_unpartitioned_fragments()
+        ):
+            prev = store.audit.read(
+                spark, partitions=[int(batch_id)]
+            ).withColumn(
+                # hive dir names re-infer the partition column as int;
+                # restore the table's declared long
+                "batch_id", F.col("batch_id").cast("long")
+            )
+        else:
+            prev = store.audit.read(spark).where(
+                F.col("batch_id") == F.lit(int(batch_id)).cast("long")
+            )
         if not prev.isEmpty():
             return prev.select(*AUDIT_COLS)
 
@@ -140,6 +155,18 @@ def crawl_ingest_batch(
         "text", "predicted_lang", "quality_score", "n_chars",
         "link_text_share", "text_hash",
         F.when(self_replay, F.lit("accepted"))
+        # crashed-batch replay: the first attempt committed this
+        # batch's winner to the seen index, so the in-batch losers
+        # (__rk > 1) now JOIN that row. Their seen hit comes from this
+        # same batch_id, not from history — keep the dup_in_batch
+        # label the first attempt would have given them (batch_ids are
+        # unique per stream, so __seen_batch == batch_id only on
+        # replay of this batch).
+        .when(
+            (F.col("__seen_batch") == F.lit(int(batch_id)))
+            & (F.col("__seen_doc") != F.col(id_col)),
+            F.lit("dup_in_batch"),
+        )
         .when(F.col("__seen_doc").isNotNull(), F.lit("dup_history"))
         .when(F.col("__rk") > 1, F.lit("dup_in_batch"))
         .otherwise(F.lit("accepted"))

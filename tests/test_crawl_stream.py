@@ -136,6 +136,68 @@ def test_crash_between_seen_and_corpus_commits_converges(spark, tmp_path):
     assert store.seen.latest_version() == v_s
 
 
+def test_replay_keeps_dup_in_batch_label(spark, tmp_path):
+    """ADVICE r9: on crashed-batch replay (state committed, marker
+    lost), the in-batch loser joins the seen row the first attempt
+    committed — from THIS batch_id, not history — and must keep the
+    dup_in_batch label the first attempt gave it, because
+    replace_partitions makes the replay's labels final."""
+    import os
+
+    store = CrawlStore.at(str(tmp_path / "crawl"))
+    b1 = _mk(spark, [_page(10, GOOD), _page(11, GOOD)])  # 11 loses
+    first = {r["doc_id"]: r["status"] for r in crawl_ingest_batch(
+        b1, store, batch_id=1
+    ).collect()}
+    assert first == {10: "accepted", 11: "dup_in_batch"}
+    # crash shape: marker lost, seen/corpus committed
+    v = store.audit.latest_version()
+    os.remove(os.path.join(store.audit.txn_path, f"v{v}.json"))
+    replay = {r["doc_id"]: r["status"] for r in crawl_ingest_batch(
+        b1, store, batch_id=1
+    ).collect()}
+    assert replay == first  # labels faithful across the replay
+    assert store.corpus.read(spark).count() == 1
+    assert store.seen.read(spark).count() == 1
+
+
+def test_legacy_unpartitioned_marker_store_still_noops(spark, tmp_path):
+    """ADVICE r9 migration fallback: a store whose audit markers were
+    committed by the pre-partitioned revision (root manifest key) must
+    still no-op on redelivery — the pruned probe can't see root dirs,
+    so the probe falls back to a full audit scan for such stores."""
+    store = CrawlStore.at(str(tmp_path / "crawl"))
+    b1 = _mk(spark, [_page(1, GOOD), _page(2, GOOD + " two")])
+    crawl_ingest_batch(b1, store, batch_id=1)
+    # rewrite the audit table the way the OLD revision left it:
+    # one unpartitioned snapshot under the root key
+    legacy = store.audit.read(spark).localCheckpoint()
+    store.audit.commit(legacy, partition_col=None, mode="replace_all")
+    assert store.audit.partition_col() is None
+    v_c, v_s = store.corpus.latest_version(), store.seen.latest_version()
+    again = {r["doc_id"]: r["status"] for r in crawl_ingest_batch(
+        b1, store, batch_id=1
+    ).collect()}
+    assert again == {1: "accepted", 2: "accepted"}
+    assert store.corpus.latest_version() == v_c  # no re-ingest
+    assert store.seen.latest_version() == v_s
+
+    # MIXED manifest: a post-upgrade batch commits partitioned dirs on
+    # top of the legacy root dirs; pre-upgrade batches must STILL no-op
+    crawl_ingest_batch(
+        _mk(spark, [_page(30, GOOD + " three")]), store, batch_id=2
+    )
+    assert store.audit.partition_col() == "batch_id"
+    assert store.audit.has_unpartitioned_fragments()
+    v_c, v_s = store.corpus.latest_version(), store.seen.latest_version()
+    again = {r["doc_id"]: r["status"] for r in crawl_ingest_batch(
+        b1, store, batch_id=1
+    ).collect()}
+    assert again == {1: "accepted", 2: "accepted"}
+    assert store.corpus.latest_version() == v_c
+    assert store.seen.latest_version() == v_s
+
+
 def test_end_state_equals_batch_twin(spark, tmp_path):
     from data_pipeline_mlops_spark.plans.crawl import crawl_to_corpus
 

@@ -219,6 +219,34 @@ def test_mp3_walker_rejection_posture():
     assert parse_mp3_frames(bytes(switch)) is None
 
 
+def test_mp3_walker_id3_footer_and_lenient_tail():
+    """ADVICE r9: the ID3v2.4 footer flag (b[5] & 0x10) adds a 10-byte
+    footer after the tag body that is NOT counted in the syncsafe
+    size — the walker must skip it to land on the first frame sync;
+    and trailing non-frame bytes (ID3v1 "TAG" trailers) are tolerated
+    by design: parse stops at the desync and reports frames so far."""
+    from data_pipeline_mlops_spark.functions.multimodal import (
+        encode_mp3_planted,
+        parse_mp3_frames,
+    )
+
+    with_footer = encode_mp3_planted(
+        n_frames=4, sr_idx=0, bitrate_indices=[9],
+        id3_size=23, id3_footer=True,
+    )
+    m = parse_mp3_frames(with_footer)
+    assert m is not None and m["n_frames"] == 4
+    # without the footer skip the walker would start 10 bytes early,
+    # inside the zeroed tag body — no sync there, so n_frames==0 → None
+    no_skip = bytearray(with_footer)
+    no_skip[5] = 0x00  # lie: clear the flag but keep the footer bytes
+    assert parse_mp3_frames(bytes(no_skip)) is None
+    # lenient tail: ID3v1 trailer after valid frames → full stats
+    good = encode_mp3_planted(n_frames=3, sr_idx=0, bitrate_indices=[9])
+    tagged = good + b"TAG" + b"\x00" * 125
+    assert parse_mp3_frames(tagged) == parse_mp3_frames(good)
+
+
 def test_mp3_metadata_spark_kernel_null_on_malformed(spark):
     import pandas as pd
 

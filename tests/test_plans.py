@@ -223,6 +223,7 @@ def test_bucketed_cache_adopts_foreign_location(spark):
     rmtree'd out from under a concurrent reader; an INCOMPLETE foreign
     dir (no _SUCCESS — a crashed or in-flight writer) is left
     untouched and the build sidesteps to a process-unique name."""
+    import hashlib
     import os
     import shutil
     from urllib.parse import urlparse
@@ -234,7 +235,19 @@ def test_bucketed_cache_adopts_foreign_location(spark):
     mtime = int(
         os.path.getmtime(os.path.join(SF_SMALL, "lineitem.parquet"))
     )
-    tbl = f"b_inter_{key}_{mtime}"
+    # same content key the registry builds: data identity (dir+mtime)
+    # PLUS the bucket-spec/schema fingerprint (ADVICE r9 — a dir from
+    # a revision with a different bucket count or column set must
+    # miss, not be adopted with wrong bucket metadata)
+    spec = (
+        "customer_id:bigint,product_id:bigint|by=customer_id"
+        "|n=8|sorted=customer_id"
+    )
+    fp = hashlib.md5(spec.encode()).hexdigest()[:8]
+    tbl = f"b_inter_{key}_{mtime}_{fp}"
+    # a different spec (e.g. 16 buckets) keys a DIFFERENT location
+    other_fp = hashlib.md5(spec.replace("n=8", "n=16").encode()).hexdigest()[:8]
+    assert other_fp != fp
     loc = os.path.join(wh, tbl)
     snap = loc + ".snap"
     side = f"{tbl}_p{os.getpid()}"
