@@ -2055,37 +2055,33 @@ _DRIVER_WINDOW: list[str] = [
     "category_performance", "top_products", "regional_stats",
     "data_quality", "dedup_keep_latest", "top_customers_per_region",
     "item_similarity", "recommendations", "recommendations_served",
-    # rotated in for round 9 (rotation 4): 38 of the 48 queries the
-    # driver has NEVER hashed through r8. The remaining 10
-    # (cf_negative_samples, embedding_drift, cohort_retention,
-    # event_funnel_latency, event_seasonality, event_seasonal_outliers,
-    # item_similarity_basket_capped, association_rules_capped,
-    # doc_label_classifier_eval, doc_skipgram_pairs) rotate in for
-    # round 10 together with the round-9 NEW operators
-    # (multimodal_mp3_meta, doc_hybrid_search, image_dhash_near_dups,
-    # audio_ehash_near_dups), after which every registry query has met
-    # the driver's DuckDB environment at least once.
-    # window functions / frames / histograms (the HUGEINT-divergence
-    # risk class r4 exposed)
+    # rotated in for round 10 (rotation 5 — the FINAL rotation): the
+    # last 10 queries the driver had never hashed through r9, plus the
+    # four round-9 operators. After this round every registry query has
+    # met the driver's DuckDB environment at least once.
+    "cf_negative_samples", "embedding_drift", "cohort_retention",
+    "event_funnel_latency", "event_seasonality",
+    "event_seasonal_outliers", "item_similarity_basket_capped",
+    "association_rules_capped", "doc_label_classifier_eval",
+    "doc_skipgram_pairs",
+    # round-9 new operators (never driver-hashed)
+    "multimodal_mp3_meta", "doc_hybrid_search",
+    "image_dhash_near_dups", "audio_ehash_near_dups",
+    # NEW round-10 operators slot in here as they land (each new query
+    # must meet the driver in its birth round from now on)
+    # re-validation fill: previously-hashed representatives of each
+    # risk tier (HUGEINT/window frames, warehouse joins, corpus/text,
+    # ANN/sketch, lakehouse) so the window stays 50 deep
     "order_window_census", "customer_rolling_features",
-    "customer_order_gaps", "price_histogram", "order_value_equidepth",
-    "lineitem_moment_stats", "event_value_outliers",
-    "event_mad_outliers", "event_alert_throttle",
-    # warehouse / join / sampling tiers
-    "bucketed_order_revenue", "purchase_attribution",
-    "error_context_events", "never_finalized_customers",
-    "salted_priority_join", "fuzzy_part_matches", "orders_profile",
-    "dq_expectations", "customer_name_tokens",
-    "cluster_balanced_sample",
-    # corpus / dedup / text-analysis tiers
-    "doc_dedup_decisions", "doc_dup_components", "simhash_near_dups",
-    "corpus_report", "doc_fixed_sample", "lang_id_confusion",
-    "doc_pack_stats", "doc_pack_ffd_stats", "doc_pack_curriculum",
-    "doc_line_trim", "doc_collocations", "term_postings",
-    "doc_phrase_search", "bpe_encode_parts",
-    # embedding / ANN / sketch tiers
-    "ann_quantized_topk", "pq_fixed_topk", "pq_trained_recall",
-    "embedding_contrastive_pairs", "event_type_kmv",
+    "price_histogram", "lineitem_moment_stats",
+    "event_alert_throttle", "purchase_attribution",
+    "salted_priority_join", "dq_expectations",
+    "cluster_balanced_sample", "doc_dedup_decisions",
+    "simhash_near_dups", "corpus_report", "doc_pack_ffd_stats",
+    "doc_collocations", "doc_phrase_search", "bpe_encode_parts",
+    "ann_quantized_topk", "pq_trained_recall", "event_type_kmv",
+    "hourly_events", "status_matrix", "eval_decontamination",
+    "orders_merge_upsert", "doc_quality",
 ]
 
 
