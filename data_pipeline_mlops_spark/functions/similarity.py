@@ -581,3 +581,60 @@ def contrastive_pairs(
     return pos.withColumn("label", F.lit(1).cast("int")).unionByName(
         negs.withColumn("label", F.lit(0).cast("int"))
     )
+
+
+def cluster_semantic_dedup(
+    clustered: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    threshold: float = 0.98,
+    scale: int = 4,
+) -> DataFrame:
+    """SemDeDup keep rule (Abbas et al. 2023, arXiv:2303.09540) over a
+    pre-clustered corpus: within each cluster, any vector with a
+    LOWER-id neighbor whose rounded cosine >= threshold is dropped —
+    deterministic greedy keep-lowest, so a transitive chain keeps only
+    its minimum id. Returns (id, cluster, dup_of, keep) where dup_of
+    is the lowest qualifying lower id (NULL for keepers).
+
+    Scale shape: the pairwise join is equi-keyed on the cluster id, so
+    cost is Σ|cluster|² — the cluster granularity is the knob (the
+    paper uses k ~ sqrt(N); a hyperplane-LSH bucket id works as the
+    cluster key too, giving the bounded-occupancy production tier)."""
+    e = clustered.select(
+        F.col(id_col).alias("__id"),
+        F.col(cluster_col).alias("__c"),
+        _to_double(F.col(vec_col)).alias("__v"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(
+        dot_d(F.col("a.__v"), F.col("b.__v"))
+        / (l2_norm_d(F.col("a.__v")) * l2_norm_d(F.col("b.__v"))),
+        scale,
+    )
+    lowest = (
+        a.join(
+            b,
+            (F.col("a.__c") == F.col("b.__c"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .where(cos >= threshold)
+        .groupBy(F.col("b.__id").alias("__id"))
+        .agg(F.min(F.col("a.__id")).alias("dup_of"))
+    )
+    return (
+        clustered.select(id_col, cluster_col)
+        .join(
+            lowest,
+            F.col(id_col) == lowest["__id"],
+            "left",
+        )
+        .select(
+            id_col,
+            cluster_col,
+            F.col("dup_of"),
+            F.col("dup_of").isNull().alias("keep"),
+        )
+    )

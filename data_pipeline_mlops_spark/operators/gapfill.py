@@ -1,0 +1,95 @@
+"""Time-bucket gap-fill over a grouped time series (hypertable rollup).
+
+The reference's dashboards aggregate per-day metrics straight off the
+daily DAG output (dags/daily_pipeline.py:149-156 daily summary;
+analytics charts read it as a contiguous series) — days with no rows
+simply vanish, and every chart/window downstream silently skips them.
+Timeseries stores make the contiguous form a first-class operator
+(TimescaleDB ``time_bucket_gapfill`` + ``locf``/``interpolate``); this
+module is the Spark-first equivalent:
+
+- Build the bucket SPINE executor-side: ``sequence(lo, hi)`` exploded
+  per group — one row per (group, bucket) with no driver loop and no
+  UDF. The spine is calendar-bounded (|groups| x days), independent of
+  fact-table row count, so it does NOT grow with data scale.
+- LEFT-join the aggregated actuals on (group, bucket) — one shuffle on
+  a key whose cardinality equals the output, never the input.
+- Fill policies per column: ``zero_cols`` coalesce to a typed zero
+  (counts/sums over an empty bucket ARE zero), ``locf_cols``
+  last-observation-carried-forward via ``last(col, ignorenulls=True)``
+  over a group-partitioned, bucket-ordered running frame (gauges keep
+  their last reading). Columns in neither list stay NULL for filled
+  rows, matching TimescaleDB's default.
+- ``mark_col`` labels synthesized rows so downstream consumers can
+  distinguish "measured zero" from "absent bucket".
+
+At 100 TB the shape holds: the heavy aggregation happens BEFORE this
+operator on the fact table's natural partitioning; gap-fill itself
+touches only the aggregated series (|groups| x buckets rows), and the
+LOCF window partitions by group with a calendar-bounded partition size
+— no skew, no corpus-sized window.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_PRESENT = "__gf_present"
+
+
+def time_bucket_gapfill(
+    agg_df: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    bucket_col: str,
+    zero_cols: Sequence[str] = (),
+    locf_cols: Sequence[str] = (),
+    mark_col: str | None = "filled",
+) -> DataFrame:
+    """Gap-fill an already-aggregated series ``agg_df`` holding one row
+    per (group, bucket). ``bucket_col`` must be a DateType or
+    TimestampType column with uniform spacing (``sequence`` steps one
+    day for dates); the spine spans the GLOBAL [min, max] bucket so
+    every group covers the same range (TimescaleDB's explicit-range
+    semantics — a group with late onset gets leading filled rows)."""
+    zero_cols = list(zero_cols)
+    locf_cols = list(locf_cols)
+    group_cols = list(group_cols)
+    value_cols = [
+        c for c in agg_df.columns
+        if c not in group_cols and c != bucket_col
+    ]
+    bounds = agg_df.select(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    groups = agg_df.select(*group_cols).distinct()
+    spine = groups.crossJoin(F.broadcast(bounds)).select(
+        *group_cols,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"))
+        ).alias(bucket_col),
+    )
+    actual = agg_df.withColumn(_PRESENT, F.lit(True))
+    out = spine.join(actual, [*group_cols, bucket_col], "left")
+
+    types = dict(agg_df.dtypes)
+    filled_cols = []
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in value_cols:
+        col = F.col(c)
+        if c in zero_cols:
+            col = F.coalesce(col, F.lit(0).cast(types[c]))
+        elif c in locf_cols:
+            col = F.last(col, ignorenulls=True).over(w)
+        filled_cols.append(col.alias(c))
+    cols = [*group_cols, bucket_col, *filled_cols]
+    if mark_col is not None:
+        cols.append(F.col(_PRESENT).isNull().alias(mark_col))
+    return out.select(*cols)

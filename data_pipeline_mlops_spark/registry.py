@@ -33,6 +33,7 @@ from data_pipeline_mlops_spark.operators import (
     topk,
 )
 from data_pipeline_mlops_spark.operators.exact import (
+    long_count,
     money_avg,
     money_sum,
 )
@@ -2069,6 +2070,7 @@ _DRIVER_WINDOW: list[str] = [
     "image_dhash_near_dups", "audio_ehash_near_dups",
     # NEW round-10 operators slot in here as they land (each new query
     # must meet the driver in its birth round from now on)
+    "nation_daily_gapfill", "doc_semdedup",
     # re-validation fill: previously-hashed representatives of each
     # risk tier (HUGEINT/window frames, warehouse joins, corpus/text,
     # ANN/sketch, lakehouse) so the window stays 50 deep
@@ -2080,8 +2082,7 @@ _DRIVER_WINDOW: list[str] = [
     "simhash_near_dups", "corpus_report", "doc_pack_ffd_stats",
     "doc_collocations", "doc_phrase_search", "bpe_encode_parts",
     "ann_quantized_topk", "pq_trained_recall", "event_type_kmv",
-    "hourly_events", "status_matrix", "eval_decontamination",
-    "orders_merge_upsert", "doc_quality",
+    "status_matrix", "eval_decontamination", "orders_merge_upsert",
 ]
 
 
@@ -6037,16 +6038,19 @@ QUERIES["dup_cluster_keep_best"] = QuerySpec(
 )
 
 
-def _emb_cluster_parts(spark: SparkSession, sf_dir: str):
+def _emb_cluster_parts(spark: SparkSession, sf_dir: str, emb=None):
     """Full-vector k-means over the embeddings (k=8, 2 deterministic
     Lloyd iterations): ml/pq.py::lloyd_codebooks with m=1 IS k-means
     on the whole vector (one segment = the full 64 dims), so the
     trained-PQ machinery (decimal-exact means, code-asc tiebreak,
     empty-cluster carry-forward) is reused verbatim. Seeds are the 8
-    lowest-id vectors — pure data, no RNG."""
+    lowest-id vectors — pure data, no RNG. ``emb`` overrides the
+    input frame (same (vec_id, embedding) shape) — SemDeDup clusters
+    the planted near-dup corpus instead of the raw table."""
     from data_pipeline_mlops_spark.ml import pq
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    if emb is None:
+        emb = load_table(spark, sf_dir, "embeddings")
     v = similarity._to_double(F.col("embedding"))
     seeds = emb.where(F.col("vec_id") < 8).select(
         F.lit(0).cast("int").alias("segment"),
@@ -6073,18 +6077,20 @@ def q_embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned
 
 
-def _kmeans_lloyd_sql() -> str:
+def _kmeans_lloyd_sql(src: str = "embeddings") -> str:
     """Unrolled 2-iteration full-vector Lloyd replay (the m=1 twin of
-    _pq_lloyd_iteration_sql, 64 dims, k=8 lowest-id seeds)."""
+    _pq_lloyd_iteration_sql, 64 dims, k=8 lowest-id seeds). ``src``
+    names the (vec_id, embedding) relation to cluster — a table or an
+    earlier CTE (SemDeDup passes its planted corpus CTE)."""
     dist = """list_reduce(
                list_transform(range(1, 65),
                  j -> (v.e[j] - cb.centroid[j])
                       * (v.e[j] - cb.centroid[j])),
                (a, b) -> a + b)"""
-    parts = ["""
+    parts = [f"""
 v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings
+  FROM {src}
 ),
 cb0 AS (
   SELECT CAST(vec_id AS INTEGER) AS code, e AS centroid
@@ -10461,6 +10467,153 @@ QUERIES["doc_hybrid_search"] = QuerySpec(q_doc_hybrid_search, ORACLE_DOC_HYBRID)
 
 
 # --------------------------------------------------------------------------
+# round 10: hypertable gap-fill rollup + SemDeDup semantic dedup
+# --------------------------------------------------------------------------
+
+
+def q_nation_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style contiguous rollup: per-nation daily order
+    series gap-filled over the global [min, max] order-day range —
+    counts/revenue zero-filled (an empty day's sum IS zero), the
+    peak-order-value gauge carried forward (locf), synthesized rows
+    marked. The reference's daily summary (dags/daily_pipeline.py:
+    149-156) silently drops empty days; this is the
+    time_bucket_gapfill + locf form timeseries stores make first-class
+    (operators/gapfill.py). Dims broadcast; the spine is
+    calendar-bounded so the operator's cost is independent of fact
+    rows."""
+    from data_pipeline_mlops_spark.operators.gapfill import (
+        time_bucket_gapfill,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    agg = joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        long_count("n_orders"),
+        money_sum("o_totalprice", "revenue"),
+        # division-free gauge for the locf demo: MAX of stored doubles
+        # is bit-identical across engines (an AVG at tiny group sizes
+        # lands on .xx5 half-ulp ROUND boundaries where Spark and
+        # DuckDB disagree — hit at sf0.01)
+        F.max("o_totalprice").alias("peak_value"),
+    )
+    return time_bucket_gapfill(
+        agg,
+        group_cols=["nation"],
+        bucket_col="day",
+        zero_cols=["n_orders", "revenue"],
+        locf_cols=["peak_value"],
+        mark_col="filled",
+    )
+
+
+ORACLE_NATION_DAILY_GAPFILL = f"""
+WITH j AS (
+  SELECT n.n_name AS nation, CAST(o.o_orderdate AS DATE) AS day,
+         o.o_totalprice AS tp
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+a AS (
+  SELECT nation, day, COUNT(*) AS n_orders,
+         {_osum('tp', 'revenue')},
+         MAX(tp) AS peak_value
+  FROM j GROUP BY 1, 2
+),
+b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM a),
+spine AS (
+  SELECT g.nation, CAST(d.d AS DATE) AS day
+  FROM (SELECT DISTINCT nation FROM a) g
+  CROSS JOIN b
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS d
+  ) d
+)
+SELECT s.nation, s.day,
+       COALESCE(a.n_orders, 0) AS n_orders,
+       COALESCE(a.revenue, 0.0) AS revenue,
+       LAST_VALUE(a.peak_value IGNORE NULLS) OVER (
+         PARTITION BY s.nation ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_value,
+       a.nation IS NULL AS filled
+FROM spine s
+LEFT JOIN a ON a.nation = s.nation AND a.day = s.day
+"""
+
+QUERIES["nation_daily_gapfill"] = QuerySpec(
+    q_nation_daily_gapfill, ORACLE_NATION_DAILY_GAPFILL
+)
+
+
+def q_doc_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means
+    clusters bound the pairwise-cosine search, then within each
+    cluster any vector with a LOWER-id neighbor above the threshold is
+    dropped (deterministic greedy keep-lowest — transitive chains keep
+    only their minimum). Runs over the planted near-dup corpus
+    (originals + perturbed twins land in the same cell, so the cluster
+    bound provably does not cost recall here). The oracle replays the
+    FULL pipeline in SQL: corpus construction, both Lloyd iterations,
+    assignment, in-cluster pairs, the keep rule. Cluster-bounded
+    pairwise cost is |cluster|² — the paper's k scales with corpus
+    (k ~ sqrt(N)) to bound occupancy; at fixed k=8 this formulation is
+    parity-only, the production tier is the hyperplane-LSH bucketed
+    pair source (embedding_near_dups_lsh) feeding the same keep
+    rule."""
+    corpus = _near_dup_corpus(spark, sf_dir)
+    _, assigned = _emb_cluster_parts(spark, sf_dir, emb=corpus)
+    clustered = corpus.join(assigned, "vec_id")
+    return similarity.cluster_semantic_dedup(
+        clustered,
+        id_col="vec_id",
+        vec_col="embedding",
+        cluster_col="cluster",
+        threshold=0.98,
+        scale=4,
+    )
+
+
+def _semdedup_oracle() -> str:
+    return f"""
+WITH {ORACLE_EMBEDDING_NEAR_DUPS_CORPUS},
+{_kmeans_lloyd_sql(src="corpus").lstrip()},
+ec AS (
+  SELECT v.vec_id, v.e, CAST(enc.code AS INTEGER) AS cluster
+  FROM v JOIN enc ON enc.vec_id = v.vec_id
+),
+dup_pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM ec a JOIN ec b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.e, b.e)
+              / (SQRT(list_dot_product(a.e, a.e))
+                 * SQRT(list_dot_product(b.e, b.e))), 4) >= 0.98
+),
+lowest AS (
+  SELECT id_b, MIN(id_a) AS dup_of FROM dup_pairs GROUP BY 1
+)
+SELECT ec.vec_id, ec.cluster, l.dup_of, l.dup_of IS NULL AS keep
+FROM ec LEFT JOIN lowest l ON l.id_b = ec.vec_id
+"""
+
+
+QUERIES["doc_semdedup"] = QuerySpec(q_doc_semdedup, _semdedup_oracle())
+
+
+# --------------------------------------------------------------------------
 # scale-safety labels (VERDICT r8 #7)
 # --------------------------------------------------------------------------
 # Parity-only formulations: each reproduces the reference's (or the
@@ -10493,6 +10646,11 @@ _PARITY_ONLY: dict[str, str] = {
     # it for lsh_topk/ivf at scale (same rank contract — rrf_fuse is
     # leg-agnostic)
     "doc_hybrid_search": "lsh_ann_topk",
+    # SemDeDup at fixed k=8: within-cluster pairwise is |cluster|²;
+    # the paper scales k with corpus size to bound occupancy — the
+    # production pair source is the hyperplane-LSH bucketed tier
+    # feeding the same keep rule
+    "doc_semdedup": "embedding_near_dups_lsh",
 }
 
 

@@ -1,0 +1,136 @@
+"""Round-10 operators: time-bucket gap-fill (operators/gapfill.py) and
+SemDeDup cluster-bounded semantic dedup
+(functions/similarity.py::cluster_semantic_dedup)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_pipeline_mlops_spark.functions.similarity import (
+    cluster_semantic_dedup,
+)
+from data_pipeline_mlops_spark.operators.gapfill import time_bucket_gapfill
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _d(s: str) -> dt.date:
+    return dt.date.fromisoformat(s)
+
+
+def _series(spark):
+    rows = [
+        ("a", _d("2024-01-01"), 2, 10.0, 5.0),
+        ("a", _d("2024-01-03"), 1, 7.0, 7.0),
+        # group b starts LATE: global spine gives it leading fill rows
+        ("b", _d("2024-01-03"), 3, 30.0, 12.0),
+    ]
+    return spark.createDataFrame(
+        rows, "g string, day date, n long, rev double, gauge double"
+    )
+
+
+def test_gapfill_zero_locf_mark(spark):
+    out = time_bucket_gapfill(
+        _series(spark),
+        group_cols=["g"],
+        bucket_col="day",
+        zero_cols=["n", "rev"],
+        locf_cols=["gauge"],
+        mark_col="filled",
+    ).collect()
+    got = {(r["g"], str(r["day"])): r for r in out}
+    # spine: 2 groups x 3 days (global 01-01..01-03)
+    assert len(got) == 6
+    # actual rows untouched
+    r = got[("a", "2024-01-01")]
+    assert (r["n"], r["rev"], r["gauge"], r["filled"]) == (2, 10.0, 5.0, False)
+    # gap: counts/sums zero-filled, gauge carried forward
+    r = got[("a", "2024-01-02")]
+    assert (r["n"], r["rev"], r["gauge"], r["filled"]) == (0, 0.0, 5.0, True)
+    # late-onset group: leading rows filled, gauge NULL before first obs
+    r = got[("b", "2024-01-01")]
+    assert (r["n"], r["rev"], r["gauge"], r["filled"]) == (0, 0.0, None, True)
+    r = got[("b", "2024-01-03")]
+    assert (r["n"], r["rev"], r["gauge"], r["filled"]) == (3, 30.0, 12.0, False)
+
+
+def test_gapfill_no_mark_and_null_passthrough(spark):
+    # columns in neither fill list stay NULL on synthesized rows
+    out = time_bucket_gapfill(
+        _series(spark),
+        group_cols=["g"],
+        bucket_col="day",
+        zero_cols=["n"],
+        locf_cols=[],
+        mark_col=None,
+    )
+    assert "filled" not in out.columns
+    rows = {(r["g"], str(r["day"])): r for r in out.collect()}
+    r = rows[("a", "2024-01-02")]
+    assert r["n"] == 0 and r["rev"] is None and r["gauge"] is None
+
+
+def test_gapfill_spine_is_calendar_bounded(spark):
+    """The spine Exchange is on (group, day) — output-sized — and the
+    bounds side is broadcast (no shuffle to discover [lo, hi])."""
+    plan = time_bucket_gapfill(
+        _series(spark),
+        group_cols=["g"],
+        bucket_col="day",
+        zero_cols=["n"],
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_semdedup_keep_rule_chain(spark):
+    """u~v and v~w but u!~w (chain): greedy keep-lowest keeps ONLY the
+    chain minimum — v drops against u, w drops against v (dup_of
+    records the lowest qualifying lower id, which may itself be
+    dropped). Cross-cluster near-identical vectors do NOT pair."""
+    rows = [
+        # cluster 0: 1 and 2 identical; 3 orthogonal-ish
+        (1, 0, [1.0, 0.0, 0.0]),
+        (2, 0, [1.0, 0.0, 0.0]),
+        (3, 0, [0.0, 1.0, 0.0]),
+        # chain in cluster 1: 4~5 (cos .9962), 5~6 (cos .9962),
+        # 4~6 (cos .9848 < τ) — only 4 survives
+        (4, 1, [1.0, 0.0, 0.0]),
+        (5, 1, [1.0, 0.0875, 0.0]),
+        (6, 1, [1.0, 0.1763, 0.0]),
+        # cluster 2: identical to id 1 but OTHER cluster -> no pair
+        (7, 2, [1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, cluster int, embedding array<double>"
+    )
+    out = {r["vec_id"]: r for r in cluster_semantic_dedup(
+        df, threshold=0.99
+    ).collect()}
+    assert [out[i]["keep"] for i in (1, 2, 3, 4, 5, 6, 7)] == [
+        True, False, True, True, False, False, True,
+    ]
+    assert out[2]["dup_of"] == 1
+    assert out[5]["dup_of"] == 4
+    assert out[6]["dup_of"] == 5  # chained drop: its witness is dropped too
+    assert out[7]["dup_of"] is None
+
+
+def test_semdedup_registry_twins_planted_corpus(spark):
+    """Every planted twin (vec_id >= 100000) must be dropped against
+    its original (cluster bound costs no recall on the planted
+    corpus), and every original kept."""
+    from data_pipeline_mlops_spark.registry import QUERIES
+
+    out = QUERIES["doc_semdedup"].spark(spark, SF_SMALL).collect()
+    twins = [r for r in out if r["vec_id"] >= 100000]
+    assert twins and all(not r["keep"] for r in twins)
+    assert all(r["dup_of"] == r["vec_id"] - 100000 for r in twins)
+    originals = [r for r in out if r["vec_id"] < 100000]
+    assert all(r["keep"] for r in originals)
+    # scale label: parity-only with a registered scale-safe twin
+    spec = QUERIES["doc_semdedup"]
+    assert spec.scale_safe is False
+    assert QUERIES[spec.scale_twin].scale_safe
