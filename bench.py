@@ -99,6 +99,11 @@ HEADLINE = R1_KEYS + [
     "multimodal_mp3_meta",
     "doc_hybrid_search",
     "image_dhash_near_dups",
+    # Round 10: hypertable gap-fill rollup (spine generation + two
+    # fill-policy windows) and SemDeDup (Lloyd training + cluster-
+    # bounded pairwise + keep rule)
+    "nation_daily_gapfill",
+    "doc_semdedup",
 ]
 
 

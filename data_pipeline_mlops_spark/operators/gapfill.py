@@ -47,6 +47,7 @@ def time_bucket_gapfill(
     bucket_col: str,
     zero_cols: Sequence[str] = (),
     locf_cols: Sequence[str] = (),
+    interp_cols: Sequence[str] = (),
     mark_col: str | None = "filled",
 ) -> DataFrame:
     """Gap-fill an already-aggregated series ``agg_df`` holding one row
@@ -54,9 +55,18 @@ def time_bucket_gapfill(
     TimestampType column with uniform spacing (``sequence`` steps one
     day for dates); the spine spans the GLOBAL [min, max] bucket so
     every group covers the same range (TimescaleDB's explicit-range
-    semantics — a group with late onset gets leading filled rows)."""
+    semantics — a group with late onset gets leading filled rows).
+
+    Fill policies: ``zero_cols`` -> typed zero, ``locf_cols`` -> last
+    observation carried forward, ``interp_cols`` -> LINEAR
+    interpolation between the surrounding actual observations
+    (TimescaleDB ``interpolate``): prev + (next - prev) * elapsed /
+    span, evaluated in that exact association so any IEEE-double
+    engine reproduces it bit-for-bit. Rows before the first or after
+    the last observation stay NULL (no extrapolation)."""
     zero_cols = list(zero_cols)
     locf_cols = list(locf_cols)
+    interp_cols = list(interp_cols)
     group_cols = list(group_cols)
     value_cols = [
         c for c in agg_df.columns
@@ -82,12 +92,31 @@ def time_bucket_gapfill(
         .orderBy(bucket_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    wn = (
+        Window.partitionBy(*group_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
     for c in value_cols:
         col = F.col(c)
         if c in zero_cols:
             col = F.coalesce(col, F.lit(0).cast(types[c]))
         elif c in locf_cols:
             col = F.last(col, ignorenulls=True).over(w)
+        elif c in interp_cols:
+            prev_v = F.last(col, ignorenulls=True).over(w)
+            next_v = F.first(col, ignorenulls=True).over(wn)
+            obs_day = F.when(col.isNotNull(), F.col(bucket_col))
+            prev_d = F.last(obs_day, ignorenulls=True).over(w)
+            next_d = F.first(obs_day, ignorenulls=True).over(wn)
+            frac = F.datediff(F.col(bucket_col), prev_d).cast(
+                "double"
+            ) / F.datediff(next_d, prev_d).cast("double")
+            col = (
+                F.when(col.isNotNull(), col)
+                .when(prev_v.isNull() | next_v.isNull(), F.lit(None))
+                .otherwise(prev_v + (next_v - prev_v) * frac)
+            )
         filled_cols.append(col.alias(c))
     cols = [*group_cols, bucket_col, *filled_cols]
     if mark_col is not None:

@@ -2070,7 +2070,7 @@ _DRIVER_WINDOW: list[str] = [
     "image_dhash_near_dups", "audio_ehash_near_dups",
     # NEW round-10 operators slot in here as they land (each new query
     # must meet the driver in its birth round from now on)
-    "nation_daily_gapfill", "doc_semdedup",
+    "nation_daily_gapfill", "nation_daily_interpolate", "doc_semdedup",
     # re-validation fill: previously-hashed representatives of each
     # risk tier (HUGEINT/window frames, warehouse joins, corpus/text,
     # ANN/sketch, lakehouse) so the window stays 50 deep
@@ -2082,7 +2082,7 @@ _DRIVER_WINDOW: list[str] = [
     "simhash_near_dups", "corpus_report", "doc_pack_ffd_stats",
     "doc_collocations", "doc_phrase_search", "bpe_encode_parts",
     "ann_quantized_topk", "pq_trained_recall", "event_type_kmv",
-    "status_matrix", "eval_decontamination", "orders_merge_upsert",
+    "eval_decontamination", "orders_merge_upsert",
 ]
 
 
@@ -10555,6 +10555,94 @@ LEFT JOIN a ON a.nation = s.nation AND a.day = s.day
 
 QUERIES["nation_daily_gapfill"] = QuerySpec(
     q_nation_daily_gapfill, ORACLE_NATION_DAILY_GAPFILL
+)
+
+
+def q_nation_daily_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third fill policy: LINEAR interpolation of the
+    peak-order-value gauge across gaps (TimescaleDB ``interpolate``)
+    — prev + (next - prev) * elapsed / span in a fixed IEEE-double
+    association both engines reproduce bit-for-bit; edges (before
+    first / after last observation) stay NULL, no extrapolation."""
+    from data_pipeline_mlops_spark.operators.gapfill import (
+        time_bucket_gapfill,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    agg = joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(F.max("o_totalprice").alias("peak_value"))
+    return time_bucket_gapfill(
+        agg,
+        group_cols=["nation"],
+        bucket_col="day",
+        interp_cols=["peak_value"],
+        mark_col="filled",
+    )
+
+
+ORACLE_NATION_DAILY_INTERPOLATE = """
+WITH j AS (
+  SELECT n.n_name AS nation, CAST(o.o_orderdate AS DATE) AS day,
+         o.o_totalprice AS tp
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+a AS (
+  SELECT nation, day, MAX(tp) AS peak_value
+  FROM j GROUP BY 1, 2
+),
+b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM a),
+spine AS (
+  SELECT g.nation, CAST(d.d AS DATE) AS day
+  FROM (SELECT DISTINCT nation FROM a) g
+  CROSS JOIN b
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS d
+  ) d
+),
+f AS (
+  SELECT s.nation, s.day, a.peak_value,
+         a.nation IS NULL AS filled,
+         LAST_VALUE(a.peak_value IGNORE NULLS) OVER wp AS prev_v,
+         FIRST_VALUE(a.peak_value IGNORE NULLS) OVER wn AS next_v,
+         LAST_VALUE(CASE WHEN a.peak_value IS NOT NULL
+                         THEN s.day END IGNORE NULLS) OVER wp AS prev_d,
+         FIRST_VALUE(CASE WHEN a.peak_value IS NOT NULL
+                          THEN s.day END IGNORE NULLS) OVER wn AS next_d
+  FROM spine s
+  LEFT JOIN a ON a.nation = s.nation AND a.day = s.day
+  WINDOW
+    wp AS (PARTITION BY s.nation ORDER BY s.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wn AS (PARTITION BY s.nation ORDER BY s.day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT nation, day,
+       CASE WHEN peak_value IS NOT NULL THEN peak_value
+            WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+            ELSE prev_v + (next_v - prev_v)
+                 * (CAST(day - prev_d AS DOUBLE)
+                    / CAST(next_d - prev_d AS DOUBLE))
+       END AS peak_value,
+       filled
+FROM f
+"""
+
+QUERIES["nation_daily_interpolate"] = QuerySpec(
+    q_nation_daily_interpolate, ORACLE_NATION_DAILY_INTERPOLATE
 )
 
 

@@ -73,6 +73,42 @@ def test_gapfill_no_mark_and_null_passthrough(spark):
     assert r["n"] == 0 and r["rev"] is None and r["gauge"] is None
 
 
+def test_gapfill_linear_interpolation(spark):
+    rows = [
+        ("a", _d("2024-01-01"), 10.0),
+        ("a", _d("2024-01-04"), 40.0),   # 3-day gap: 20, 30
+        ("a", _d("2024-01-06"), 10.0),   # 2-day gap: 25
+    ]
+    df = spark.createDataFrame(rows, "g string, day date, v double")
+    out = {str(r["day"]): r for r in time_bucket_gapfill(
+        df, group_cols=["g"], bucket_col="day", interp_cols=["v"],
+    ).collect()}
+    assert out["2024-01-02"]["v"] == 20.0
+    assert out["2024-01-03"]["v"] == 30.0
+    assert out["2024-01-05"]["v"] == 25.0
+    assert out["2024-01-01"]["v"] == 10.0 and not out["2024-01-01"]["filled"]
+    assert out["2024-01-02"]["filled"]
+
+
+def test_gapfill_interpolation_no_extrapolation(spark):
+    # group b observed only on day 3 of a 1..4 global spine: every
+    # other bucket lacks a surrounding pair -> NULL, never extended
+    rows = [
+        ("a", _d("2024-01-01"), 1.0),
+        ("a", _d("2024-01-04"), 4.0),
+        ("b", _d("2024-01-03"), 9.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, day date, v double")
+    out = {(r["g"], str(r["day"])): r["v"] for r in time_bucket_gapfill(
+        df, group_cols=["g"], bucket_col="day", interp_cols=["v"],
+    ).collect()}
+    assert out[("b", "2024-01-01")] is None
+    assert out[("b", "2024-01-02")] is None
+    assert out[("b", "2024-01-03")] == 9.0
+    assert out[("b", "2024-01-04")] is None
+    assert out[("a", "2024-01-02")] == 2.0
+
+
 def test_gapfill_spine_is_calendar_bounded(spark):
     """The spine Exchange is on (group, day) — output-sized — and the
     bounds side is broadcast (no shuffle to discover [lo, hi])."""
