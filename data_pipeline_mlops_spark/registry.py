@@ -2071,6 +2071,7 @@ _DRIVER_WINDOW: list[str] = [
     # NEW round-10 operators slot in here as they land (each new query
     # must meet the driver in its birth round from now on)
     "nation_daily_gapfill", "nation_daily_interpolate", "doc_semdedup",
+    "doc_semdedup_lsh",
     # re-validation fill: previously-hashed representatives of each
     # risk tier (HUGEINT/window frames, warehouse joins, corpus/text,
     # ANN/sketch, lakehouse) so the window stays 50 deep
@@ -2082,7 +2083,7 @@ _DRIVER_WINDOW: list[str] = [
     "simhash_near_dups", "corpus_report", "doc_pack_ffd_stats",
     "doc_collocations", "doc_phrase_search", "bpe_encode_parts",
     "ann_quantized_topk", "pq_trained_recall", "event_type_kmv",
-    "eval_decontamination", "orders_merge_upsert",
+    "orders_merge_upsert",
 ]
 
 
@@ -10701,6 +10702,50 @@ FROM ec LEFT JOIN lowest l ON l.id_b = ec.vec_id
 QUERIES["doc_semdedup"] = QuerySpec(q_doc_semdedup, _semdedup_oracle())
 
 
+def q_doc_semdedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION SemDeDup tier: the pair source is the
+    hyperplane-LSH OR-construction (6 planes x 8 tables, per-bucket
+    joins — never all-pairs, occupancy-bounded at any corpus size)
+    feeding the same deterministic keep-lowest rule as doc_semdedup.
+    The md5 bucket variant quantizes to exact int64 arithmetic so
+    DuckDB replays the SAME buckets — the approximation itself is
+    oracled, not just the verify (production swaps in the xxhash64
+    bucket twin)."""
+    corpus = _near_dup_corpus(spark, sf_dir)
+    pairs = similarity.cosine_near_dup_pairs(
+        corpus,
+        id_col="vec_id", vec_col="embedding",
+        threshold=0.98, method="md5",
+        num_planes=6, num_tables=8,
+    )
+    lowest = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.min("id_a").alias("dup_of")
+    )
+    return corpus.select("vec_id").join(lowest, "vec_id", "left").select(
+        "vec_id",
+        F.col("dup_of"),
+        F.col("dup_of").isNull().alias("keep"),
+    )
+
+
+ORACLE_DOC_SEMDEDUP_LSH = f"""
+WITH pairs AS ({ORACLE_EMBEDDING_NEAR_DUPS_LSH}),
+ids AS (
+  WITH {ORACLE_EMBEDDING_NEAR_DUPS_CORPUS}
+  SELECT vec_id FROM corpus
+),
+lowest AS (
+  SELECT id_b AS vec_id, MIN(id_a) AS dup_of FROM pairs GROUP BY 1
+)
+SELECT i.vec_id, l.dup_of, l.dup_of IS NULL AS keep
+FROM ids i LEFT JOIN lowest l ON l.vec_id = i.vec_id
+"""
+
+QUERIES["doc_semdedup_lsh"] = QuerySpec(
+    q_doc_semdedup_lsh, ORACLE_DOC_SEMDEDUP_LSH
+)
+
+
 # --------------------------------------------------------------------------
 # scale-safety labels (VERDICT r8 #7)
 # --------------------------------------------------------------------------
@@ -10736,9 +10781,9 @@ _PARITY_ONLY: dict[str, str] = {
     "doc_hybrid_search": "lsh_ann_topk",
     # SemDeDup at fixed k=8: within-cluster pairwise is |cluster|²;
     # the paper scales k with corpus size to bound occupancy — the
-    # production pair source is the hyperplane-LSH bucketed tier
+    # production tier is the hyperplane-LSH bucketed pair source
     # feeding the same keep rule
-    "doc_semdedup": "embedding_near_dups_lsh",
+    "doc_semdedup": "doc_semdedup_lsh",
 }
 
 

@@ -169,4 +169,23 @@ def test_semdedup_registry_twins_planted_corpus(spark):
     # scale label: parity-only with a registered scale-safe twin
     spec = QUERIES["doc_semdedup"]
     assert spec.scale_safe is False
+    assert spec.scale_twin == "doc_semdedup_lsh"
     assert QUERIES[spec.scale_twin].scale_safe
+
+
+def test_semdedup_lsh_tier_agrees_on_planted_corpus(spark):
+    """The occupancy-bounded LSH pair source reaches the SAME keep
+    decisions as the cluster-bounded tier on the planted corpus (a
+    near-dup pair at cosine ~0.99 collides in at least one of the 8
+    tables with near-certainty — and deterministically here)."""
+    from data_pipeline_mlops_spark.registry import QUERIES
+
+    kmeans = {
+        r["vec_id"]: (r["keep"], r["dup_of"])
+        for r in QUERIES["doc_semdedup"].spark(spark, SF_SMALL).collect()
+    }
+    lsh = {
+        r["vec_id"]: (r["keep"], r["dup_of"])
+        for r in QUERIES["doc_semdedup_lsh"].spark(spark, SF_SMALL).collect()
+    }
+    assert kmeans == lsh
