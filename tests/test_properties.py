@@ -587,3 +587,73 @@ def test_mp3_encode_parse_round_trip(n_frames, sr_idx, mono, idxs, id3, mpeg2):
     }
     # and any byte-truncation of the final frame must reject, not lie
     assert parse_mp3_frames(blob[:-1]) is None
+
+
+GF_OBS = st.lists(
+    st.tuples(
+        st.sampled_from(["g1", "g2"]),
+        st.integers(0, 14),                     # day offset
+        st.floats(-100, 100, allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1, max_size=20,
+)
+
+
+@given(obs=GF_OBS)
+@common
+def test_gapfill_matches_pure_python_reference(spark, obs):
+    """time_bucket_gapfill (zero + locf + interp + mark) vs a
+    dict-based single-threaded replay: same spine, same fills,
+    same NULL edges — regardless of group layout or gap pattern."""
+    import datetime as dt
+
+    from data_pipeline_mlops_spark.operators.gapfill import (
+        time_bucket_gapfill,
+    )
+
+    base = dt.date(2024, 3, 1)
+    # one row per (group, day): keep the last-listed observation,
+    # mirroring an upstream aggregation
+    agg = {}
+    for g, off, v in obs:
+        agg[(g, off)] = v
+    rows = [
+        (g, base + dt.timedelta(days=off), 1, v, v, v)
+        for (g, off), v in agg.items()
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, day date, n long, z double, l double, i double"
+    )
+    got = {
+        (r["g"], r["day"].toordinal() - base.toordinal()): r
+        for r in time_bucket_gapfill(
+            df, group_cols=["g"], bucket_col="day",
+            zero_cols=["n", "z"], locf_cols=["l"], interp_cols=["i"],
+        ).collect()
+    }
+
+    lo = min(o for _, o in agg)
+    hi = max(o for _, o in agg)
+    groups = {g for g, _ in agg}
+    assert len(got) == len(groups) * (hi - lo + 1)
+    for g in groups:
+        days = sorted(o for (gg, o) in agg if gg == g)
+        for d in range(lo, hi + 1):
+            r = got[(g, d)]
+            if (g, d) in agg:
+                v = agg[(g, d)]
+                assert (r["n"], r["z"], r["l"], r["i"], r["filled"]) == (
+                    1, v, v, v, False,
+                )
+                continue
+            assert r["filled"] and r["n"] == 0 and r["z"] == 0.0
+            prevs = [o for o in days if o < d]
+            nexts = [o for o in days if o > d]
+            assert r["l"] == (agg[(g, prevs[-1])] if prevs else None)
+            if not prevs or not nexts:
+                assert r["i"] is None
+            else:
+                p, nx = prevs[-1], nexts[0]
+                pv, nv = agg[(g, p)], agg[(g, nx)]
+                want = pv + (nv - pv) * ((d - p) / (nx - p))
+                assert r["i"] == want  # same IEEE association
