@@ -10710,7 +10710,10 @@ def q_doc_semdedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The md5 bucket variant quantizes to exact int64 arithmetic so
     DuckDB replays the SAME buckets — the approximation itself is
     oracled, not just the verify (production swaps in the xxhash64
-    bucket twin)."""
+    bucket twin). Scale knob (measured, SCALING_r10.json): per-bucket
+    occupancy is ~N/2^planes, so planes grow with log2(N) — at 10x
+    vectors, fixed 6 planes ran 18.6x (pairs ~N^2/2^p) while
+    6+ceil(log2(10)) planes restored 4.7x (sub-linear)."""
     corpus = _near_dup_corpus(spark, sf_dir)
     pairs = similarity.cosine_near_dup_pairs(
         corpus,
