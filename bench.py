@@ -100,10 +100,13 @@ HEADLINE = R1_KEYS + [
     "doc_hybrid_search",
     "image_dhash_near_dups",
     # Round 10: hypertable gap-fill rollup (spine generation + two
-    # fill-policy windows) and SemDeDup (Lloyd training + cluster-
-    # bounded pairwise + keep rule)
+    # fill-policy windows) and the SemDeDup production tier (xxhash64
+    # LSH pair source + keep rule; the trained-kmeans doc_semdedup is
+    # parity-only — oracled but not headlined, its 14.5 s k=8
+    # pairwise crowds the interleave and measures cluster
+    # granularity, not the engine)
     "nation_daily_gapfill",
-    "doc_semdedup",
+    "doc_semdedup_fast",
 ]
 
 
@@ -140,9 +143,34 @@ def _embedding_near_dups_fast(spark, sf_dir):
     )
 
 
+def _semdedup_fast(spark, sf_dir):
+    """SemDeDup production tier on xxhash64 LSH buckets (the
+    registry's doc_semdedup_lsh is the md5-portable oracle twin; the
+    trained-kmeans doc_semdedup is parity-only and too
+    cluster-granularity-sensitive to headline — SCALING_r10.json)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_mlops_spark.functions import similarity
+    from data_pipeline_mlops_spark.registry import _near_dup_corpus
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    pairs = similarity.cosine_near_dup_pairs(
+        corpus, id_col="vec_id", vec_col="embedding",
+        threshold=0.98, method="xxhash64",
+        num_planes=6, num_tables=8,
+    )
+    lowest = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.min("id_a").alias("dup_of")
+    )
+    return corpus.select("vec_id").join(lowest, "vec_id", "left").select(
+        "vec_id", "dup_of", F.col("dup_of").isNull().alias("keep")
+    )
+
+
 _EXTRA_FNS = {
     "minhash_lsh_fast": _minhash_fast,
     "embedding_near_dups_fast": _embedding_near_dups_fast,
+    "doc_semdedup_fast": _semdedup_fast,
 }
 
 
