@@ -72,6 +72,25 @@ def time_bucket_gapfill(
         c for c in agg_df.columns
         if c not in group_cols and c != bucket_col
     ]
+    # fail at construction, not at the eventual read: a typo'd fill
+    # column would otherwise silently leave NULLs on filled rows
+    for name, cols in (
+        ("zero_cols", zero_cols),
+        ("locf_cols", locf_cols),
+        ("interp_cols", interp_cols),
+    ):
+        unknown = [c for c in cols if c not in value_cols]
+        if unknown:
+            raise ValueError(
+                f"{name} not value columns of the input: {unknown} "
+                f"(value columns: {value_cols})"
+            )
+    claimed = zero_cols + locf_cols + interp_cols
+    dupes = {c for c in claimed if claimed.count(c) > 1}
+    if dupes:
+        raise ValueError(
+            f"columns assigned to more than one fill policy: {sorted(dupes)}"
+        )
     bounds = agg_df.select(
         F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
     )

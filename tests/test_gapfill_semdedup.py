@@ -73,6 +73,21 @@ def test_gapfill_no_mark_and_null_passthrough(spark):
     assert r["n"] == 0 and r["rev"] is None and r["gauge"] is None
 
 
+def test_gapfill_rejects_bad_fill_specs(spark):
+    import pytest
+
+    df = _series(spark)
+    with pytest.raises(ValueError, match="not value columns"):
+        time_bucket_gapfill(
+            df, group_cols=["g"], bucket_col="day", zero_cols=["typo"],
+        )
+    with pytest.raises(ValueError, match="more than one fill policy"):
+        time_bucket_gapfill(
+            df, group_cols=["g"], bucket_col="day",
+            zero_cols=["n"], locf_cols=["n"],
+        )
+
+
 def test_gapfill_linear_interpolation(spark):
     rows = [
         ("a", _d("2024-01-01"), 10.0),
