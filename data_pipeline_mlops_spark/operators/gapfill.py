@@ -32,12 +32,21 @@ LOCF window partitions by group with a calendar-bounded partition size
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_pipeline_mlops_spark.timeutil import epoch_s
+
 _PRESENT = "__gf_present"
+
+# interval bodies accepted for `step` — a count + unit keyword only
+# (the string is inlined into an expr; the allowlist keeps it inert)
+_INTERVAL_BODY = re.compile(
+    r"\d+ (second|minute|hour|day|week)s?", re.IGNORECASE
+)
 
 
 def time_bucket_gapfill(
@@ -48,14 +57,17 @@ def time_bucket_gapfill(
     zero_cols: Sequence[str] = (),
     locf_cols: Sequence[str] = (),
     interp_cols: Sequence[str] = (),
+    step: str | None = None,
     mark_col: str | None = "filled",
 ) -> DataFrame:
     """Gap-fill an already-aggregated series ``agg_df`` holding one row
-    per (group, bucket). ``bucket_col`` must be a DateType or
-    TimestampType column with uniform spacing (``sequence`` steps one
-    day for dates); the spine spans the GLOBAL [min, max] bucket so
-    every group covers the same range (TimescaleDB's explicit-range
-    semantics — a group with late onset gets leading filled rows).
+    per (group, bucket). ``bucket_col`` must be a DateType (default —
+    ``sequence`` steps one day) or, with ``step`` set to a SQL
+    interval body (``"1 hour"``, ``"15 minutes"``), a TimestampType
+    bucket already truncated to that width (``date_trunc``); the spine
+    spans the GLOBAL [min, max] bucket so every group covers the same
+    range (TimescaleDB's explicit-range semantics — a group with late
+    onset gets leading filled rows).
 
     Fill policies: ``zero_cols`` -> typed zero, ``locf_cols`` -> last
     observation carried forward, ``interp_cols`` -> LINEAR
@@ -91,15 +103,22 @@ def time_bucket_gapfill(
         raise ValueError(
             f"columns assigned to more than one fill policy: {sorted(dupes)}"
         )
+    if step is not None and not _INTERVAL_BODY.fullmatch(step):
+        raise ValueError(
+            f"step must be a SQL interval body like '1 hour', got {step!r}"
+        )
     bounds = agg_df.select(
         F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
     )
     groups = agg_df.select(*group_cols).distinct()
+    seq = (
+        F.sequence(F.col("__lo"), F.col("__hi"))
+        if step is None
+        else F.expr(f"sequence(__lo, __hi, interval {step})")
+    )
     spine = groups.crossJoin(F.broadcast(bounds)).select(
         *group_cols,
-        F.explode(
-            F.sequence(F.col("__lo"), F.col("__hi"))
-        ).alias(bucket_col),
+        F.explode(seq).alias(bucket_col),
     )
     actual = agg_df.withColumn(_PRESENT, F.lit(True))
     out = spine.join(actual, [*group_cols, bucket_col], "left")
@@ -128,9 +147,15 @@ def time_bucket_gapfill(
             obs_day = F.when(col.isNotNull(), F.col(bucket_col))
             prev_d = F.last(obs_day, ignorenulls=True).over(w)
             next_d = F.first(obs_day, ignorenulls=True).over(wn)
-            frac = F.datediff(F.col(bucket_col), prev_d).cast(
-                "double"
-            ) / F.datediff(next_d, prev_d).cast("double")
+            if step is None:
+                elapsed = F.datediff(F.col(bucket_col), prev_d)
+                span = F.datediff(next_d, prev_d)
+            else:
+                # timestamp buckets: elapsed/span in epoch seconds —
+                # exact longs, same ratio any engine reproduces
+                elapsed = epoch_s(F.col(bucket_col)) - epoch_s(prev_d)
+                span = epoch_s(next_d) - epoch_s(prev_d)
+            frac = elapsed.cast("double") / span.cast("double")
             col = (
                 F.when(col.isNotNull(), col)
                 .when(prev_v.isNull() | next_v.isNull(), F.lit(None))

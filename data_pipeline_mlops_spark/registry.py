@@ -2070,8 +2070,8 @@ _DRIVER_WINDOW: list[str] = [
     "image_dhash_near_dups", "audio_ehash_near_dups",
     # NEW round-10 operators slot in here as they land (each new query
     # must meet the driver in its birth round from now on)
-    "nation_daily_gapfill", "nation_daily_interpolate", "doc_semdedup",
-    "doc_semdedup_lsh",
+    "nation_daily_gapfill", "nation_daily_interpolate",
+    "event_hourly_gapfill", "doc_semdedup", "doc_semdedup_lsh",
     # re-validation fill: previously-hashed representatives of each
     # risk tier (HUGEINT/window frames, warehouse joins, corpus/text,
     # ANN/sketch, lakehouse) so the window stays 50 deep
@@ -2082,8 +2082,7 @@ _DRIVER_WINDOW: list[str] = [
     "cluster_balanced_sample", "doc_dedup_decisions",
     "simhash_near_dups", "corpus_report", "doc_pack_ffd_stats",
     "doc_collocations", "doc_phrase_search", "bpe_encode_parts",
-    "ann_quantized_topk", "pq_trained_recall", "event_type_kmv",
-    "orders_merge_upsert",
+    "ann_quantized_topk", "event_type_kmv", "orders_merge_upsert",
 ]
 
 
@@ -10644,6 +10643,76 @@ FROM f
 
 QUERIES["nation_daily_interpolate"] = QuerySpec(
     q_nation_daily_interpolate, ORACLE_NATION_DAILY_INTERPOLATE
+)
+
+
+def q_event_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly hypertable rollup over the event stream: per-event-type
+    hourly counts/value gap-filled to a contiguous series
+    (``step="1 hour"`` — the spine walks date_trunc'd TIMESTAMP
+    buckets). The bucket is reported as epoch seconds so both engines
+    compare integers (nanos-vs-micros timestamp physicals never meet
+    the hash)."""
+    from data_pipeline_mlops_spark.operators.gapfill import (
+        time_bucket_gapfill,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.col("event_type"),
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+    ).agg(
+        long_count("n_events"),
+        money_sum("value", "total_value"),
+    )
+    filled = time_bucket_gapfill(
+        agg,
+        group_cols=["event_type"],
+        bucket_col="bucket",
+        zero_cols=["n_events", "total_value"],
+        step="1 hour",
+        mark_col="filled",
+    )
+    return filled.select(
+        "event_type",
+        epoch_s(F.col("bucket")).alias("bucket_s"),
+        "n_events",
+        "total_value",
+        "filled",
+    )
+
+
+ORACLE_EVENT_HOURLY_GAPFILL = f"""
+WITH a AS (
+  SELECT event_type, date_trunc('hour', ts) AS b,
+         COUNT(*) AS n_events,
+         {_osum('value', 'total_value')}
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM a),
+spine AS (
+  SELECT g.event_type, d.d AS b
+  FROM (SELECT DISTINCT event_type FROM a) g
+  CROSS JOIN bounds
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(CAST(bounds.lo AS TIMESTAMP),
+                                  CAST(bounds.hi AS TIMESTAMP),
+                                  INTERVAL 1 HOUR)) AS d
+  ) d
+)
+SELECT s.event_type,
+       CAST(epoch_us(CAST(s.b AS TIMESTAMP)) // 1000000 AS BIGINT)
+         AS bucket_s,
+       COALESCE(a.n_events, 0) AS n_events,
+       COALESCE(a.total_value, 0.0) AS total_value,
+       a.event_type IS NULL AS filled
+FROM spine s
+LEFT JOIN a ON a.event_type = s.event_type
+           AND CAST(a.b AS TIMESTAMP) = CAST(s.b AS TIMESTAMP)
+"""
+
+QUERIES["event_hourly_gapfill"] = QuerySpec(
+    q_event_hourly_gapfill, ORACLE_EVENT_HOURLY_GAPFILL
 )
 
 

@@ -73,6 +73,38 @@ def test_gapfill_no_mark_and_null_passthrough(spark):
     assert r["n"] == 0 and r["rev"] is None and r["gauge"] is None
 
 
+def test_gapfill_hourly_step_and_timestamp_interp(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 5, 1, 0, 0, 0)
+    rows = [
+        ("a", t0, 1, 10.0),
+        ("a", t0 + dt.timedelta(hours=4), 1, 50.0),  # 3-hour gap
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, bucket timestamp, n long, v double"
+    )
+    out = {r["bucket"].hour: r for r in time_bucket_gapfill(
+        df, group_cols=["g"], bucket_col="bucket",
+        zero_cols=["n"], interp_cols=["v"], step="1 hour",
+    ).collect()}
+    assert len(out) == 5
+    assert [out[h]["n"] for h in range(5)] == [1, 0, 0, 0, 1]
+    assert [out[h]["v"] for h in range(5)] == [10.0, 20.0, 30.0, 40.0, 50.0]
+    assert out[2]["filled"] and not out[4]["filled"]
+
+
+def test_gapfill_rejects_bad_step(spark):
+    import pytest
+
+    df = _series(spark)
+    with pytest.raises(ValueError, match="interval body"):
+        time_bucket_gapfill(
+            df, group_cols=["g"], bucket_col="day",
+            step="1 hour); DROP TABLE x",
+        )
+
+
 def test_gapfill_rejects_bad_fill_specs(spark):
     import pytest
 
