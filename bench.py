@@ -106,6 +106,7 @@ HEADLINE = R1_KEYS + [
     # pairwise crowds the interleave and measures cluster
     # granularity, not the engine)
     "nation_daily_gapfill",
+    "event_hourly_gapfill",
     "doc_semdedup_fast",
 ]
 
