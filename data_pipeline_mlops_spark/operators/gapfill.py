@@ -67,7 +67,10 @@ def time_bucket_gapfill(
     bucket already truncated to that width (``date_trunc``); the spine
     spans the GLOBAL [min, max] bucket so every group covers the same
     range (TimescaleDB's explicit-range semantics — a group with late
-    onset gets leading filled rows).
+    onset gets leading filled rows). ``group_cols`` may be empty for a
+    single ungrouped series (dashboard charts): the spine is then the
+    bare calendar and the fill windows run unpartitioned over it —
+    safe because the partition is calendar-bounded, never fact-sized.
 
     Fill policies: ``zero_cols`` -> typed zero, ``locf_cols`` -> last
     observation carried forward, ``interp_cols`` -> LINEAR

@@ -41,9 +41,17 @@ def dashboard_metrics(
     qty_col: str,
     statuses: list[str] | None = None,
     status_col: str | None = None,
+    include_hourly_series: bool = False,
 ) -> dict[str, DataFrame]:
     """The five dashboard tables (A3-A7,
-    reference dags/micro_batch_dashboard.py:95-133)."""
+    reference dags/micro_batch_dashboard.py:95-133).
+
+    ``include_hourly_series=True`` adds a sixth, beyond-parity table:
+    a CONTIGUOUS per-hour-bucket series (time_bucket_gapfill,
+    step="1 hour", counts/revenue zero-filled, synthesized rows
+    marked). The reference's hourly chart groups by hour-of-day and
+    silently skips empty hours; dashboards that plot a time axis need
+    the gap-filled form."""
     df = orders
     if statuses and status_col:
         df = df.where(F.col(status_col).isin(statuses))  # P7
@@ -65,7 +73,7 @@ def dashboard_metrics(
         long_count("order_count"),
         money_sum(amount_col, "revenue"),
     )
-    return {
+    out = {
         "overall_metrics": overall_metrics(
             df, amount_col=amount_col, customer_col=customer_col
         ),
@@ -74,6 +82,25 @@ def dashboard_metrics(
         "regional_stats": regional_stats,
         "hourly_stats": hourly_stats(df, ts_col=ts_col, amount_col=amount_col),
     }
+    if include_hourly_series:
+        from data_pipeline_mlops_spark.operators.gapfill import (
+            time_bucket_gapfill,
+        )
+
+        agg = df.groupBy(
+            F.date_trunc("hour", F.col(ts_col)).alias("bucket")
+        ).agg(
+            long_count("order_count"),
+            money_sum(amount_col, "revenue"),
+        )
+        out["hourly_series"] = time_bucket_gapfill(
+            agg,
+            group_cols=[],
+            bucket_col="bucket",
+            zero_cols=["order_count", "revenue"],
+            step="1 hour",
+        )
+    return out
 
 
 def write_snapshots(

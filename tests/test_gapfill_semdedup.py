@@ -94,6 +94,43 @@ def test_gapfill_hourly_step_and_timestamp_interp(spark):
     assert out[2]["filled"] and not out[4]["filled"]
 
 
+def test_dashboard_hourly_series_is_contiguous(spark):
+    """The beyond-parity sixth dashboard table: an UNGROUPED hourly
+    series (empty group_cols) gap-filled across the batch's hour
+    range — dashboards plot a time axis, not hour-of-day buckets."""
+    import datetime as dt
+
+    from data_pipeline_mlops_spark.streaming import microbatch
+
+    t0 = dt.datetime(2024, 6, 1, 10, 0, 0)
+    rows = [
+        (1, t0, 100.0, 1, "p1", "c1", "r1", 2, "completed"),
+        (2, t0 + dt.timedelta(hours=3), 50.0, 2, "p2", "c1", "r1", 1,
+         "completed"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "oid long, ts timestamp, amt double, cust long, prod string,"
+        " cat string, reg string, qty long, status string",
+    )
+    m = microbatch.dashboard_metrics(
+        df, ts_col="ts", amount_col="amt", customer_col="cust",
+        product_col="prod", category_col="cat", region_col="reg",
+        qty_col="qty", include_hourly_series=True,
+    )
+    out = sorted(m["hourly_series"].collect(), key=lambda r: r["bucket"])
+    assert [r["order_count"] for r in out] == [1, 0, 0, 1]
+    assert [r["revenue"] for r in out] == [100.0, 0.0, 0.0, 50.0]
+    assert [r["filled"] for r in out] == [False, True, True, False]
+    # parity default: exactly the reference's five tables
+    five = microbatch.dashboard_metrics(
+        df, ts_col="ts", amount_col="amt", customer_col="cust",
+        product_col="prod", category_col="cat", region_col="reg",
+        qty_col="qty",
+    )
+    assert "hourly_series" not in five and len(five) == 5
+
+
 def test_gapfill_rejects_bad_step(spark):
     import pytest
 
