@@ -107,6 +107,7 @@ HEADLINE = R1_KEYS + [
     # granularity, not the engine)
     "nation_daily_gapfill",
     "event_hourly_gapfill",
+    "event_time_weighted_value",
     "doc_semdedup_fast",
 ]
 

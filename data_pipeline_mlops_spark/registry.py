@@ -2071,7 +2071,8 @@ _DRIVER_WINDOW: list[str] = [
     # NEW round-10 operators slot in here as they land (each new query
     # must meet the driver in its birth round from now on)
     "nation_daily_gapfill", "nation_daily_interpolate",
-    "event_hourly_gapfill", "doc_semdedup", "doc_semdedup_lsh",
+    "event_hourly_gapfill", "event_time_weighted_value",
+    "doc_semdedup", "doc_semdedup_lsh",
     # re-validation fill: previously-hashed representatives of each
     # risk tier (HUGEINT/window frames, warehouse joins, corpus/text,
     # ANN/sketch, lakehouse) so the window stays 50 deep
@@ -2082,7 +2083,7 @@ _DRIVER_WINDOW: list[str] = [
     "cluster_balanced_sample", "doc_dedup_decisions",
     "simhash_near_dups", "corpus_report", "doc_pack_ffd_stats",
     "doc_collocations", "doc_phrase_search", "bpe_encode_parts",
-    "ann_quantized_topk", "event_type_kmv", "orders_merge_upsert",
+    "ann_quantized_topk", "orders_merge_upsert",
 ]
 
 
@@ -10713,6 +10714,54 @@ LEFT JOIN a ON a.event_type = s.event_type
 
 QUERIES["event_hourly_gapfill"] = QuerySpec(
     q_event_hourly_gapfill, ORACLE_EVENT_HOURLY_GAPFILL
+)
+
+
+def q_event_time_weighted_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TimescaleDB ``time_weight('LOCF') -> average`` parity: per
+    event type, the time-weighted mean of the value gauge over the
+    observed range (each reading holds until the next; the last
+    reading of a group carries no interval). A plain AVG over-weights
+    bursts; the TWA weights by holding time
+    (operators/timeweight.py)."""
+    from data_pipeline_mlops_spark.operators.timeweight import (
+        time_weighted_avg,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(
+        ev,
+        group_cols=["event_type"],
+        ts_col="ts",
+        value_col="value",
+        tiebreak_col="event_id",
+    )
+
+
+ORACLE_EVENT_TIME_WEIGHTED = """
+WITH o AS (
+  SELECT event_type, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t_s,
+         LEAD(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) OVER (
+           PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+         ) AS nxt
+  FROM events
+)
+SELECT event_type,
+       CAST(ROUND(
+         CAST(SUM(CAST(value * CAST(nxt - t_s AS DOUBLE)
+                       AS DECIMAL(38,6))) AS DOUBLE)
+         / SUM(nxt - t_s), 6) AS DOUBLE) AS twa_value,
+       CAST(SUM(nxt - t_s) AS BIGINT) AS total_seconds,
+       COUNT(*) AS n_intervals
+FROM o WHERE nxt IS NOT NULL
+GROUP BY 1
+"""
+
+QUERIES["event_time_weighted_value"] = QuerySpec(
+    q_event_time_weighted_value, ORACLE_EVENT_TIME_WEIGHTED
 )
 
 

@@ -205,6 +205,44 @@ def test_gapfill_spine_is_calendar_bounded(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_time_weighted_avg_hand_computed(spark):
+    """LOCF weighting: v=10 holds 60 s, v=40 holds 30 s ->
+    TWA = (10*60 + 40*30) / 90 = 20.0; the last point carries no
+    interval; a singleton group produces no row; equal timestamps
+    order by the tiebreak id."""
+    import datetime as dt
+
+    from data_pipeline_mlops_spark.operators.timeweight import (
+        time_weighted_avg,
+    )
+
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    rows = [
+        ("a", 1, t0, 10.0),
+        ("a", 2, t0 + dt.timedelta(seconds=60), 40.0),
+        ("a", 3, t0 + dt.timedelta(seconds=90), 99.0),   # last: no dt
+        ("b", 4, t0, 7.0),                               # singleton
+        # group c: tied timestamps — id order decides who holds first
+        ("c", 5, t0, 1.0),
+        ("c", 6, t0, 5.0),                               # dt=0 from 5
+        ("c", 7, t0 + dt.timedelta(seconds=10), 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, eid long, ts timestamp, v double"
+    )
+    out = {r["g"]: r for r in time_weighted_avg(
+        df, group_cols=["g"], ts_col="ts", value_col="v",
+        tiebreak_col="eid",
+    ).collect()}
+    assert "b" not in out
+    assert out["a"]["twa_value"] == 20.0
+    assert out["a"]["total_seconds"] == 90
+    assert out["a"]["n_intervals"] == 2
+    # c: id 5 holds 0 s, id 6 holds 10 s -> TWA = 5.0 over 10 s
+    assert out["c"]["twa_value"] == 5.0
+    assert out["c"]["total_seconds"] == 10
+
+
 def test_semdedup_keep_rule_chain(spark):
     """u~v and v~w but u!~w (chain): greedy keep-lowest keeps ONLY the
     chain minimum — v drops against u, w drops against v (dup_of
