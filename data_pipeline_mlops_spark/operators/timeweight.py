@@ -77,3 +77,51 @@ def time_weighted_avg(
         F.sum("__dt").cast("long").alias("total_seconds"),
         F.count(F.lit(1)).alias("n_intervals"),
     )
+
+
+def counter_increase(
+    df: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+    scale: int = 6,
+) -> DataFrame:
+    """Monotonic-counter increase with reset handling (PromQL
+    ``increase()`` / TimescaleDB ``counter_agg -> delta``): per group,
+    successive samples ordered by (ts, tiebreak); a sample BELOW its
+    predecessor is a counter reset, contributing its full value (the
+    counter restarted from zero and climbed back); otherwise the
+    contribution is the plain difference. Returns one row per group:
+    (group_cols..., total_increase, n_resets, n_samples). Groups with
+    one sample produce no row (no interval).
+
+    Determinism: each contribution is one IEEE subtraction (or the
+    stored value itself), cast to DECIMAL(38,6) before the
+    distributed sum — same exact-aggregation discipline as
+    :func:`time_weighted_avg`. Scale shape: identical to TWA — one
+    group-keyed window + one map-side-combinable groupBy, a single
+    shuffle on the series key."""
+    group_cols = list(group_cols)
+    order: list[Column] = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    prev = F.lag(F.col(value_col)).over(w)
+    contrib = F.when(
+        F.col(value_col) >= prev, F.col(value_col) - prev
+    ).otherwise(F.col(value_col))
+    rows = df.select(
+        *group_cols,
+        contrib.cast(MONEY_DECIMAL).alias("__inc"),
+        (F.col(value_col) < prev).cast("int").alias("__reset"),
+        prev.isNotNull().alias("__has_prev"),
+    ).where(F.col("__has_prev"))
+    return rows.groupBy(*group_cols).agg(
+        F.round(F.sum("__inc"), scale)
+        .cast("double")
+        .alias("total_increase"),
+        F.sum("__reset").cast("long").alias("n_resets"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )

@@ -2072,7 +2072,7 @@ _DRIVER_WINDOW: list[str] = [
     # must meet the driver in its birth round from now on)
     "nation_daily_gapfill", "nation_daily_interpolate",
     "event_hourly_gapfill", "event_time_weighted_value",
-    "doc_semdedup", "doc_semdedup_lsh",
+    "user_counter_increase", "doc_semdedup", "doc_semdedup_lsh",
     # re-validation fill: previously-hashed representatives of each
     # risk tier (HUGEINT/window frames, warehouse joins, corpus/text,
     # ANN/sketch, lakehouse) so the window stays 50 deep
@@ -2083,7 +2083,7 @@ _DRIVER_WINDOW: list[str] = [
     "cluster_balanced_sample", "doc_dedup_decisions",
     "simhash_near_dups", "corpus_report", "doc_pack_ffd_stats",
     "doc_collocations", "doc_phrase_search", "bpe_encode_parts",
-    "ann_quantized_topk", "orders_merge_upsert",
+    "orders_merge_upsert",
 ]
 
 
@@ -10762,6 +10762,51 @@ GROUP BY 1
 
 QUERIES["event_time_weighted_value"] = QuerySpec(
     q_event_time_weighted_value, ORACLE_EVENT_TIME_WEIGHTED
+)
+
+
+def q_user_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``increase()`` / counter_agg parity over the event
+    stream: treat each user's value samples as a monotonic counter
+    with resets — per user, the reset-aware total increase, reset
+    count, and sample count (operators/timeweight.py::
+    counter_increase). The window partitions on the series key, so
+    the whole operator is one shuffle on user_id."""
+    from data_pipeline_mlops_spark.operators.timeweight import (
+        counter_increase,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return counter_increase(
+        ev,
+        group_cols=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        tiebreak_col="event_id",
+    )
+
+
+ORACLE_USER_COUNTER_INCREASE = """
+WITH o AS (
+  SELECT user_id, value,
+         LAG(value) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ) AS prev
+  FROM events
+)
+SELECT user_id,
+       CAST(ROUND(SUM(CAST(
+         CASE WHEN value >= prev THEN value - prev ELSE value END
+         AS DECIMAL(38,6))), 6) AS DOUBLE) AS total_increase,
+       CAST(SUM(CASE WHEN value < prev THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_resets,
+       COUNT(*) AS n_samples
+FROM o WHERE prev IS NOT NULL
+GROUP BY 1
+"""
+
+QUERIES["user_counter_increase"] = QuerySpec(
+    q_user_counter_increase, ORACLE_USER_COUNTER_INCREASE
 )
 
 

@@ -243,6 +243,38 @@ def test_time_weighted_avg_hand_computed(spark):
     assert out["c"]["total_seconds"] == 10
 
 
+def test_counter_increase_reset_handling(spark):
+    """10 -> 25 -> 3 -> 9: increases 15, then RESET (3 counts fully:
+    restarted from zero), then 6 -> total 24, one reset, three
+    intervals; singleton groups drop."""
+    import datetime as dt
+
+    from data_pipeline_mlops_spark.operators.timeweight import (
+        counter_increase,
+    )
+
+    t0 = dt.datetime(2024, 7, 1)
+    rows = [
+        ("a", 1, t0, 10.0),
+        ("a", 2, t0 + dt.timedelta(seconds=1), 25.0),
+        ("a", 3, t0 + dt.timedelta(seconds=2), 3.0),    # reset
+        ("a", 4, t0 + dt.timedelta(seconds=3), 9.0),
+        ("b", 5, t0, 7.0),                              # singleton
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, eid long, ts timestamp, v double"
+    )
+    out = {r["g"]: r for r in counter_increase(
+        df, group_cols=["g"], ts_col="ts", value_col="v",
+        tiebreak_col="eid",
+    ).collect()}
+    assert "b" not in out
+    a = out["a"]
+    assert (a["total_increase"], a["n_resets"], a["n_samples"]) == (
+        24.0, 1, 3,
+    )
+
+
 def test_semdedup_keep_rule_chain(spark):
     """u~v and v~w but u!~w (chain): greedy keep-lowest keeps ONLY the
     chain minimum — v drops against u, w drops against v (dup_of
