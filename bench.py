@@ -108,6 +108,7 @@ HEADLINE = R1_KEYS + [
     "nation_daily_gapfill",
     "event_hourly_gapfill",
     "event_time_weighted_value",
+    "user_counter_increase",
     "doc_semdedup_fast",
 ]
 
