@@ -2073,6 +2073,8 @@ _DRIVER_WINDOW: list[str] = [
     "nation_daily_gapfill", "nation_daily_interpolate",
     "event_hourly_gapfill", "event_time_weighted_value",
     "user_counter_increase", "doc_semdedup", "doc_semdedup_lsh",
+    "user_state_durations", "user_uptime", "event_ohlc_daily",
+    "event_m4_downsample",
     # re-validation fill: previously-hashed representatives of each
     # risk tier (HUGEINT/window frames, warehouse joins, corpus/text,
     # ANN/sketch, lakehouse) so the window stays 50 deep
@@ -2082,8 +2084,6 @@ _DRIVER_WINDOW: list[str] = [
     "salted_priority_join", "dq_expectations",
     "cluster_balanced_sample", "doc_dedup_decisions",
     "simhash_near_dups", "corpus_report", "doc_pack_ffd_stats",
-    "doc_collocations", "doc_phrase_search", "bpe_encode_parts",
-    "orders_merge_upsert",
 ]
 
 
@@ -10909,6 +10909,233 @@ FROM ids i LEFT JOIN lowest l ON l.vec_id = i.vec_id
 
 QUERIES["doc_semdedup_lsh"] = QuerySpec(
     q_doc_semdedup_lsh, ORACLE_DOC_SEMDEDUP_LSH
+)
+
+
+def q_user_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB ``state_agg -> duration_in`` parity over the event
+    stream: each user's event_type is a state machine under LOCF —
+    per (user, state), the total seconds that state was held and the
+    interval count (operators/stateagg.py::duration_in_state). Exact
+    long seconds from the shared epoch floor; one shuffle on the
+    series key."""
+    from data_pipeline_mlops_spark.operators.stateagg import (
+        duration_in_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return duration_in_state(
+        ev,
+        group_cols=["user_id"],
+        ts_col="ts",
+        state_col="event_type",
+        tiebreak_col="event_id",
+    )
+
+
+ORACLE_USER_STATE_DURATIONS = """
+WITH o AS (
+  SELECT user_id, event_type,
+         LEAD(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ) - epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS dt
+  FROM events
+)
+SELECT user_id, event_type,
+       CAST(SUM(dt) AS BIGINT) AS state_seconds,
+       COUNT(*) AS n_intervals
+FROM o WHERE dt IS NOT NULL
+GROUP BY 1, 2
+"""
+
+QUERIES["user_state_durations"] = QuerySpec(
+    q_user_state_durations, ORACLE_USER_STATE_DURATIONS
+)
+
+
+def q_user_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB ``heartbeat_agg -> uptime / num_live_ranges``
+    parity: each event asserts its user live for 600 s; per user, the
+    merged-interval union length, segment count, observed bounds, and
+    live fraction of the padded span
+    (operators/stateagg.py::heartbeat_uptime). Gaps-and-islands via a
+    running-max window (O(1) memory per row) + one groupBy on the
+    series key."""
+    from data_pipeline_mlops_spark.operators.stateagg import (
+        heartbeat_uptime,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return heartbeat_uptime(
+        ev, group_cols=["user_id"], ts_col="ts", liveness_seconds=600
+    )
+
+
+ORACLE_USER_UPTIME = """
+WITH pts AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t
+  FROM events
+), flag AS (
+  SELECT user_id, t,
+         CASE WHEN MAX(t + 600) OVER (
+                PARTITION BY user_id ORDER BY t ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) IS NULL
+              OR t > MAX(t + 600) OVER (
+                PARTITION BY user_id ORDER BY t ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              )
+         THEN 1 ELSE 0 END AS new_seg
+  FROM pts
+), segs AS (
+  SELECT user_id, t,
+         SUM(new_seg) OVER (
+           PARTITION BY user_id ORDER BY t ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS seg
+  FROM flag
+), per_seg AS (
+  SELECT user_id, seg, MIN(t) AS s, MAX(t) + 600 AS e
+  FROM segs GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(SUM(e - s) AS BIGINT) AS uptime_seconds,
+       COUNT(*) AS n_segments,
+       CAST(MIN(s) AS BIGINT) AS first_seen_s,
+       CAST(MAX(e) - 600 AS BIGINT) AS last_seen_s,
+       ROUND(CAST(SUM(e - s) AS DOUBLE)
+             / CAST(MAX(e) - MIN(s) AS DOUBLE), 6) AS coverage
+FROM per_seg
+GROUP BY 1
+"""
+
+QUERIES["user_uptime"] = QuerySpec(q_user_uptime, ORACLE_USER_UPTIME)
+
+
+def q_event_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB ``candlestick_agg``/``ohlc`` parity: per
+    (event_type, day), open/high/low/close of the value gauge plus
+    tick count and exact decimal-routed volume
+    (operators/ohlc.py::ohlc_agg). Open/close come from ONE
+    lexicographic struct min/max aggregation — no window pass, fully
+    map-side combinable, a single shuffle on (series, bucket). The
+    bucket is reported as a DATE for engine-portable comparison."""
+    from data_pipeline_mlops_spark.operators.ohlc import ohlc_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = ohlc_agg(
+        ev,
+        group_cols=["event_type"],
+        ts_col="ts",
+        value_col="value",
+        bucket="day",
+        tiebreak_col="event_id",
+    )
+    return out.withColumn(
+        "bucket_day", F.col("bucket_day").cast("date")
+    )
+
+
+ORACLE_EVENT_OHLC_DAILY = """
+WITH o AS (
+  SELECT event_type,
+         CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+         value,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type,
+                        date_trunc('day', CAST(ts AS TIMESTAMP))
+           ORDER BY ts ASC, event_id ASC) AS rn_a,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type,
+                        date_trunc('day', CAST(ts AS TIMESTAMP))
+           ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, d AS bucket_day,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n_ticks,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)
+         AS volume
+FROM o
+GROUP BY 1, 2
+"""
+
+QUERIES["event_ohlc_daily"] = QuerySpec(
+    q_event_ohlc_daily, ORACLE_EVENT_OHLC_DAILY
+)
+
+
+def q_event_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014) per event_type at 64
+    buckets over each series' observed range
+    (operators/downsample.py::m4_downsample): per bucket the
+    first/last/min/max points — the minimal pixel-exact rendering
+    set. Bucket boundaries are pure BIGINT floor division (bit-equal
+    across engines); output is |series| x 64 regardless of input
+    volume."""
+    from data_pipeline_mlops_spark.operators.downsample import (
+        m4_downsample,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return m4_downsample(
+        ev,
+        group_cols=["event_type"],
+        ts_col="ts",
+        value_col="value",
+        n_buckets=64,
+        tiebreak_col="event_id",
+    )
+
+
+ORACLE_EVENT_M4_DOWNSAMPLE = """
+WITH pts AS (
+  SELECT event_type, value AS v, event_id AS i,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t
+  FROM events
+), b AS (
+  SELECT event_type, MIN(t) AS t0, MAX(t) AS t1
+  FROM pts GROUP BY 1
+), kd AS (
+  SELECT p.event_type, p.t, p.v, p.i,
+         LEAST(63, (p.t - b.t0) * 64 // (b.t1 - b.t0 + 1)) AS k
+  FROM pts p JOIN b USING (event_type)
+), r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type, k
+                            ORDER BY t ASC, i ASC) AS rn_first,
+         ROW_NUMBER() OVER (PARTITION BY event_type, k
+                            ORDER BY t DESC, i DESC) AS rn_last,
+         ROW_NUMBER() OVER (PARTITION BY event_type, k
+                            ORDER BY v ASC, t ASC, i ASC) AS rn_min,
+         ROW_NUMBER() OVER (PARTITION BY event_type, k
+                            ORDER BY v DESC, t DESC, i DESC) AS rn_max
+  FROM kd
+)
+SELECT event_type, CAST(k AS BIGINT) AS bucket,
+       CAST(MAX(CASE WHEN rn_first = 1 THEN t END) AS BIGINT)
+         AS t_first_s,
+       MAX(CASE WHEN rn_first = 1 THEN v END) AS v_first,
+       CAST(MAX(CASE WHEN rn_last = 1 THEN t END) AS BIGINT)
+         AS t_last_s,
+       MAX(CASE WHEN rn_last = 1 THEN v END) AS v_last,
+       MAX(CASE WHEN rn_min = 1 THEN v END) AS v_min,
+       CAST(MAX(CASE WHEN rn_min = 1 THEN t END) AS BIGINT)
+         AS t_min_s,
+       MAX(CASE WHEN rn_max = 1 THEN v END) AS v_max,
+       CAST(MAX(CASE WHEN rn_max = 1 THEN t END) AS BIGINT)
+         AS t_max_s,
+       COUNT(*) AS n_points
+FROM r
+GROUP BY 1, 2
+"""
+
+QUERIES["event_m4_downsample"] = QuerySpec(
+    q_event_m4_downsample, ORACLE_EVENT_M4_DOWNSAMPLE
 )
 
 

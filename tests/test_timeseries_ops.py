@@ -1,0 +1,179 @@
+"""Round-10 continuous-aggregate tier: state durations + heartbeat
+uptime (operators/stateagg.py), OHLC candlesticks (operators/ohlc.py),
+M4 downsampling (operators/downsample.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from data_pipeline_mlops_spark.operators.downsample import m4_downsample
+from data_pipeline_mlops_spark.operators.ohlc import ohlc_agg
+from data_pipeline_mlops_spark.operators.stateagg import (
+    duration_in_state,
+    heartbeat_uptime,
+)
+
+T0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+
+
+def _ts(seconds: int) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=seconds)
+
+
+def test_duration_in_state_locf(spark):
+    """States hold until the next observation: A holds 60 s, B holds
+    30 s, then A again 10 s -> A=70 s over 2 intervals, B=30 s; the
+    final observation carries no interval; singleton series drop."""
+    rows = [
+        ("u1", 1, _ts(0), "A"),
+        ("u1", 2, _ts(60), "B"),
+        ("u1", 3, _ts(90), "A"),
+        ("u1", 4, _ts(100), "B"),   # last: no interval
+        ("u2", 5, _ts(0), "A"),     # singleton
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, eid long, ts timestamp, st string"
+    )
+    out = {
+        (r["g"], r["st"]): r
+        for r in duration_in_state(
+            df, group_cols=["g"], ts_col="ts", state_col="st",
+            tiebreak_col="eid",
+        ).collect()
+    }
+    assert ("u2", "A") not in out
+    assert out[("u1", "A")]["state_seconds"] == 70
+    assert out[("u1", "A")]["n_intervals"] == 2
+    assert out[("u1", "B")]["state_seconds"] == 30
+    assert out[("u1", "B")]["n_intervals"] == 1
+
+
+def test_heartbeat_uptime_islands(spark):
+    """liveness=100: beats at 0, 50 (overlap), 150 (adjacent to the
+    150 running end -> EXTENDS, half-open), 400 (gap) -> segments
+    [0,250) and [400,500): uptime 350, 2 segments, span 500,
+    coverage 0.7. Duplicate beats merge to themselves."""
+    rows = [
+        ("u", _ts(0)), ("u", _ts(50)), ("u", _ts(150)),
+        ("u", _ts(400)), ("u", _ts(400)),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    r = heartbeat_uptime(
+        df, group_cols=["g"], ts_col="ts", liveness_seconds=100
+    ).collect()[0]
+    assert r["uptime_seconds"] == 350
+    assert r["n_segments"] == 2
+    assert r["last_seen_s"] - r["first_seen_s"] == 400
+    assert r["coverage"] == 0.7
+
+
+def test_heartbeat_uptime_rejects_nonpositive_liveness(spark):
+    df = spark.createDataFrame([("u", _ts(0))], "g string, ts timestamp")
+    with pytest.raises(ValueError):
+        heartbeat_uptime(
+            df, group_cols=["g"], ts_col="ts", liveness_seconds=0
+        )
+
+
+def test_ohlc_tie_and_volume(spark):
+    """Open/close pick by (ts, tiebreak): two rows share the opening
+    timestamp -> the lower event id wins open; close is the latest
+    (ts, id). Volume is the decimal-exact sum rounded to 2."""
+    rows = [
+        ("s", 2, _ts(0), 5.0),
+        ("s", 1, _ts(0), 3.0),     # same ts, lower id -> open
+        ("s", 3, _ts(10), 9.0),
+        ("s", 4, _ts(10), 1.0),    # same ts, higher id -> close
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, eid long, ts timestamp, v double"
+    )
+    r = ohlc_agg(
+        df, group_cols=["g"], ts_col="ts", value_col="v",
+        bucket="day", tiebreak_col="eid",
+    ).collect()[0]
+    assert (r["open"], r["high"], r["low"], r["close"]) == (
+        3.0, 9.0, 1.0, 1.0,
+    )
+    assert r["n_ticks"] == 4
+    assert r["volume"] == 18.0
+
+
+def test_ohlc_single_hash_agg_no_window(spark):
+    """The struct-edge trick keeps OHLC a single aggregation: the
+    physical plan must contain NO Window operator and at most the
+    one agg exchange."""
+    rows = [("s", 1, _ts(0), 1.0), ("s", 2, _ts(5), 2.0)]
+    df = spark.createDataFrame(
+        rows, "g string, eid long, ts timestamp, v double"
+    )
+    plan = (
+        ohlc_agg(
+            df, group_cols=["g"], ts_col="ts", value_col="v",
+            tiebreak_col="eid",
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_m4_buckets_and_edges(spark):
+    """6 points over [0, 119] s, 2 buckets -> split at k =
+    t*2 DIV 120: [0,59]->0, [60,119]->1. Bucket 0 first=(0,10),
+    last=(50,2), min=2@50, max=10@0; value tie in bucket 1 (7.0
+    twice) -> min picks the EARLIER (t asc), max the LATER (t desc)."""
+    rows = [
+        ("s", 1, _ts(0), 10.0),
+        ("s", 2, _ts(30), 4.0),
+        ("s", 3, _ts(50), 2.0),
+        ("s", 4, _ts(60), 7.0),
+        ("s", 5, _ts(100), 7.0),
+        ("s", 6, _ts(119), 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, eid long, ts timestamp, v double"
+    )
+    out = {
+        r["bucket"]: r
+        for r in m4_downsample(
+            df, group_cols=["g"], ts_col="ts", value_col="v",
+            n_buckets=2, tiebreak_col="eid",
+        ).collect()
+    }
+    b0, b1 = out[0], out[1]
+    assert (b0["v_first"], b0["v_last"]) == (10.0, 2.0)
+    assert (b0["v_min"], b0["v_max"]) == (2.0, 10.0)
+    assert b0["t_max_s"] - b0["t_min_s"] == -50
+    assert b0["n_points"] == 3
+    # tie: v_min=7.0 at t=60 (earlier), v_max=8.0 at t=119
+    assert (b1["v_min"], b1["t_min_s"] - b1["t_first_s"]) == (7.0, 0)
+    assert (b1["v_max"], b1["v_last"]) == (8.0, 8.0)
+
+
+def test_m4_single_instant_series_and_broadcast_bounds(spark):
+    """A one-point series lands entirely in bucket 0 with itself as
+    all four edges; the bounds join is broadcast."""
+    df = spark.createDataFrame(
+        [("s", 1, _ts(0), 5.0)], "g string, eid long, ts timestamp, v double"
+    )
+    q = m4_downsample(
+        df, group_cols=["g"], ts_col="ts", value_col="v",
+        n_buckets=8, tiebreak_col="eid",
+    )
+    rows = q.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["bucket"] == 0
+    assert (
+        r["v_first"], r["v_last"], r["v_min"], r["v_max"], r["n_points"]
+    ) == (5.0, 5.0, 5.0, 5.0, 1)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+
+    with pytest.raises(ValueError):
+        m4_downsample(
+            df, group_cols=["g"], ts_col="ts", value_col="v", n_buckets=0
+        )
