@@ -110,6 +110,13 @@ HEADLINE = R1_KEYS + [
     "event_time_weighted_value",
     "user_counter_increase",
     "doc_semdedup_fast",
+    # Round-10 continuous-aggregate tier: candlesticks (one struct-
+    # edge hash agg, no window), heartbeat uptime (gaps-and-islands:
+    # running-max window + islands groupBy), and M4 downsampling
+    # (broadcast bounds + one hash agg, output-sized result).
+    "event_ohlc_daily",
+    "user_uptime",
+    "event_m4_downsample",
 ]
 
 

@@ -2074,7 +2074,7 @@ _DRIVER_WINDOW: list[str] = [
     "event_hourly_gapfill", "event_time_weighted_value",
     "user_counter_increase", "doc_semdedup", "doc_semdedup_lsh",
     "user_state_durations", "user_uptime", "event_ohlc_daily",
-    "event_m4_downsample",
+    "event_m4_downsample", "event_lttb_downsample",
     # re-validation fill: previously-hashed representatives of each
     # risk tier (HUGEINT/window frames, warehouse joins, corpus/text,
     # ANN/sketch, lakehouse) so the window stays 50 deep
@@ -2083,7 +2083,7 @@ _DRIVER_WINDOW: list[str] = [
     "event_alert_throttle", "purchase_attribution",
     "salted_priority_join", "dq_expectations",
     "cluster_balanced_sample", "doc_dedup_decisions",
-    "simhash_near_dups", "corpus_report", "doc_pack_ffd_stats",
+    "simhash_near_dups", "corpus_report",
 ]
 
 
@@ -11139,6 +11139,113 @@ QUERIES["event_m4_downsample"] = QuerySpec(
 )
 
 
+def q_event_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsampling (Steinarsson 2013; TimescaleDB ``lttb()``)
+    per event_type at 64 output points (operators/lttb.py): first and
+    last points kept, each interior bucket contributes the point
+    forming the largest triangle with the previous selection and the
+    next bucket's average. Sequential per series -> documented
+    Pandas-kernel path; the oracle replays the selection as a DuckDB
+    recursive CTE over per-bucket candidate lists with bit-matched
+    area arithmetic. Parity-only at unbounded series length (per-
+    group memory is O(series)); the scale twin is the output-sized
+    M4 aggregation."""
+    from data_pipeline_mlops_spark.operators.lttb import lttb_downsample
+
+    ev = load_table(spark, sf_dir, "events")
+    return lttb_downsample(
+        ev,
+        group_cols=["event_type"],
+        ts_col="ts",
+        value_col="value",
+        n_out=64,
+        tiebreak_col="event_id",
+    )
+
+
+ORACLE_EVENT_LTTB_DOWNSAMPLE = """
+WITH RECURSIVE
+pts AS (
+  SELECT event_type AS g,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t,
+         value AS v, event_id AS i
+  FROM events
+),
+idx AS (
+  SELECT g, t, v, i,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY t ASC, i ASC) - 1
+           AS j,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM pts
+),
+firstpt AS (SELECT g, t, v, i FROM idx WHERE j = 0),
+lastpt  AS (SELECT g, t, v, i FROM idx WHERE j = n - 1),
+interior AS (
+  SELECT g, t, v, i,
+         CAST((j - 1) * 62 // (n - 2) AS BIGINT) AS k, j
+  FROM idx WHERE j >= 1 AND j <= n - 2
+),
+buckets AS (
+  SELECT g, k,
+         list(struct_pack(t := CAST(t AS DOUBLE), v := v,
+                          ti := t, ii := i)
+              ORDER BY j ASC) AS cand
+  FROM interior GROUP BY 1, 2
+),
+avgs AS (
+  SELECT g, k,
+         CAST(SUM(t) AS DOUBLE) / COUNT(*) AS at,
+         CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+           AS av
+  FROM interior GROUP BY 1, 2
+),
+anchors AS (
+  SELECT b.g, b.k, b.cand,
+         COALESCE(a.at, CAST(l.t AS DOUBLE)) AS ct,
+         COALESCE(a.av, l.v) AS cv
+  FROM buckets b
+  LEFT JOIN avgs a ON a.g = b.g AND a.k = b.k + 1
+  JOIN lastpt l ON l.g = b.g
+),
+rec AS (
+  SELECT f.g, CAST(-1 AS BIGINT) AS k, CAST(f.t AS DOUBLE) AS st,
+         f.v AS sv, f.t AS sti, f.i AS sii
+  FROM firstpt f
+  UNION ALL
+  SELECT q.g, q.k, q.cand[q.pos].t, q.cand[q.pos].v,
+         q.cand[q.pos].ti, q.cand[q.pos].ii
+  FROM (
+    SELECT w.g, w.k, w.cand,
+           list_position(
+             w.areas, list_aggregate(w.areas, 'max')
+           ) AS pos
+    FROM (
+      SELECT r.g, r.k + 1 AS k, a.cand,
+             list_transform(
+               a.cand,
+               x -> abs((r.st - a.ct) * (x.v - r.sv)
+                        - (r.st - x.t) * (a.cv - r.sv))
+             ) AS areas
+      FROM rec r
+      JOIN anchors a ON a.g = r.g AND a.k = r.k + 1
+    ) w
+  ) q
+)
+SELECT g AS event_type, CAST(0 AS BIGINT) AS pos,
+       CAST(t AS BIGINT) AS t_s, v AS value, i AS event_id
+FROM firstpt
+UNION ALL
+SELECT g, k + 1 AS pos, CAST(sti AS BIGINT), sv, sii
+FROM rec WHERE k >= 0
+UNION ALL
+SELECT g, CAST(63 AS BIGINT), CAST(t AS BIGINT), v, i FROM lastpt
+"""
+
+QUERIES["event_lttb_downsample"] = QuerySpec(
+    q_event_lttb_downsample, ORACLE_EVENT_LTTB_DOWNSAMPLE
+)
+
+
 # --------------------------------------------------------------------------
 # scale-safety labels (VERDICT r8 #7)
 # --------------------------------------------------------------------------
@@ -11177,6 +11284,10 @@ _PARITY_ONLY: dict[str, str] = {
     # production tier is the hyperplane-LSH bucketed pair source
     # feeding the same keep rule
     "doc_semdedup": "doc_semdedup_lsh",
+    # LTTB is sequential per series (Pandas kernel, O(series) memory
+    # per group); the output-sized M4 hash aggregation is the
+    # unbounded-series rendering tier
+    "event_lttb_downsample": "event_m4_downsample",
 }
 
 

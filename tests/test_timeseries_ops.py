@@ -177,3 +177,73 @@ def test_m4_single_instant_series_and_broadcast_bounds(spark):
         m4_downsample(
             df, group_cols=["g"], ts_col="ts", value_col="v", n_buckets=0
         )
+
+
+def test_lttb_hand_computed(spark):
+    """6 points, n_out=4 -> 2 interior buckets of 2. Bucket 0 anchors
+    on bucket 1's average (3.5, 2.5): the spike (1,10) wins area 32.5
+    vs 5. Bucket 1 anchors on the last point from the spike: (4,0)
+    wins area 10 vs 0 (the point (3,5) is COLLINEAR with spike and
+    last -> zero triangle)."""
+    from data_pipeline_mlops_spark.operators.lttb import lttb_downsample
+
+    rows = [
+        ("s", k, _ts(k), v)
+        for k, v in enumerate([0.0, 10.0, 0.0, 5.0, 0.0, 0.0])
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, eid long, ts timestamp, v double"
+    )
+    out = lttb_downsample(
+        df, group_cols=["g"], ts_col="ts", value_col="v",
+        n_out=4, tiebreak_col="eid",
+    ).orderBy("pos").collect()
+    assert [(r["pos"], r["eid"], r["value"]) for r in out] == [
+        (0, 0, 0.0), (1, 1, 10.0), (2, 4, 0.0), (3, 5, 0.0),
+    ]
+
+
+def test_lttb_area_tie_picks_earliest(spark):
+    """Two candidates with exactly equal areas (symmetric spikes
+    around the anchor line) -> the earlier (ts, tiebreak) point is
+    selected, matching the oracle's list_position-of-max rule."""
+    from data_pipeline_mlops_spark.operators.lttb import lttb_downsample
+
+    # one interior bucket (n_out=3); candidates (1,5) and (2,-5) are
+    # equidistant from the a->c chord v=0: |area| equal.
+    rows = [
+        ("s", 0, _ts(0), 0.0),
+        ("s", 1, _ts(1), 5.0),
+        ("s", 2, _ts(2), -5.0),
+        ("s", 3, _ts(3), 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, eid long, ts timestamp, v double"
+    )
+    out = lttb_downsample(
+        df, group_cols=["g"], ts_col="ts", value_col="v",
+        n_out=3, tiebreak_col="eid",
+    ).orderBy("pos").collect()
+    assert [r["eid"] for r in out] == [0, 1, 3]
+
+
+def test_lttb_short_series_passthrough_and_validation(spark):
+    from data_pipeline_mlops_spark.operators.lttb import lttb_downsample
+
+    rows = [("s", k, _ts(k), float(k)) for k in range(3)]
+    df = spark.createDataFrame(
+        rows, "g string, eid long, ts timestamp, v double"
+    )
+    out = lttb_downsample(
+        df, group_cols=["g"], ts_col="ts", value_col="v",
+        n_out=10, tiebreak_col="eid",
+    ).orderBy("pos").collect()
+    assert [(r["pos"], r["eid"]) for r in out] == [(0, 0), (1, 1), (2, 2)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lttb_downsample(
+            df, group_cols=["g"], ts_col="ts", value_col="v",
+            n_out=2, tiebreak_col="eid",
+        )
