@@ -2075,6 +2075,7 @@ _DRIVER_WINDOW: list[str] = [
     "user_counter_increase", "doc_semdedup", "doc_semdedup_lsh",
     "user_state_durations", "user_uptime", "event_ohlc_daily",
     "event_m4_downsample", "event_lttb_downsample",
+    "event_hourly_ema",
     # re-validation fill: previously-hashed representatives of each
     # risk tier (HUGEINT/window frames, warehouse joins, corpus/text,
     # ANN/sketch, lakehouse) so the window stays 50 deep
@@ -2083,7 +2084,7 @@ _DRIVER_WINDOW: list[str] = [
     "event_alert_throttle", "purchase_attribution",
     "salted_priority_join", "dq_expectations",
     "cluster_balanced_sample", "doc_dedup_decisions",
-    "simhash_near_dups", "corpus_report",
+    "simhash_near_dups",
 ]
 
 
@@ -11243,6 +11244,66 @@ SELECT g, CAST(63 AS BIGINT), CAST(t AS BIGINT), v, i FROM lastpt
 
 QUERIES["event_lttb_downsample"] = QuerySpec(
     q_event_lttb_downsample, ORACLE_EVENT_LTTB_DOWNSAMPLE
+)
+
+_EMA_ALPHA = 0.3
+
+
+def q_event_hourly_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average (pandas ``ewm(adjust=False)`` /
+    monitoring-dashboard smoothing) of the hourly mean event value per
+    event_type (operators/ema.py::bucketed_ema, alpha=0.3): the
+    corpus-sized bucketing is one distributed decimal-exact groupBy;
+    the sequential recurrence runs over the OUTPUT-SIZED bucket
+    series (<=720 rows/series here, calendar-bounded at any SF). The
+    oracle replays the recurrence as a recursive CTE with repr-
+    templated IEEE literals, so every step is bit-identical."""
+    from data_pipeline_mlops_spark.operators.ema import bucketed_ema
+
+    ev = load_table(spark, sf_dir, "events")
+    return bucketed_ema(
+        ev,
+        group_cols=["event_type"],
+        ts_col="ts",
+        value_col="value",
+        alpha=_EMA_ALPHA,
+        bucket="hour",
+    )
+
+
+# beta templated as the IEEE value of 1.0 - alpha (NOT the decimal
+# literal 0.7): see operators/ema.py determinism note.
+ORACLE_EVENT_HOURLY_EMA = f"""
+WITH RECURSIVE h AS (
+  SELECT event_type AS g,
+         epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+           // 1000000 AS bucket_s,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+           / COUNT(*) AS x
+  FROM events
+  GROUP BY 1, 2
+),
+idx AS (
+  SELECT g, bucket_s, x,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY bucket_s ASC) - 1
+           AS j
+  FROM h
+),
+rec AS (
+  SELECT g, j, bucket_s, x, x AS ema FROM idx WHERE j = 0
+  UNION ALL
+  SELECT i.g, i.j, i.bucket_s, i.x,
+         ({_EMA_ALPHA!r} * i.x) + ({1.0 - _EMA_ALPHA!r} * r.ema)
+  FROM rec r
+  JOIN idx i ON i.g = r.g AND i.j = r.j + 1
+)
+SELECT g AS event_type, CAST(bucket_s AS BIGINT) AS bucket_s,
+       x AS bucket_avg, ema
+FROM rec
+"""
+
+QUERIES["event_hourly_ema"] = QuerySpec(
+    q_event_hourly_ema, ORACLE_EVENT_HOURLY_EMA
 )
 
 

@@ -247,3 +247,44 @@ def test_lttb_short_series_passthrough_and_validation(spark):
             df, group_cols=["g"], ts_col="ts", value_col="v",
             n_out=2, tiebreak_col="eid",
         )
+
+
+def test_bucketed_ema_recurrence_and_pandas_parity(spark):
+    """EMA over hourly buckets: ema_0 = x_0, then
+    (alpha*x) + (beta*ema). Matches pandas ewm(adjust=False) exactly;
+    buckets with several points average with the decimal-exact mean
+    first; missing buckets are skipped (no zero-fill)."""
+    import pandas as pd
+
+    from data_pipeline_mlops_spark.operators.ema import bucketed_ema
+
+    rows = [
+        ("s", _ts(0), 10.0),
+        ("s", _ts(60), 20.0),          # same hour -> avg 15.0
+        ("s", _ts(3600), 30.0),
+        ("s", _ts(3 * 3600), 7.0),     # hour 2 missing -> skipped
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = (
+        bucketed_ema(
+            df, group_cols=["g"], ts_col="ts", value_col="v",
+            alpha=0.3, bucket="hour",
+        )
+        .orderBy("bucket_s")
+        .collect()
+    )
+    assert [r["bucket_avg"] for r in out] == [15.0, 30.0, 7.0]
+    expected = (
+        pd.Series([15.0, 30.0, 7.0]).ewm(alpha=0.3, adjust=False).mean()
+    )
+    assert [r["ema"] for r in out] == list(expected)
+    # buckets are date_trunc boundaries, 1 h and 3 h after T0's hour
+    assert out[1]["bucket_s"] - out[0]["bucket_s"] == 3600
+    assert out[2]["bucket_s"] - out[0]["bucket_s"] == 3 * 3600
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bucketed_ema(
+            df, group_cols=["g"], ts_col="ts", value_col="v", alpha=0.0
+        )
