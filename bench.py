@@ -117,6 +117,11 @@ HEADLINE = R1_KEYS + [
     "event_ohlc_daily",
     "user_uptime",
     "event_m4_downsample",
+    # EMA (distributed decimal pre-agg + output-sized kernel) and the
+    # forward/nearest as-of tiers (one/two ordered-window shuffles).
+    "event_hourly_ema",
+    "purchase_next_error",
+    "purchase_nearest_click",
 ]
 
 

@@ -2075,7 +2075,8 @@ _DRIVER_WINDOW: list[str] = [
     "user_counter_increase", "doc_semdedup", "doc_semdedup_lsh",
     "user_state_durations", "user_uptime", "event_ohlc_daily",
     "event_m4_downsample", "event_lttb_downsample",
-    "event_hourly_ema",
+    "event_hourly_ema", "purchase_next_error",
+    "purchase_nearest_click",
     # re-validation fill: previously-hashed representatives of each
     # risk tier (HUGEINT/window frames, warehouse joins, corpus/text,
     # ANN/sketch, lakehouse) so the window stays 50 deep
@@ -2083,8 +2084,7 @@ _DRIVER_WINDOW: list[str] = [
     "price_histogram", "lineitem_moment_stats",
     "event_alert_throttle", "purchase_attribution",
     "salted_priority_join", "dq_expectations",
-    "cluster_balanced_sample", "doc_dedup_decisions",
-    "simhash_near_dups",
+    "cluster_balanced_sample",
 ]
 
 
@@ -11304,6 +11304,188 @@ FROM rec
 
 QUERIES["event_hourly_ema"] = QuerySpec(
     q_event_hourly_ema, ORACLE_EVENT_HOURLY_EMA
+)
+
+
+def q_purchase_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (operators/asof.py, direction='forward' —
+    pandas merge_asof forward parity): each purchase matched to the
+    user's next error event (equal timestamps match; ties at the same
+    ts take the smallest event id), with the microsecond gap. Same
+    union + ordered-window shape as the backward tier: one shuffle on
+    the key, no pair fan-out."""
+    from data_pipeline_mlops_spark.operators.asof import asof_join
+    from data_pipeline_mlops_spark.timeutil import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    er = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    j = asof_join(
+        p,
+        er,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload=["event_id"],
+        tiebreak="event_id",
+        direction="forward",
+        payload_prefix="err_",
+    )
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.col("err_event_id"),
+        (epoch_us("err_ts") - epoch_us("ts")).cast("long").alias("gap_us"),
+    )
+
+
+ORACLE_PURCHASE_NEXT_ERROR = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS tu
+  FROM events WHERE event_type = 'purchase'
+),
+e AS (
+  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tu
+  FROM events WHERE event_type = 'error'
+),
+u AS (
+  SELECT user_id, tu, 0 AS side, purchase_id,
+         CAST(NULL AS BIGINT) AS tie,
+         CAST(NULL AS BIGINT) AS r_id, CAST(NULL AS BIGINT) AS r_tu
+  FROM p
+  UNION ALL
+  SELECT user_id, tu, 1, NULL, event_id, event_id, tu FROM e
+),
+c AS (
+  SELECT *,
+         first_value(r_id IGNORE NULLS) OVER w AS m_id,
+         first_value(r_tu IGNORE NULLS) OVER w AS m_tu
+  FROM u
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY tu ASC, side ASC, tie ASC
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT purchase_id, user_id, m_id AS err_event_id,
+       CAST(m_tu - tu AS BIGINT) AS gap_us
+FROM c WHERE side = 0
+"""
+
+QUERIES["purchase_next_error"] = QuerySpec(
+    q_purchase_next_error, ORACLE_PURCHASE_NEXT_ERROR
+)
+
+
+def q_purchase_nearest_click(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NEAREST as-of join (operators/asof.py, direction='nearest'):
+    each purchase matched to the user's closest click in absolute
+    time, exact gap ties preferring the backward (prior) click —
+    pandas merge_asof nearest parity. Composes one backward and one
+    forward ordered-window pass (two shuffles on the same key),
+    reporting the SIGNED microsecond gap (negative = click before
+    purchase)."""
+    from data_pipeline_mlops_spark.operators.asof import asof_join
+    from data_pipeline_mlops_spark.timeutil import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    ck = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    j = asof_join(
+        p,
+        ck,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload=["event_id"],
+        tiebreak="event_id",
+        direction="nearest",
+        payload_prefix="clk_",
+    )
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.col("clk_event_id").alias("click_event_id"),
+        (epoch_us("clk_ts") - epoch_us("ts"))
+        .cast("long")
+        .alias("signed_gap_us"),
+    )
+
+
+ORACLE_PURCHASE_NEAREST_CLICK = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS tu
+  FROM events WHERE event_type = 'purchase'
+),
+k AS (
+  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tu
+  FROM events WHERE event_type = 'click'
+),
+ub AS (
+  SELECT user_id, tu, 1 AS side, purchase_id,
+         CAST(NULL AS BIGINT) AS tie,
+         CAST(NULL AS BIGINT) AS r_id, CAST(NULL AS BIGINT) AS r_tu
+  FROM p
+  UNION ALL
+  SELECT user_id, tu, 0, NULL, event_id, event_id, tu FROM k
+),
+cb AS (
+  SELECT *,
+         last_value(r_id IGNORE NULLS) OVER wb AS b_id,
+         last_value(r_tu IGNORE NULLS) OVER wb AS b_tu
+  FROM ub
+  WINDOW wb AS (PARTITION BY user_id
+                ORDER BY tu ASC, side ASC, tie ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+bsel AS (
+  SELECT purchase_id, user_id, tu, b_id, b_tu FROM cb WHERE side = 1
+),
+uf AS (
+  SELECT user_id, tu, 0 AS side, purchase_id,
+         CAST(NULL AS BIGINT) AS tie,
+         CAST(NULL AS BIGINT) AS r_id, CAST(NULL AS BIGINT) AS r_tu
+  FROM p
+  UNION ALL
+  SELECT user_id, tu, 1, NULL, event_id, event_id, tu FROM k
+),
+cf AS (
+  SELECT *,
+         first_value(r_id IGNORE NULLS) OVER wf AS f_id,
+         first_value(r_tu IGNORE NULLS) OVER wf AS f_tu
+  FROM uf
+  WINDOW wf AS (PARTITION BY user_id
+                ORDER BY tu ASC, side ASC, tie ASC
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+fsel AS (SELECT purchase_id, f_id, f_tu FROM cf WHERE side = 0),
+j AS (
+  SELECT b.purchase_id, b.user_id, b.tu, b.b_id, b.b_tu, f.f_id, f.f_tu
+  FROM bsel b JOIN fsel f USING (purchase_id)
+)
+SELECT purchase_id, user_id,
+       CASE WHEN b_tu IS NOT NULL
+                 AND (f_tu IS NULL OR (tu - b_tu) <= (f_tu - tu))
+            THEN b_id ELSE f_id END AS click_event_id,
+       CAST(CASE WHEN b_tu IS NOT NULL
+                      AND (f_tu IS NULL OR (tu - b_tu) <= (f_tu - tu))
+                 THEN b_tu ELSE f_tu END - tu AS BIGINT)
+         AS signed_gap_us
+FROM j
+"""
+
+QUERIES["purchase_nearest_click"] = QuerySpec(
+    q_purchase_nearest_click, ORACLE_PURCHASE_NEAREST_CLICK
 )
 
 

@@ -42,6 +42,7 @@ def dashboard_metrics(
     statuses: list[str] | None = None,
     status_col: str | None = None,
     include_hourly_series: bool = False,
+    include_candles: bool = False,
 ) -> dict[str, DataFrame]:
     """The five dashboard tables (A3-A7,
     reference dags/micro_batch_dashboard.py:95-133).
@@ -51,7 +52,10 @@ def dashboard_metrics(
     step="1 hour", counts/revenue zero-filled, synthesized rows
     marked). The reference's hourly chart groups by hour-of-day and
     silently skips empty hours; dashboards that plot a time axis need
-    the gap-filled form."""
+    the gap-filled form. ``include_candles=True`` adds a seventh:
+    hourly order-value candlesticks per category
+    (operators/ohlc.py — one hash aggregation, no window pass).
+    Parity default stays exactly five tables."""
     df = orders
     if statuses and status_col:
         df = df.where(F.col(status_col).isin(statuses))  # P7
@@ -100,6 +104,21 @@ def dashboard_metrics(
             zero_cols=["order_count", "revenue"],
             step="1 hour",
         )
+    if include_candles:
+        from data_pipeline_mlops_spark.operators.ohlc import ohlc_agg
+
+        # seventh, beyond-parity table: hourly order-value
+        # candlesticks per category (open/high/low/close + decimal
+        # volume) — one struct-edge hash aggregation per refresh, no
+        # window pass (operators/ohlc.py).
+        out["hourly_candles"] = ohlc_agg(
+            df.withColumn("__cat", F.col(category_col)),
+            group_cols=["__cat"],
+            ts_col=ts_col,
+            value_col=amount_col,
+            bucket="hour",
+            tiebreak_col=product_col,
+        ).withColumnRenamed("__cat", "category")
     return out
 
 

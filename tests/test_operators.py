@@ -228,6 +228,33 @@ def test_asof_join_semantics(spark):
     assert got_tol[(1, "L10")] == (None, None)  # r8 is 2s old
     assert got_tol[(1, "L5")] == (101, "r5b")   # 0s old
 
+    # FORWARD: earliest >= left ts; ties at the same ts take the
+    # SMALLEST tiebreak; strict excludes equal ts; tolerance nulls
+    # matches too far in the future.
+    got_f = rows(direction="forward")
+    assert got_f[(1, "L5")] == (100, "r5a")     # tie -> min rid
+    assert got_f[(1, "L10")] == (None, None)    # nothing after 10
+    assert got_f[(2, "L3")] == (None, None)
+    got_fs = rows(direction="forward", strict=True)
+    assert got_fs[(1, "L5")] == (102, "r8")     # equal ts excluded
+    got_ft = rows(direction="forward", tolerance_sec=2.0)
+    assert got_ft[(1, "L5")] == (100, "r5a")    # 0s ahead
+
+    # NEAREST: smaller absolute gap, exact tie prefers backward.
+    got_n = rows(direction="nearest")
+    assert got_n[(1, "L10")] == (102, "r8")     # only backward exists
+    assert got_n[(1, "L5")] == (101, "r5b")     # 0s tie -> backward
+    left2 = spark.createDataFrame(
+        [(1, T(7), "L7")], "k long, ts timestamp, lbl string"
+    )
+    out2 = asof_join(
+        left2, right, on="k", left_ts="ts", right_ts="ts",
+        payload=["rid", "rlbl"], tiebreak="rid",
+        payload_prefix="m_", direction="nearest",
+    ).collect()[0]
+    # gap to r5 (2s back) vs r8 (1s ahead): forward wins
+    assert (out2.m_rid, out2.m_rlbl) == (102, "r8")
+
 
 def test_synthetic_orders_errors_recovered_exactly(spark):
     """The seeded generator injects the reference's four error classes;

@@ -181,6 +181,72 @@ def test_asof_join_equals_naive(spark, left, right):
 
 
 @given(
+    left=st.lists(EVENT, min_size=0, max_size=10),
+    right=st.lists(EVENT, min_size=0, max_size=10),
+)
+@common
+def test_asof_forward_and_nearest_equal_naive(spark, left, right):
+    """forward must pick the qualifying right row with the SMALLEST
+    (ts, tiebreak) at or after the left ts; nearest must pick the
+    smaller absolute gap with exact ties preferring backward."""
+    import datetime as dt
+
+    from data_pipeline_mlops_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda rows: [  # noqa: E731
+        (i, k, base + dt.timedelta(seconds=s))
+        for i, (eid, k, s) in enumerate(rows)
+    ]
+    l = spark.createDataFrame(
+        mk(left) or [(0, 0, base)], "lid long, k long, ts timestamp"
+    ).limit(len(left))
+    r = spark.createDataFrame(
+        mk(right) or [(0, 0, base)], "rid long, k long, ts timestamp"
+    ).limit(len(right))
+    rrows = r.collect()
+
+    got_f = {
+        x.lid: x.m_rid
+        for x in asof_join(
+            l, r, on="k", left_ts="ts", right_ts="ts",
+            payload=["rid"], tiebreak="rid", payload_prefix="m_",
+            direction="forward",
+        ).collect()
+    }
+    got_n = {
+        x.lid: x.m_rid
+        for x in asof_join(
+            l, r, on="k", left_ts="ts", right_ts="ts",
+            payload=["rid"], tiebreak="rid", payload_prefix="m_",
+            direction="nearest",
+        ).collect()
+    }
+    for a in l.collect():
+        fw = [b for b in rrows if b.k == a.k and b.ts >= a.ts]
+        want_f = (
+            min(fw, key=lambda b: (b.ts, b.rid)).rid if fw else None
+        )
+        assert got_f[a.lid] == want_f, (a.lid, got_f[a.lid], want_f)
+
+        bw = [b for b in rrows if b.k == a.k and b.ts <= a.ts]
+        want_b = max(bw, key=lambda b: (b.ts, b.rid)).rid if bw else None
+        if want_b is None:
+            want_n = want_f
+        elif want_f is None:
+            want_n = want_b
+        else:
+            b_ts = max(bw, key=lambda b: (b.ts, b.rid)).ts
+            f_ts = min(fw, key=lambda b: (b.ts, b.rid)).ts
+            want_n = (
+                want_b
+                if (a.ts - b_ts) <= (f_ts - a.ts)
+                else want_f
+            )
+        assert got_n[a.lid] == want_n, (a.lid, got_n[a.lid], want_n)
+
+
+@given(
     batches=st.lists(
         st.lists(
             st.tuples(st.integers(0, 5), st.integers(0, 50)),  # (k, v)

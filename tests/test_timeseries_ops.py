@@ -288,3 +288,44 @@ def test_bucketed_ema_recurrence_and_pandas_parity(spark):
         bucketed_ema(
             df, group_cols=["g"], ts_col="ts", value_col="v", alpha=0.0
         )
+
+
+def test_dashboard_candles_table(spark):
+    """The beyond-parity seventh dashboard table: hourly order-value
+    candlesticks per category; parity default stays five tables."""
+    from data_pipeline_mlops_spark.streaming import microbatch
+
+    t0 = T0.replace(hour=10)
+    rows = [
+        (1, t0, 100.0, 1, "p1", "c1", "r1", 2, "completed"),
+        (2, t0 + dt.timedelta(minutes=10), 40.0, 2, "p2", "c1", "r1",
+         1, "completed"),
+        (3, t0 + dt.timedelta(hours=1), 70.0, 1, "p1", "c2", "r1", 1,
+         "completed"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "oid long, ts timestamp, amt double, cust long, prod string,"
+        " cat string, reg string, qty long, status string",
+    )
+    m = microbatch.dashboard_metrics(
+        df, ts_col="ts", amount_col="amt", customer_col="cust",
+        product_col="prod", category_col="cat", region_col="reg",
+        qty_col="qty", include_candles=True,
+    )
+    candles = {
+        (r["category"], r["bucket_hour"].hour): r
+        for r in m["hourly_candles"].collect()
+    }
+    c1 = candles[("c1", 10)]
+    assert (c1["open"], c1["high"], c1["low"], c1["close"]) == (
+        100.0, 100.0, 40.0, 40.0,
+    )
+    assert (c1["n_ticks"], c1["volume"]) == (2, 140.0)
+    assert candles[("c2", 11)]["open"] == 70.0
+    five = microbatch.dashboard_metrics(
+        df, ts_col="ts", amount_col="amt", customer_col="cust",
+        product_col="prod", category_col="cat", region_col="reg",
+        qty_col="qty",
+    )
+    assert "hourly_candles" not in five and len(five) == 5
