@@ -122,6 +122,10 @@ HEADLINE = R1_KEYS + [
     "event_hourly_ema",
     "purchase_next_error",
     "purchase_nearest_click",
+    # Markov transitions (LEAD window + groupBy) and CUSUM drift
+    # (decimal bucketing + output-sized kernel).
+    "event_transition_matrix",
+    "event_cusum_drift",
 ]
 
 

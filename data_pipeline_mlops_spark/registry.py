@@ -2076,15 +2076,14 @@ _DRIVER_WINDOW: list[str] = [
     "user_state_durations", "user_uptime", "event_ohlc_daily",
     "event_m4_downsample", "event_lttb_downsample",
     "event_hourly_ema", "purchase_next_error",
-    "purchase_nearest_click",
+    "purchase_nearest_click", "regional_unpivot",
+    "event_transition_matrix", "event_cusum_drift",
     # re-validation fill: previously-hashed representatives of each
     # risk tier (HUGEINT/window frames, warehouse joins, corpus/text,
     # ANN/sketch, lakehouse) so the window stays 50 deep
     "order_window_census", "customer_rolling_features",
     "price_histogram", "lineitem_moment_stats",
     "event_alert_throttle", "purchase_attribution",
-    "salted_priority_join", "dq_expectations",
-    "cluster_balanced_sample",
 ]
 
 
@@ -11486,6 +11485,190 @@ FROM j
 
 QUERIES["purchase_nearest_click"] = QuerySpec(
     q_purchase_nearest_click, ORACLE_PURCHASE_NEAREST_CLICK
+)
+
+
+def q_regional_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (the inverse of the status_pivot tier): the A6
+    regional stats table unpivoted to long (region, metric, value)
+    form — Spark's native ``DataFrame.unpivot`` (Catalyst Expand,
+    no UDF, no shuffle beyond the upstream agg). Measures cast to
+    DOUBLE so the value column is homogeneous."""
+    wide = q_regional_stats(spark, sf_dir).select(
+        "region",
+        F.col("order_count").cast("double").alias("order_count"),
+        F.col("revenue"),
+        F.col("unique_customers").cast("double").alias(
+            "unique_customers"
+        ),
+    )
+    return wide.unpivot(
+        ["region"],
+        ["order_count", "revenue", "unique_customers"],
+        "metric",
+        "value",
+    )
+
+
+ORACLE_REGIONAL_UNPIVOT = f"""
+WITH wide AS (
+  SELECT r_name AS region,
+         COUNT(*) AS order_count,
+         {_osum('o_totalprice', 'revenue')},
+         COUNT(DISTINCT o_custkey) AS unique_customers
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1
+)
+SELECT region, 'order_count' AS metric,
+       CAST(order_count AS DOUBLE) AS value FROM wide
+UNION ALL
+SELECT region, 'revenue', revenue FROM wide
+UNION ALL
+SELECT region, 'unique_customers',
+       CAST(unique_customers AS DOUBLE) FROM wide
+"""
+
+QUERIES["regional_unpivot"] = QuerySpec(
+    q_regional_unpivot, ORACLE_REGIONAL_UNPIVOT
+)
+
+
+def q_event_transition_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: (from_type -> to_type) counts via one series-keyed LEAD
+    window, plus the row-normalized transition probability (an exact
+    long/long division — deterministic at any parallelism, no
+    rounding). Two shuffles total: the window on user_id and the
+    (from, to) groupBy; the row-sum normalizer is a tiny broadcast
+    re-join on from_type."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("__total")
+    )
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            (
+                F.col("n_transitions").cast("double")
+                / F.col("__total").cast("double")
+            ).alias("probability"),
+        )
+    )
+
+
+ORACLE_EVENT_TRANSITION_MATRIX = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / CAST(SUM(n_transitions) OVER (PARTITION BY from_type)
+                AS DOUBLE) AS probability
+FROM counts
+"""
+
+QUERIES["event_transition_matrix"] = QuerySpec(
+    q_event_transition_matrix, ORACLE_EVENT_TRANSITION_MATRIX
+)
+
+_CUSUM_K, _CUSUM_H = 1.0, 5.0
+
+
+def q_event_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift detection (Page 1954) over per-type
+    daily value means (operators/changepoint.py::cusum_drift,
+    k=1, h=5): sustained level shifts accumulate where the static
+    z-score/MAD tiers only flag single points. Distributed decimal-
+    exact bucketing + output-sized sequential kernel; the oracle
+    replays the recursion like the EMA oracle."""
+    from data_pipeline_mlops_spark.operators.changepoint import (
+        cusum_drift,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_drift(
+        ev,
+        group_cols=["event_type"],
+        ts_col="ts",
+        value_col="value",
+        k=_CUSUM_K,
+        h=_CUSUM_H,
+        bucket="day",
+    )
+
+
+ORACLE_EVENT_CUSUM_DRIFT = f"""
+WITH RECURSIVE b AS (
+  SELECT event_type AS g,
+         epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
+           // 1000000 AS bucket_s,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*), 6) AS x
+  FROM events
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT g,
+         CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+           AS mu
+  FROM b GROUP BY 1
+),
+idx AS (
+  SELECT b.g, b.bucket_s, b.x, m.mu,
+         ROW_NUMBER() OVER (PARTITION BY b.g ORDER BY b.bucket_s ASC)
+           - 1 AS j
+  FROM b JOIN m ON m.g = b.g
+),
+rec AS (
+  SELECT g, j, bucket_s, x, mu,
+         GREATEST(0.0, 0.0 + ((x - mu) - {_CUSUM_K!r})) AS sp,
+         GREATEST(0.0, 0.0 + ((mu - x) - {_CUSUM_K!r})) AS sn
+  FROM idx WHERE j = 0
+  UNION ALL
+  SELECT i.g, i.j, i.bucket_s, i.x, i.mu,
+         GREATEST(0.0, r.sp + ((i.x - i.mu) - {_CUSUM_K!r})),
+         GREATEST(0.0, r.sn + ((i.mu - i.x) - {_CUSUM_K!r}))
+  FROM rec r JOIN idx i ON i.g = r.g AND i.j = r.j + 1
+)
+SELECT g AS event_type, CAST(bucket_s AS BIGINT) AS bucket_s,
+       x AS bucket_avg, sp AS cusum_pos, sn AS cusum_neg,
+       (sp > {_CUSUM_H!r} OR sn > {_CUSUM_H!r}) AS drift_alert
+FROM rec
+"""
+
+QUERIES["event_cusum_drift"] = QuerySpec(
+    q_event_cusum_drift, ORACLE_EVENT_CUSUM_DRIFT
 )
 
 

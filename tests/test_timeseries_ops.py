@@ -329,3 +329,49 @@ def test_dashboard_candles_table(spark):
         qty_col="qty",
     )
     assert "hourly_candles" not in five and len(five) == 5
+
+
+def test_cusum_drift_detects_level_shift(spark):
+    """Flat series at 10 for 4 days then a sustained shift to 18:
+    mu = 14, so low days add (14 - 10) - 1 = 3 to the NEGATIVE
+    accumulator and shifted days add 3 to the POSITIVE one — both
+    phases alert once their side crosses h = 5 (two-sided CUSUM
+    flags sustained deviation from the baseline in either
+    direction)."""
+    import math
+
+    from data_pipeline_mlops_spark.operators.changepoint import cusum_drift
+
+    rows = []
+    days = [10.0] * 4 + [18.0] * 4
+    for d, v in enumerate(days):
+        rows.append(("s", T0 + dt.timedelta(days=d), v))
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = sorted(
+        cusum_drift(
+            df, group_cols=["g"], ts_col="ts", value_col="v",
+            k=1.0, h=5.0, bucket="day",
+        ).collect(),
+        key=lambda r: r["bucket_s"],
+    )
+    mu = 14.0
+    # replay BOTH accumulators: the low phase drifts the negative
+    # side, the shifted phase the positive side
+    sp = sn = 0.0
+    expect_alerts = []
+    for v in days:
+        sp = max(0.0, sp + ((v - mu) - 1.0))
+        sn = max(0.0, sn + ((mu - v) - 1.0))
+        expect_alerts.append(sp > 5.0 or sn > 5.0)
+    assert [r["drift_alert"] for r in out] == expect_alerts
+    assert any(expect_alerts)           # drift IS detected
+    assert not expect_alerts[0]         # not on the first day
+    assert all(math.isclose(r["bucket_avg"], v) for r, v in zip(out, days))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cusum_drift(
+            df, group_cols=["g"], ts_col="ts", value_col="v",
+            k=-1.0, h=5.0,
+        )
