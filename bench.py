@@ -126,6 +126,7 @@ HEADLINE = R1_KEYS + [
     # (decimal bucketing + output-sized kernel).
     "event_transition_matrix",
     "event_cusum_drift",
+    "event_hourly_holt",
 ]
 
 

@@ -101,3 +101,91 @@ def bucketed_ema(
         return pdf[group_cols + ["bucket_s", "bucket_avg", "ema"]]
 
     return hourly.groupBy(*group_cols).applyInPandas(kernel, out_schema)
+
+
+def holt_linear(
+    df: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    gamma: float,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing over the
+    bucketed series — the trend-aware extension of :func:`bucketed_ema`
+    (Holt 1957; the standard monitoring forecaster)::
+
+        level_0 = x_0,  trend_0 = 0            (zero-initialized trend:
+                                                 deterministic for any
+                                                 series length; converges
+                                                 within a few steps)
+        level_i = (alpha * x_i) + ((1-alpha) * (level_{i-1} + trend_{i-1}))
+        trend_i = (gamma * (level_i - level_{i-1})) + ((1-gamma) * trend_{i-1})
+
+    Returns ``(group_cols..., bucket_s, bucket_avg, level, trend,
+    forecast_next)`` with ``forecast_next = level + trend`` (the
+    one-step-ahead forecast).  Same Spark-first split and determinism
+    contract as :func:`bucketed_ema` — the 1-alpha/1-gamma complements
+    are computed once in IEEE and must be repr-templated into any
+    SQL replay."""
+    if not (0.0 < alpha <= 1.0) or not (0.0 < gamma <= 1.0):
+        raise ValueError("alpha and gamma must be in (0, 1]")
+    group_cols = list(group_cols)
+    a_c, g_c = 1.0 - alpha, 1.0 - gamma
+    in_schema = {f.name: f.dataType for f in df.schema.fields}
+    out_schema = T.StructType(
+        [T.StructField(c, in_schema[c]) for c in group_cols]
+        + [
+            T.StructField("bucket_s", T.LongType()),
+            T.StructField("bucket_avg", T.DoubleType()),
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("forecast_next", T.DoubleType()),
+        ]
+    )
+    bucketed = (
+        df.groupBy(
+            *group_cols,
+            epoch_s(F.date_trunc(bucket, F.col(ts_col))).alias(
+                "bucket_s"
+            ),
+        )
+        .agg(
+            (
+                F.sum(F.col(value_col).cast(MONEY_DECIMAL)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("bucket_avg")
+        )
+    )
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("bucket_s").reset_index(drop=True)
+        lvl, trd, fc = [], [], []
+        level = trend = None
+        for x in pdf["bucket_avg"]:
+            x = float(x)
+            if level is None:
+                level, trend = x, 0.0
+            else:
+                prev = level
+                level = (alpha * x) + (a_c * (level + trend))
+                trend = (gamma * (level - prev)) + (g_c * trend)
+            lvl.append(level)
+            trd.append(trend)
+            fc.append(level + trend)
+        pdf["level"] = lvl
+        pdf["trend"] = trd
+        pdf["forecast_next"] = fc
+        return pdf[
+            group_cols
+            + ["bucket_s", "bucket_avg", "level", "trend",
+               "forecast_next"]
+        ]
+
+    return bucketed.groupBy(*group_cols).applyInPandas(
+        kernel, out_schema
+    )

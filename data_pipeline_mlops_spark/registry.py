@@ -2078,11 +2078,12 @@ _DRIVER_WINDOW: list[str] = [
     "event_hourly_ema", "purchase_next_error",
     "purchase_nearest_click", "regional_unpivot",
     "event_transition_matrix", "event_cusum_drift",
+    "event_hourly_holt",
     # re-validation fill: previously-hashed representatives of each
     # risk tier (HUGEINT/window frames, warehouse joins, corpus/text,
     # ANN/sketch, lakehouse) so the window stays 50 deep
     "order_window_census", "customer_rolling_features",
-    "price_histogram", "lineitem_moment_stats",
+    "lineitem_moment_stats",
     "event_alert_throttle", "purchase_attribution",
 ]
 
@@ -11669,6 +11670,72 @@ FROM rec
 
 QUERIES["event_cusum_drift"] = QuerySpec(
     q_event_cusum_drift, ORACLE_EVENT_CUSUM_DRIFT
+)
+
+_HOLT_ALPHA, _HOLT_GAMMA = 0.4, 0.2
+
+
+def q_event_hourly_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing (double exponential, Holt 1957)
+    of the hourly mean event value per event_type
+    (operators/ema.py::holt_linear, alpha=0.4 gamma=0.2): the trend-
+    aware forecaster over the same distributed decimal-exact buckets
+    as the EMA tier, with the one-step-ahead forecast column. Oracle:
+    recursive CTE carrying (level, trend) with repr-templated IEEE
+    complements."""
+    from data_pipeline_mlops_spark.operators.ema import holt_linear
+
+    ev = load_table(spark, sf_dir, "events")
+    return holt_linear(
+        ev,
+        group_cols=["event_type"],
+        ts_col="ts",
+        value_col="value",
+        alpha=_HOLT_ALPHA,
+        gamma=_HOLT_GAMMA,
+        bucket="hour",
+    )
+
+
+ORACLE_EVENT_HOURLY_HOLT = f"""
+WITH RECURSIVE h AS (
+  SELECT event_type AS g,
+         epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+           // 1000000 AS bucket_s,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+           / COUNT(*) AS x
+  FROM events
+  GROUP BY 1, 2
+),
+idx AS (
+  SELECT g, bucket_s, x,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY bucket_s ASC) - 1
+           AS j
+  FROM h
+),
+rec AS (
+  SELECT g, j, bucket_s, x, x AS level,
+         CAST(0.0 AS DOUBLE) AS trend
+  FROM idx WHERE j = 0
+  UNION ALL
+  SELECT i.g, i.j, i.bucket_s, i.x,
+         ({_HOLT_ALPHA!r} * i.x)
+           + ({1.0 - _HOLT_ALPHA!r} * (r.level + r.trend)),
+         ({_HOLT_GAMMA!r} * ((({_HOLT_ALPHA!r} * i.x)
+             + ({1.0 - _HOLT_ALPHA!r} * (r.level + r.trend)))
+             - r.level))
+           + ({1.0 - _HOLT_GAMMA!r} * r.trend)
+  FROM rec r
+  JOIN idx i ON i.g = r.g AND i.j = r.j + 1
+)
+SELECT g AS event_type, CAST(bucket_s AS BIGINT) AS bucket_s,
+       x AS bucket_avg, level, trend,
+       level + trend AS forecast_next
+FROM rec
+"""
+
+QUERIES["event_hourly_holt"] = QuerySpec(
+    q_event_hourly_holt, ORACLE_EVENT_HOURLY_HOLT
 )
 
 

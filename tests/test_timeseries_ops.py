@@ -375,3 +375,41 @@ def test_cusum_drift_detects_level_shift(spark):
             df, group_cols=["g"], ts_col="ts", value_col="v",
             k=-1.0, h=5.0,
         )
+
+
+def test_holt_linear_recurrence(spark):
+    """Holt double smoothing: zero-initialized trend, then
+    level/trend recurrences replayed by hand; forecast = level+trend.
+    A rising ramp develops a positive trend."""
+    from data_pipeline_mlops_spark.operators.ema import holt_linear
+
+    vals = [10.0, 12.0, 14.0, 16.0]
+    rows = [("s", T0 + dt.timedelta(hours=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = sorted(
+        holt_linear(
+            df, group_cols=["g"], ts_col="ts", value_col="v",
+            alpha=0.4, gamma=0.2, bucket="hour",
+        ).collect(),
+        key=lambda r: r["bucket_s"],
+    )
+    a, g = 0.4, 0.2
+    ac, gc = 1.0 - a, 1.0 - g
+    level, trend = vals[0], 0.0
+    exp = [(level, trend)]
+    for x in vals[1:]:
+        prev = level
+        level = (a * x) + (ac * (level + trend))
+        trend = (g * (level - prev)) + (gc * trend)
+        exp.append((level, trend))
+    assert [(r["level"], r["trend"]) for r in out] == exp
+    assert all(r["forecast_next"] == r["level"] + r["trend"] for r in out)
+    assert out[-1]["trend"] > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        holt_linear(
+            df, group_cols=["g"], ts_col="ts", value_col="v",
+            alpha=0.4, gamma=1.5,
+        )
