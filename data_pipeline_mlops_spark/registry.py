@@ -2078,12 +2078,11 @@ _DRIVER_WINDOW: list[str] = [
     "event_hourly_ema", "purchase_next_error",
     "purchase_nearest_click", "regional_unpivot",
     "event_transition_matrix", "event_cusum_drift",
-    "event_hourly_holt",
+    "event_hourly_holt", "orders_incremental_candles",
     # re-validation fill: previously-hashed representatives of each
     # risk tier (HUGEINT/window frames, warehouse joins, corpus/text,
     # ANN/sketch, lakehouse) so the window stays 50 deep
     "order_window_census", "customer_rolling_features",
-    "lineitem_moment_stats",
     "event_alert_throttle", "purchase_attribution",
 ]
 
@@ -11736,6 +11735,122 @@ FROM rec
 
 QUERIES["event_hourly_holt"] = QuerySpec(
     q_event_hourly_holt, ORACLE_EVENT_HOURLY_HOLT
+)
+
+
+def q_orders_incremental_candles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incrementally-maintained CANDLESTICK rollup — a TimescaleDB
+    continuous aggregate over the lakehouse change feed: monthly
+    OHLC of order values (open/close via the operators/ohlc.py
+    struct-edge discipline, (o_orderdate, o_orderkey)-ordered)
+    bootstrapped at the merge fixture's v0 and refreshed ONLY for the
+    months the MERGE's CDC touches
+    (plans/incremental.py::IncrementalAggregate — pre-images dirty
+    their old month, deleted months drop). The oracle computes a FULL
+    candlestick aggregate over the merged final state: hash equality
+    IS the incremental-equals-full proof."""
+    import tempfile
+
+    from data_pipeline_mlops_spark.plans.incremental import (
+        IncrementalAggregate,
+    )
+    from data_pipeline_mlops_spark.sources.txn import ManifestTable
+
+    table, v0, v1 = _merge_fixture(spark, sf_dir)
+
+    def month_key(df):
+        c = F.col("o_orderdate")
+        return (F.year(c) * 12 + F.month(c)).cast("long")
+
+    def agg_fn(df):
+        edge = F.struct(
+            F.col("o_orderdate").alias("t"),
+            F.col("o_orderkey").alias("i"),
+            F.col("o_totalprice").alias("v"),
+        )
+        return df.groupBy(month_key(df).alias("order_month")).agg(
+            F.min(edge).getField("v").alias("open"),
+            F.max("o_totalprice").alias("high"),
+            F.min("o_totalprice").alias("low"),
+            F.max(edge).getField("v").alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_ticks"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2
+            ).cast("double").alias("volume"),
+        )
+
+    ia = IncrementalAggregate(
+        ManifestTable(tempfile.mkdtemp(prefix="inc_candle_")),
+        key_col="order_month",
+        group_key=month_key,
+        agg_fn=agg_fn,
+    )
+
+    class _Snap:
+        def read(self, spark_, version=None, **kw):
+            return table.read(
+                spark_, version=v0 if version is None else version, **kw
+            )
+
+    ia.full_compute(spark, _Snap())
+    ia.refresh(spark, table, v_from=v0, v_to=v1, on=["o_orderkey"])
+    return ia.summary.read(spark).select(
+        "order_month", "open", "high", "low", "close", "n_ticks",
+        "volume",
+    )
+
+
+ORACLE_ORDERS_INCREMENTAL_CANDLES = """
+WITH src AS (
+  SELECT o_orderkey, o_totalprice0 AS o_totalprice, o_orderdate, is_delete
+  FROM (
+    SELECT o_orderkey,
+      CASE WHEN o_orderkey % 4 <> 0 AND o_orderkey % 7 = 0
+           THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice0,
+      o_orderdate,
+      (o_orderkey % 4 <> 0 AND o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0)
+        AS is_delete
+    FROM orders
+    WHERE o_orderkey % 4 = 0 OR o_orderkey % 7 = 0 OR o_orderkey % 5 = 0
+  ) s
+),
+merged AS (
+  SELECT o_orderkey, o_totalprice, o_orderdate
+  FROM orders
+  WHERE o_orderkey % 4 <> 0
+    AND o_orderkey NOT IN (SELECT o_orderkey FROM src)
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderdate
+  FROM src WHERE NOT is_delete
+),
+r AS (
+  SELECT CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS BIGINT)
+           AS order_month,
+         o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY YEAR(o_orderdate) * 12 + MONTH(o_orderdate)
+           ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn_a,
+         ROW_NUMBER() OVER (
+           PARTITION BY YEAR(o_orderdate) * 12 + MONTH(o_orderdate)
+           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_d
+  FROM merged
+)
+SELECT order_month,
+       MAX(CASE WHEN rn_a = 1 THEN o_totalprice END) AS open,
+       MAX(o_totalprice) AS high,
+       MIN(o_totalprice) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN o_totalprice END) AS close,
+       COUNT(*) AS n_ticks,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2)
+            AS DOUBLE) AS volume
+FROM r
+GROUP BY 1
+"""
+
+QUERIES["orders_incremental_candles"] = QuerySpec(
+    q_orders_incremental_candles, ORACLE_ORDERS_INCREMENTAL_CANDLES
 )
 
 
