@@ -64,9 +64,7 @@ def _avg_exact(t_slice, v_slice) -> tuple[float, float]:
     double ONCE (matching CAST(SUM(CAST(v AS DECIMAL(38,6))) AS
     DOUBLE) / COUNT(*))."""
     cnt = len(t_slice)
-    ts = int(t_slice.sum(dtype=object)) if hasattr(t_slice, "sum") else sum(
-        int(x) for x in t_slice
-    )
+    ts = int(t_slice.sum(dtype=object))
     with localcontext() as ctx:
         ctx.prec = 60
         s = Decimal(0)

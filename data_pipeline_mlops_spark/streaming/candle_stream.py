@@ -111,7 +111,10 @@ class CandleStore:
         batch_id: int,
     ) -> bool:
         """Merge one batch's per-bucket partials in; returns False
-        (no-op) on a redelivered batch id."""
+        (no-op) on a redelivered batch id.  ``tiebreak_col`` must be
+        numeric (it is cast to long in the store schema); a
+        non-numeric id casts to NULL and breaks open/close tie
+        determinism."""
         spark = batch_df.sparkSession
         if self.applied(spark, batch_id):
             return False
