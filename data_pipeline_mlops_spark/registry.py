@@ -2079,10 +2079,11 @@ _DRIVER_WINDOW: list[str] = [
     "purchase_nearest_click", "regional_unpivot",
     "event_transition_matrix", "event_cusum_drift",
     "event_hourly_holt", "orders_incremental_candles",
+    "user_rolling_p95",
     # re-validation fill: previously-hashed representatives of each
     # risk tier (HUGEINT/window frames, warehouse joins, corpus/text,
     # ANN/sketch, lakehouse) so the window stays 50 deep
-    "order_window_census", "customer_rolling_features",
+    "order_window_census",
     "event_alert_throttle", "purchase_attribution",
 ]
 
@@ -11851,6 +11852,47 @@ GROUP BY 1
 
 QUERIES["orders_incremental_candles"] = QuerySpec(
     q_orders_incremental_candles, ORACLE_ORDERS_INCREMENTAL_CANDLES
+)
+
+
+def q_user_rolling_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact interpolated p95 over each user's trailing 20
+    samples (the SLO-style rolling latency quantile): Spark
+    `percentile` as a frame-bounded window aggregate — Spark and
+    DuckDB `quantile_cont` share the linear-interpolation definition
+    (proven by event_value_percentiles), extended here to a moving
+    ROWS frame. Per-partition cost is the series length x frame (20),
+    keyed on the series — one shuffle."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-19, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.percentile("value", F.lit(0.95)).over(w), 6).alias(
+            "rolling_p95"
+        ),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+    )
+
+
+ORACLE_USER_ROLLING_P95 = """
+SELECT user_id, event_id,
+       ROUND(quantile_cont(value, 0.95) OVER w, 6) AS rolling_p95,
+       COUNT(*) OVER w AS n_window
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES["user_rolling_p95"] = QuerySpec(
+    q_user_rolling_p95, ORACLE_USER_ROLLING_P95
 )
 
 
