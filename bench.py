@@ -127,6 +127,7 @@ HEADLINE = R1_KEYS + [
     "event_transition_matrix",
     "event_cusum_drift",
     "event_hourly_holt",
+    "user_rolling_p95",
 ]
 
 
