@@ -2079,11 +2079,10 @@ _DRIVER_WINDOW: list[str] = [
     "purchase_nearest_click", "regional_unpivot",
     "event_transition_matrix", "event_cusum_drift",
     "event_hourly_holt", "orders_incremental_candles",
-    "user_rolling_p95",
+    "user_rolling_p95", "rolling_distinct_users_kmv",
     # re-validation fill: previously-hashed representatives of each
     # risk tier (HUGEINT/window frames, warehouse joins, corpus/text,
     # ANN/sketch, lakehouse) so the window stays 50 deep
-    "order_window_census",
     "event_alert_throttle", "purchase_attribution",
 ]
 
@@ -11893,6 +11892,114 @@ WINDOW w AS (PARTITION BY user_id
 
 QUERIES["user_rolling_p95"] = QuerySpec(
     q_user_rolling_p95, ORACLE_USER_ROLLING_P95
+)
+
+
+def q_rolling_distinct_users_kmv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rolling 7-day distinct users via MERGEABLE KMV sketches — the
+    sliding-window distinct problem COUNT(DISTINCT) over a window
+    cannot express (Spark forbids it) and exact materialization
+    cannot afford at 100 TB. Per day, the k=64 smallest md5-derived
+    user hashes (per-day top-k via a day-partitioned row_number —
+    one shuffle, k rows survive per day); the 7-day estimate unions
+    the daily sketches over a RANGE frame on the day index (sketch
+    union = merge + re-truncate to k, the theta-sketch union rule)
+    and applies the KMV estimator — or the EXACT pool size when the
+    union holds fewer than k hashes (a KMV below capacity has seen
+    everything). The rolling union runs on the OUTPUT-SIZED day grid
+    (|days| rows), so the unpartitioned window is calendar-bounded,
+    never corpus-sized."""
+    from pyspark.sql import Window
+
+    k = 64
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    d = (
+        epoch_s(F.date_trunc("day", F.col("ts"))) / F.lit(86400)
+    ).cast("long")
+    dh = ev.select(d.alias("d"), h.alias("hv")).distinct()
+    wk = Window.partitionBy("d").orderBy(F.col("hv").asc())
+    per_day = (
+        dh.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= k)
+        .groupBy("d")
+        .agg(F.array_sort(F.collect_list("hv")).alias("hs"))
+    )
+    wr = Window.orderBy("d").rangeBetween(-6, 0)
+    pool = F.array_sort(
+        F.array_distinct(F.flatten(F.collect_list("hs").over(wr)))
+    )
+    staged = per_day.select(
+        "d",
+        F.count(F.lit(1)).over(wr).alias("window_days"),
+        pool.alias("pool"),
+    )
+    est = F.when(
+        F.size("pool") < k, F.size("pool").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(k - 1))
+            / (
+                F.element_at("pool", k).cast("double")
+                / F.lit(float(2**60))
+            ),
+            4,
+        )
+    )
+    return staged.select(
+        F.date_add(
+            F.lit("1970-01-01").cast("date"), F.col("d").cast("int")
+        ).alias("day"),
+        F.col("window_days").cast("long").alias("window_days"),
+        F.size("pool").cast("long").alias("pool_size"),
+        est.alias("est_distinct"),
+    )
+
+
+ORACLE_ROLLING_DISTINCT_USERS_KMV = """
+WITH dh AS (
+  SELECT DISTINCT
+         CAST(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
+              // 1000000 // 86400 AS BIGINT) AS d,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM events
+),
+pd AS (
+  SELECT d, list_sort(list(hv)) AS hs
+  FROM (
+    SELECT d, hv,
+           ROW_NUMBER() OVER (PARTITION BY d ORDER BY hv ASC) AS rn
+    FROM dh
+  )
+  WHERE rn <= 64
+  GROUP BY d
+),
+r AS (
+  SELECT d,
+         COUNT(*) OVER w AS window_days,
+         list_sort(list_distinct(flatten(list(hs) OVER w))) AS pool
+  FROM pd
+  WINDOW w AS (ORDER BY d RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT DATE '1970-01-01' + CAST(d AS INTEGER) AS day,
+       CAST(window_days AS BIGINT) AS window_days,
+       CAST(len(pool) AS BIGINT) AS pool_size,
+       CASE WHEN len(pool) < 64 THEN CAST(len(pool) AS DOUBLE)
+            ELSE ROUND(63.0 / (CAST(pool[64] AS DOUBLE)
+                               / 1152921504606846976.0), 4)
+       END AS est_distinct
+FROM r
+"""
+
+QUERIES["rolling_distinct_users_kmv"] = QuerySpec(
+    q_rolling_distinct_users_kmv, ORACLE_ROLLING_DISTINCT_USERS_KMV
 )
 
 

@@ -413,3 +413,40 @@ def test_holt_linear_recurrence(spark):
             df, group_cols=["g"], ts_col="ts", value_col="v",
             alpha=0.4, gamma=1.5,
         )
+
+
+def test_rolling_kmv_exact_below_capacity(spark, monkeypatch):
+    """With fewer than k distinct users in every 7-day pool, the
+    sketch is below capacity and the estimate IS the exact rolling
+    distinct count; day windows slide by calendar RANGE (a day gap
+    still counts inside the 7-day span)."""
+    from data_pipeline_mlops_spark import registry
+
+    rows = []
+    # day 0: users 1,2 | day 1: users 2,3 | day 3: user 9 (gap day 2)
+    for day, users in [(0, [1, 2]), (1, [2, 3]), (3, [9])]:
+        for j, u in enumerate(users):
+            rows.append(
+                (day * 10 + j, T0 + dt.timedelta(days=day), u, "view",
+                 1.0, "{}")
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(
+        registry, "load_table", lambda s, sf, name: df
+    )
+    out = {
+        str(r["day"]): r
+        for r in registry.QUERIES["rolling_distinct_users_kmv"]
+        .spark(spark, "ignored")
+        .collect()
+    }
+    d0 = T0.date()
+    assert out[str(d0)]["est_distinct"] == 2.0          # {1,2}
+    assert out[str(d0 + dt.timedelta(days=1))]["est_distinct"] == 3.0
+    r3 = out[str(d0 + dt.timedelta(days=3))]
+    assert r3["est_distinct"] == 4.0                    # {1,2,3,9}
+    assert r3["window_days"] == 3                       # gap day absent
