@@ -128,6 +128,7 @@ HEADLINE = R1_KEYS + [
     "event_cusum_drift",
     "event_hourly_holt",
     "user_rolling_p95",
+    "rolling_distinct_users_kmv",
 ]
 
 
