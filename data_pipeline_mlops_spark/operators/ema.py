@@ -20,9 +20,9 @@ inherently sequential, so the Spark-first shape splits the work:
 Cross-engine determinism: each step is the fixed expression
 ``(alpha * x) + (beta * ema)`` where ``beta = 1.0 - alpha`` is
 computed ONCE in IEEE here and both float literals are templated into
-the oracle via ``repr`` (1.0 - 0.3 is 0.7000000000000001 in IEEE, NOT
-the decimal literal 0.7 — templating the repr keeps DuckDB on the
-identical double).  Same operands + same DAG = bit-identical at any
+the oracle via ``repr`` (e.g. 1.0 - 0.7 is 0.30000000000000004 in
+IEEE, NOT the decimal literal 0.3 — templating the repr keeps DuckDB
+on the identical double whenever 1 - alpha is inexact).  Same operands + same DAG = bit-identical at any
 parallelism; no rounding is applied to the reported values.
 
 Reference parity: the reference's dashboard recomputes raw hourly

@@ -11178,12 +11178,17 @@ idx AS (
          COUNT(*) OVER (PARTITION BY g) AS n
   FROM pts
 ),
-firstpt AS (SELECT g, t, v, i FROM idx WHERE j = 0),
-lastpt  AS (SELECT g, t, v, i FROM idx WHERE j = n - 1),
+short AS (
+  -- Spark pass-through branch: a series with <= n_out points is
+  -- emitted unchanged with pos = rank (operators/lttb.py kernel)
+  SELECT g, j AS pos, t, v, i FROM idx WHERE n <= 64
+),
+firstpt AS (SELECT g, t, v, i FROM idx WHERE j = 0 AND n > 64),
+lastpt  AS (SELECT g, t, v, i FROM idx WHERE j = n - 1 AND n > 64),
 interior AS (
   SELECT g, t, v, i,
          CAST((j - 1) * 62 // (n - 2) AS BIGINT) AS k, j
-  FROM idx WHERE j >= 1 AND j <= n - 2
+  FROM idx WHERE j >= 1 AND j <= n - 2 AND n > 64
 ),
 buckets AS (
   SELECT g, k,
@@ -11231,8 +11236,12 @@ rec AS (
     ) w
   ) q
 )
-SELECT g AS event_type, CAST(0 AS BIGINT) AS pos,
+SELECT g AS event_type, CAST(pos AS BIGINT) AS pos,
        CAST(t AS BIGINT) AS t_s, v AS value, i AS event_id
+FROM short
+UNION ALL
+SELECT g, CAST(0 AS BIGINT),
+       CAST(t AS BIGINT), v, i
 FROM firstpt
 UNION ALL
 SELECT g, k + 1 AS pos, CAST(sti AS BIGINT), sv, sii
@@ -11270,8 +11279,10 @@ def q_event_hourly_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# beta templated as the IEEE value of 1.0 - alpha (NOT the decimal
-# literal 0.7): see operators/ema.py determinism note.
+# beta templated as the IEEE value of 1.0 - alpha via repr, so DuckDB
+# uses the identical double whenever the subtraction is inexact (e.g.
+# 1.0 - 0.7 == 0.30000000000000004; for alpha=0.3 the repr is just
+# '0.7'): see operators/ema.py determinism note.
 ORACLE_EVENT_HOURLY_EMA = f"""
 WITH RECURSIVE h AS (
   SELECT event_type AS g,

@@ -228,11 +228,16 @@ def candle_foreach_batch(
     maintain_every: int = 32,
 ):
     """foreachBatch adapter: `stream.writeStream.foreachBatch(this)`.
-    Every ``maintain_every`` applied batches the store self-compacts
-    (0 disables)."""
+    Every ``maintain_every`` APPLIED batches the store self-compacts
+    (0 disables).  The cadence counts batches this closure actually
+    applied — empty batches and exactly-once-skipped redeliveries do
+    not advance it — so compaction frequency tracks ingested work,
+    not the stream's batch-id sequence (ADVICE r10)."""
     store = CandleStore(root, bucket=bucket)
+    applied_n = 0
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal applied_n
         if batch_df.isEmpty():
             return
         if store.update(
@@ -243,11 +248,8 @@ def candle_foreach_batch(
             tiebreak_col=tiebreak_col,
             batch_id=batch_id,
         ):
-            if (
-                maintain_every
-                and batch_id > 0
-                and batch_id % maintain_every == 0
-            ):
+            applied_n += 1
+            if maintain_every and applied_n % maintain_every == 0:
                 store.maintain(batch_df.sparkSession)
 
     return body

@@ -36,6 +36,14 @@ def main() -> None:
     ap.add_argument("--fresh", action="store_true")
     ap.add_argument("--only", default=None, help="comma-separated names")
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument(
+        "--oracle-timeout",
+        type=float,
+        default=0.0,
+        help="seconds before the DuckDB leg of a compare is interrupted "
+        "and recorded as error=oracle_timeout (0 = no cap). Discovery "
+        "tool for superlinear oracle replays at big SFs.",
+    )
     args = ap.parse_args()
 
     tag = os.path.basename(args.sf.rstrip("/"))
@@ -69,14 +77,32 @@ def main() -> None:
         file=sys.stderr,
     )
     if todo:
+        import threading
+
         spark = get_spark(app_name="oracle-sweep")
         con = duckdb_conn(args.sf)
         for i, name in enumerate(todo):
             t0 = time.time()
+            timer = None
+            timed_out = threading.Event()
+            if args.oracle_timeout > 0:
+
+                def _interrupt(c=con, ev=timed_out):
+                    ev.set()
+                    c.interrupt()
+
+                timer = threading.Timer(args.oracle_timeout, _interrupt)
+                timer.start()
             try:
                 r = compare(QUERIES[name].spark(spark, args.sf), con, QUERIES[name].oracle)
             except Exception as exc:  # noqa: BLE001 — record, keep going
-                r = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+                if timed_out.is_set():
+                    r = {"error": "oracle_timeout"}
+                else:
+                    r = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+            finally:
+                if timer is not None:
+                    timer.cancel()
             r["elapsed_s"] = round(time.time() - t0, 2)
             done[name] = r
             # checkpoint after EVERY query so a kill loses at most one

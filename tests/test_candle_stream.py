@@ -117,8 +117,13 @@ def test_candle_stream_end_to_end(spark, tmp_path):
 
     src = tmp_path / "src"
     os.makedirs(src)
-    _events(spark, 0, 50).coalesce(1).write.parquet(str(src / "p1"))
-    _events(spark, 50, 100).coalesce(1).write.parquet(str(src / "p2"))
+    # 4 files -> 4 applied batches, so maintain_every=2 compacts
+    # IN-STREAM (after the 2nd and 4th applied batch), exercising the
+    # applied-batch cadence from ADVICE r10.
+    _events(spark, 0, 25).coalesce(1).write.parquet(str(src / "p1"))
+    _events(spark, 25, 50).coalesce(1).write.parquet(str(src / "p2"))
+    _events(spark, 50, 75).coalesce(1).write.parquet(str(src / "p3"))
+    _events(spark, 75, 100).coalesce(1).write.parquet(str(src / "p4"))
 
     stream = (
         spark.readStream.schema(
@@ -146,3 +151,11 @@ def test_candle_stream_end_to_end(spark, tmp_path):
     assert _candles(store, spark) == _batch_twin(
         spark, _events(spark, 0, 100)
     )
+    # the final in-stream maintain (4th applied batch) folded every
+    # delta into summary rows + a watermark at the last batch id
+    from pyspark.sql import functions as F
+
+    rows = store.table.read(spark)
+    assert rows.where(F.col("kind") == "delta").isEmpty()
+    wm = rows.where(F.col("kind") == "watermark").collect()
+    assert len(wm) == 1 and wm[0]["batch_id"] == 3

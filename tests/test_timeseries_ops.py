@@ -450,3 +450,44 @@ def test_rolling_kmv_exact_below_capacity(spark, monkeypatch):
     r3 = out[str(d0 + dt.timedelta(days=3))]
     assert r3["est_distinct"] == 4.0                    # {1,2,3,9}
     assert r3["window_days"] == 3                       # gap day absent
+
+
+def test_lttb_oracle_short_series_guard(spark):
+    """ADVICE r10: the DuckDB LTTB oracle must match the Spark
+    operator on series with <= n_out points (pass-through, pos=rank),
+    not only on the long series the sf fixtures happen to contain.
+    Mixed fixture: 1-point, 5-point, and 70-point series."""
+    import duckdb
+
+    from data_pipeline_mlops_spark.operators.lttb import lttb_downsample
+    from data_pipeline_mlops_spark.registry import (
+        ORACLE_EVENT_LTTB_DOWNSAMPLE,
+    )
+    from tests.oracle_compare import compare
+
+    rows = (
+        [("solo", 0, _ts(0), 7.5)]
+        + [("short", 10 + k, _ts(60 * k), float(k % 3)) for k in range(5)]
+        + [
+            ("long", 100 + k, _ts(60 * k), float((k * 37) % 11) - 5.0)
+            for k in range(70)
+        ]
+    )
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, ts timestamp, value double"
+    )
+    sdf = lttb_downsample(
+        df, group_cols=["event_type"], ts_col="ts", value_col="value",
+        n_out=64, tiebreak_col="event_id",
+    )
+    import pandas as pd
+
+    events = pd.DataFrame(
+        rows, columns=["event_type", "event_id", "ts", "value"]
+    )
+    con = duckdb.connect()
+    con.register("events", events)
+    result = compare(sdf, con, ORACLE_EVENT_LTTB_DOWNSAMPLE)
+    con.close()
+    assert result["cols_match"] and result["rows_match"], result
+    assert result["values_match"], result
