@@ -922,6 +922,32 @@ SELECT customer_id, product_id, score, "rank" FROM ranked WHERE "rank" <= 5
 """
 
 
+def q_recommendations_als(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 factorization twin (the Spark ML *Pipeline* tier): a real
+    `pyspark.ml.Pipeline` — StringIndexer -> StringIndexer ->
+    ALS(implicitPrefs=True, seed=42) — fit on the M1 interactions,
+    served with the same ownership anti-join + per-user top-5 window
+    contract as `recommendations_capped` (ml/als.py). An ALS solution
+    is not bit-stable across partitionings (float reduction order in
+    the per-block normal-equation solves), so this entry is rows/
+    schema-checked (oracle=None — DuckDB could not replay the
+    iterative solver anyway); value-level quality is gated by the
+    eval-harness band test instead (coverage + precision@10 vs the
+    item-item tier, tests/test_ml.py::test_als_quality_band)."""
+    from data_pipeline_mlops_spark.ml.als import recommend_als, train_als
+
+    inter = _materialize(_interactions(spark, sf_dir))
+    model = train_als(
+        inter, user_col="customer_id", item_col="product_id",
+        rank=16, max_iter=10, seed=42,
+    )
+    purchases = inter.where(F.col("customer_id") <= 50)
+    return recommend_als(
+        model, purchases, user_col="customer_id",
+        item_col="product_id", top_n=5,
+    )
+
+
 def _model_cache_root() -> str:
     """On-disk cache for the serving-path model artifact; inside the
     repo tree (the sandbox forbids writes elsewhere), gitignored."""
@@ -2000,6 +2026,9 @@ QUERIES: dict[str, QuerySpec] = {
     "recommendations_served": QuerySpec(
         q_recommendations_served, ORACLE_RECOMMENDATIONS_CAPPED
     ),
+    # rows/schema-checked (no oracle): ALS solutions are not bit-stable
+    # across partitionings; quality gated by the eval-harness band test
+    "recommendations_als": QuerySpec(q_recommendations_als, None),
     "cf_coverage": QuerySpec(q_cf_coverage, ORACLE_CF_COVERAGE),
     "doc_exact_dedup": QuerySpec(q_doc_exact_dedup, ORACLE_DOC_EXACT_DEDUP),
     "doc_normalize": QuerySpec(q_doc_normalize, ORACLE_DOC_NORMALIZE),

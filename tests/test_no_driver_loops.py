@@ -56,6 +56,11 @@ ALLOWED = {
         "touched-partition list for MERGE: bounded by partition-value "
         "count (metadata scale), same adjudication as upsert_sink"
     ),
+    "ml/als.py": (
+        "1-row scalar: max per-user basket size, the over-request "
+        "bound B for recommendForUserSubset(top_n + B) before the "
+        "ownership anti-join (same adjudication as evaluate.py)"
+    ),
     "streaming/alert_stream.py": (
         "webhook sink iterates the post-filter alert residue on the "
         "driver by design (see its docstring for the executor-side "
