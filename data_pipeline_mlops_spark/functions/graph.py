@@ -102,23 +102,30 @@ def pagerank(
     dst_col: str,
     iters: int = 3,
     damping: float = 0.85,
-    round_dp: int = 10,
+    scale: int = 10**12,
 ) -> DataFrame:
     """Fixed-iteration PageRank with engine-replayable arithmetic:
     (vertex, pr) after ``iters`` power iterations of
     pr(v) = (1-d)/N + d * sum_{u->v} pr(u)/outdeg(u).
 
-    Determinism discipline: each contribution pr(u)/outdeg(u) is
-    scaled to a FIXED-POINT integer (round(pr * 1e12 / outdeg)) before
-    the neighbor sum, so the reduce is an exact BIGINT sum —
-    order/partitioning-independent — and the int -> double conversion
-    after the sum is exact as long as total scaled mass stays below
-    2^53 (total rank mass is ~1.0, i.e. ~1e12 scaled: 4000x headroom).
-    A plain double sum would drift with shuffle order; a DECIMAL sum
-    is exact too but its decimal->double CAST rounds differently
-    across engines at the last ulp (observed vs DuckDB at sf0.01),
-    which the integer path avoids. The new rank rounds to
-    ``round_dp``.
+    Determinism discipline — the WHOLE recurrence is exact BIGINT
+    fixed-point at ``scale`` (default 1e12): the rank is carried as a
+    scaled integer, every division rounds half-up in pure integer
+    arithmetic ((2a + b) DIV 2b), the damping factor is applied as the
+    exact rational Fraction(str(damping)) (0.85 -> 17/20), and the
+    neighbor reduce is an exact BIGINT sum — order/partitioning/
+    engine-independent by construction. No double is ever ROUNDed:
+    an earlier formulation rounded the per-iteration double rank to
+    10 dp, and Spark (BigDecimal HALF_UP on the shortest repr) vs
+    DuckDB (binary-value rounding) disagreed by one ulp whenever a
+    rank landed within ~1e-16 of a decimal half boundary — first
+    observed at sf0.1, where one of 20k ranks hit it. Integer overflow
+    headroom: total scaled mass is ~scale (1e12), 4000x under 2^53,
+    and the damping numerator multiply stays under 2^63 for any
+    damping with a small decimal denominator.
+
+    The returned ``pr`` is ``scaled / scale`` — one exact int->double
+    conversion and one IEEE division, identical in any engine.
 
     Scale shape: one join edges x (deg, pr) + one groupBy(dst) per
     iteration — the standard shuffle-bound power iteration; lineage is
@@ -127,6 +134,10 @@ def pagerank(
     contribute nothing (classic dangling-mass simplification, noted so
     the oracle replays the same recurrence).
     """
+    from fractions import Fraction
+
+    d_frac = Fraction(str(damping))
+    num, den = d_frac.numerator, d_frac.denominator
     v = vertices.select(F.col(vertex_col).alias("v")).distinct()
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -135,43 +146,47 @@ def pagerank(
         F.count(F.lit(1)).cast("long").alias("outdeg")
     )
     n_df = v.agg(F.count(F.lit(1)).cast("long").alias("N"))
+
+    def _div_round(a, b):
+        # round-half-up integer division for non-negative operands
+        return F.expr(f"(2 * ({a}) + ({b})) DIV (2 * ({b}))")
+
     pr = v.crossJoin(F.broadcast(n_df)).select(
         "v",
-        F.round(F.lit(1.0) / F.col("N"), round_dp).alias("pr"),
+        _div_round(str(scale), "N").cast("long").alias("prs"),
     ).localCheckpoint(eager=False)
-    base = F.lit(1.0) - F.lit(damping)
     for _ in range(iters):
         contrib = (
             e.join(deg, "src")
             .join(pr.withColumnRenamed("v", "src"), "src")
             .select(
                 "dst",
-                F.round(F.col("pr") * F.lit(1e12) / F.col("outdeg"), 0)
-                .cast("long")
-                .alias("contrib"),
+                _div_round("prs", "outdeg").cast("long").alias("contrib"),
             )
         )
         sums = contrib.groupBy("dst").agg(
             F.sum("contrib").cast("long").alias("s")
+        )
+        base_scaled = _div_round(
+            f"{(den - num) * scale}", f"{den} * N"
         )
         pr = (
             v.join(sums, v.v == sums.dst, "left")
             .crossJoin(F.broadcast(n_df))
             .select(
                 "v",
-                F.round(
-                    base / F.col("N")
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("s"), F.lit(0)).cast("double")
-                        / F.lit(1e12)
-                    ),
-                    round_dp,
-                ).alias("pr"),
+                (
+                    base_scaled
+                    + _div_round(f"{num} * COALESCE(s, 0)", str(den))
+                )
+                .cast("long")
+                .alias("prs"),
             )
             .localCheckpoint(eager=False)
         )
-    return pr
+    return pr.select(
+        "v", (F.col("prs").cast("double") / F.lit(float(scale))).alias("pr")
+    )
 
 
 def label_propagation(

@@ -6354,8 +6354,16 @@ def q_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(F.col("v").alias("item"), "pr")
 
 
-def _pagerank_oracle(iters: int = 3) -> str:
-    parts = ["""
+def _pagerank_oracle(
+    iters: int = 3, num: int = 17, den: int = 20, scale: int = 10**12
+) -> str:
+    """Replays functions/graph.pagerank's exact BIGINT fixed-point
+    recurrence (round-half-up integer division (2a+b)//(2b), damping
+    as the rational num/den) — no double is ever rounded, so the two
+    engines agree bit-for-bit at any SF (the earlier ROUND(double,10)
+    form hit a one-ulp Spark/DuckDB half-boundary divergence at
+    sf0.1)."""
+    parts = [f"""
 WITH inter AS (
   SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
 ),
@@ -6369,13 +6377,15 @@ deg AS (
 verts AS (SELECT DISTINCT item AS v FROM inter),
 nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM verts),
 pr0 AS (
-  SELECT v, ROUND(CAST(1.0 AS DOUBLE) / nn.N, 10) AS pr FROM verts, nn
+  SELECT v, CAST((2 * {scale} + nn.N) // (2 * nn.N) AS BIGINT) AS prs
+  FROM verts, nn
 )"""]
     for i in range(iters):
         parts.append(f""",
 c{i} AS (
   SELECT e.dst,
-         CAST(ROUND(p.pr * 1e12 / d.outdeg, 0) AS BIGINT) AS contrib
+         CAST((2 * p.prs + d.outdeg) // (2 * d.outdeg) AS BIGINT)
+           AS contrib
   FROM ed e JOIN deg d ON d.src = e.src JOIN pr{i} p ON p.v = e.src
 ),
 s{i} AS (
@@ -6383,13 +6393,17 @@ s{i} AS (
 ),
 pr{i + 1} AS (
   SELECT v.v,
-         ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.N
-               + CAST(0.85 AS DOUBLE)
-                 * (CAST(COALESCE(s.s, 0) AS DOUBLE) / 1e12),
-               10) AS pr
+         CAST((2 * {(den - num) * scale} + {den} * nn.N)
+                // (2 * {den} * nn.N)
+              + (2 * {num} * COALESCE(s.s, 0) + {den}) // (2 * {den})
+              AS BIGINT) AS prs
   FROM verts v LEFT JOIN s{i} s ON s.dst = v.v, nn
 )""")
-    parts.append(f"\nSELECT v AS item, pr FROM pr{iters}")
+    parts.append(
+        f"""
+SELECT v AS item, CAST(prs AS DOUBLE) / {float(scale)!r} AS pr
+FROM pr{iters}"""
+    )
     return "".join(parts)
 
 
@@ -11283,6 +11297,206 @@ QUERIES["event_lttb_downsample"] = QuerySpec(
     q_event_lttb_downsample, ORACLE_EVENT_LTTB_DOWNSAMPLE
 )
 
+_LTTB_M4_BUCKETS = 256
+
+
+def q_event_lttb_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB rendering recipe (EXECUTION.md), now a registered
+    query instead of prose: M4 pre-reduce the unbounded series to an
+    output-sized point set (<= 4 x 256 distinct points per series,
+    one distributed hash aggregation — operators/downsample.py), then
+    run the sequential LTTB selection over THAT (operators/lttb.py) —
+    per-group kernel memory is bounded by the M4 grid, never the raw
+    series length. This is `event_lttb_downsample`'s scale twin: same
+    rendering contract (64 shape-preserving points per series), cost
+    bounded by construction. The M4 point set keeps distinct (t, v)
+    pairs (roles overlap on plateaus); LTTB tie-breaks on the value
+    itself, which is unique per (series, t) after the distinct."""
+    from data_pipeline_mlops_spark.operators.downsample import m4_downsample
+    from data_pipeline_mlops_spark.operators.lttb import lttb_downsample
+
+    ev = load_table(spark, sf_dir, "events")
+    m4 = m4_downsample(
+        ev,
+        group_cols=["event_type"],
+        ts_col="ts",
+        value_col="value",
+        n_buckets=_LTTB_M4_BUCKETS,
+        tiebreak_col="event_id",
+    )
+    pts = (
+        m4.select(
+            "event_type",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("t_first_s").alias("t"),
+                        F.col("v_first").alias("v"),
+                    ),
+                    F.struct(
+                        F.col("t_min_s").alias("t"),
+                        F.col("v_min").alias("v"),
+                    ),
+                    F.struct(
+                        F.col("t_max_s").alias("t"),
+                        F.col("v_max").alias("v"),
+                    ),
+                    F.struct(
+                        F.col("t_last_s").alias("t"),
+                        F.col("v_last").alias("v"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "event_type",
+            F.col("p.t").alias("t_m4"),
+            F.col("p.v").alias("value"),
+        )
+        .distinct()
+        # rebuild a session-zone-independent NTZ timestamp so the LTTB
+        # operator's epoch_s round-trips t_m4 exactly under ANY driver
+        # session timezone (see timeutil.epoch_us)
+        .withColumn(
+            "ts_m4",
+            F.expr(
+                "timestampadd(SECOND, t_m4,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+        .withColumn("tb", F.col("value"))
+    )
+    out = lttb_downsample(
+        pts,
+        group_cols=["event_type"],
+        ts_col="ts_m4",
+        value_col="value",
+        n_out=64,
+        tiebreak_col="tb",
+    )
+    return out.select("event_type", "pos", "t_s", "value")
+
+
+ORACLE_EVENT_LTTB_M4 = """
+WITH RECURSIVE
+pts AS (
+  WITH m4base AS (
+    SELECT event_type, value AS v, event_id AS i,
+           epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t
+    FROM events
+  ), b AS (
+    SELECT event_type, MIN(t) AS t0, MAX(t) AS t1
+    FROM m4base GROUP BY 1
+  ), kd AS (
+    SELECT p.event_type, p.t, p.v, p.i,
+           LEAST(255, (p.t - b.t0) * 256 // (b.t1 - b.t0 + 1)) AS k
+    FROM m4base p JOIN b USING (event_type)
+  ), r AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY event_type, k
+                              ORDER BY t ASC, i ASC) AS rn_first,
+           ROW_NUMBER() OVER (PARTITION BY event_type, k
+                              ORDER BY t DESC, i DESC) AS rn_last,
+           ROW_NUMBER() OVER (PARTITION BY event_type, k
+                              ORDER BY v ASC, t ASC, i ASC) AS rn_min,
+           ROW_NUMBER() OVER (PARTITION BY event_type, k
+                              ORDER BY v DESC, t DESC, i DESC) AS rn_max
+    FROM kd
+  ), m4 AS (
+    SELECT event_type, k,
+           MAX(CASE WHEN rn_first = 1 THEN t END) AS t_first,
+           MAX(CASE WHEN rn_first = 1 THEN v END) AS v_first,
+           MAX(CASE WHEN rn_last = 1 THEN t END) AS t_last,
+           MAX(CASE WHEN rn_last = 1 THEN v END) AS v_last,
+           MAX(CASE WHEN rn_min = 1 THEN t END) AS t_min,
+           MAX(CASE WHEN rn_min = 1 THEN v END) AS v_min,
+           MAX(CASE WHEN rn_max = 1 THEN t END) AS t_max,
+           MAX(CASE WHEN rn_max = 1 THEN v END) AS v_max
+    FROM r GROUP BY 1, 2
+  ), exploded AS (
+    SELECT event_type AS g, t_first AS t, v_first AS v FROM m4
+    UNION ALL SELECT event_type, t_min, v_min FROM m4
+    UNION ALL SELECT event_type, t_max, v_max FROM m4
+    UNION ALL SELECT event_type, t_last, v_last FROM m4
+  )
+  SELECT DISTINCT g, t, v FROM exploded
+),
+idx AS (
+  SELECT g, t, v,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY t ASC, v ASC) - 1
+           AS j,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM pts
+),
+short AS (
+  SELECT g, j AS pos, t, v FROM idx WHERE n <= 64
+),
+firstpt AS (SELECT g, t, v FROM idx WHERE j = 0 AND n > 64),
+lastpt  AS (SELECT g, t, v FROM idx WHERE j = n - 1 AND n > 64),
+interior AS (
+  SELECT g, t, v,
+         CAST((j - 1) * 62 // (n - 2) AS BIGINT) AS k, j
+  FROM idx WHERE j >= 1 AND j <= n - 2 AND n > 64
+),
+buckets AS (
+  SELECT g, k,
+         list(struct_pack(t := CAST(t AS DOUBLE), v := v, ti := t)
+              ORDER BY j ASC) AS cand
+  FROM interior GROUP BY 1, 2
+),
+avgs AS (
+  SELECT g, k,
+         CAST(SUM(t) AS DOUBLE) / COUNT(*) AS at,
+         CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+           AS av
+  FROM interior GROUP BY 1, 2
+),
+anchors AS (
+  SELECT b.g, b.k, b.cand,
+         COALESCE(a.at, CAST(l.t AS DOUBLE)) AS ct,
+         COALESCE(a.av, l.v) AS cv
+  FROM buckets b
+  LEFT JOIN avgs a ON a.g = b.g AND a.k = b.k + 1
+  JOIN lastpt l ON l.g = b.g
+),
+rec AS (
+  SELECT f.g, CAST(-1 AS BIGINT) AS k, CAST(f.t AS DOUBLE) AS st,
+         f.v AS sv, f.t AS sti
+  FROM firstpt f
+  UNION ALL
+  SELECT q.g, q.k, q.cand[q.pos].t, q.cand[q.pos].v,
+         q.cand[q.pos].ti
+  FROM (
+    SELECT w.g, w.k, w.cand,
+           list_position(
+             w.areas, list_aggregate(w.areas, 'max')
+           ) AS pos
+    FROM (
+      SELECT r.g, r.k + 1 AS k, a.cand,
+             list_transform(
+               a.cand,
+               x -> abs((r.st - a.ct) * (x.v - r.sv)
+                        - (r.st - x.t) * (a.cv - r.sv))
+             ) AS areas
+      FROM rec r
+      JOIN anchors a ON a.g = r.g AND a.k = r.k + 1
+    ) w
+  ) q
+)
+SELECT g AS event_type, CAST(pos AS BIGINT) AS pos,
+       CAST(t AS BIGINT) AS t_s, v AS value
+FROM short
+UNION ALL
+SELECT g, CAST(0 AS BIGINT), CAST(t AS BIGINT), v FROM firstpt
+UNION ALL
+SELECT g, k + 1 AS pos, CAST(sti AS BIGINT), sv
+FROM rec WHERE k >= 0
+UNION ALL
+SELECT g, CAST(63 AS BIGINT), CAST(t AS BIGINT), v FROM lastpt
+"""
+
+QUERIES["event_lttb_m4"] = QuerySpec(q_event_lttb_m4, ORACLE_EVENT_LTTB_M4)
+
 _EMA_ALPHA = 0.3
 
 
@@ -12082,9 +12296,10 @@ _PARITY_ONLY: dict[str, str] = {
     # feeding the same keep rule
     "doc_semdedup": "doc_semdedup_lsh",
     # LTTB is sequential per series (Pandas kernel, O(series) memory
-    # per group); the output-sized M4 hash aggregation is the
-    # unbounded-series rendering tier
-    "event_lttb_downsample": "event_m4_downsample",
+    # per group); the composed M4-pre-reduce -> LTTB recipe bounds the
+    # kernel input by the M4 grid and is the unbounded-series
+    # rendering tier
+    "event_lttb_downsample": "event_lttb_m4",
 }
 
 
