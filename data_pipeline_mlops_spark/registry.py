@@ -2818,7 +2818,7 @@ ORACLE_PURCHASE_ATTRIBUTION = """
 WITH p AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
 ),
-t AS (
+t AS MATERIALIZED (
   SELECT event_id, event_type, user_id, ts FROM events
   WHERE event_type IN ('view', 'click')
 ),
@@ -3559,7 +3559,7 @@ _CP_SAMPLE_EN = int(0.5 * (2**60))
 
 ORACLE_CORPUS_PIPELINE = rf"""
 WITH RECURSIVE
-t AS (
+t AS MATERIALIZED (
   SELECT doc_id, lang,
          regexp_split_to_array(trim(text), '\s+') AS toks
   FROM documents
@@ -3575,7 +3575,7 @@ sc AS (
                6) AS q
   FROM t
 ),
-kept AS (
+kept AS MATERIALIZED (
   SELECT doc_id, lang, toks FROM (
     SELECT doc_id, lang, toks,
            ROW_NUMBER() OVER (PARTITION BY lang
@@ -3609,7 +3609,7 @@ pairs AS (
   JOIN sizes sb ON sb.doc_id = id_b
   WHERE ROUND(i / (sa.sz + sb.sz - i), 6) >= 0.05
 ),
-sym AS (
+sym AS MATERIALIZED (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION
   SELECT id_b AS a, id_a AS b FROM pairs
@@ -3620,7 +3620,7 @@ reach(v, label) AS (
   SELECT s.a AS v, r.label FROM sym s JOIN reach r ON r.v = s.b
 ),
 comp AS (SELECT v, MIN(label) AS component FROM reach GROUP BY v),
-samp AS (
+samp AS MATERIALIZED (
   SELECT k.doc_id, k.toks FROM kept k
   JOIN comp ON comp.v = k.doc_id AND comp.v = comp.component
   WHERE ('0x' || substring(md5(
@@ -3628,7 +3628,7 @@ samp AS (
         < CASE WHEN k.lang = 'en' THEN {_CP_SAMPLE_EN}
                ELSE {2**60} END
 ),
-pt AS (
+pt AS MATERIALIZED (
   SELECT doc_id,
          CAST(doc_id % 8 AS INTEGER) AS pack_group,
          LEAST(len(toks), 256) AS tokens,
@@ -4006,6 +4006,9 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MINHASH_JACCARD_ESTIMATE = f"""
 WITH cand AS ({ORACLE_MINHASH_LSH}),
+-- NOT MATERIALIZED: DuckDB 1.0 raises INTERNAL "Recursive CTE scan
+-- found without recursive CTE node" when a materialized CTE follows
+-- a nested-recursive first CTE in the same WITH list
 t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
   FROM documents
@@ -4576,7 +4579,7 @@ def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_PACK_BASE = r"""
-t AS (
+t AS MATERIALIZED (
   SELECT doc_id,
          CAST(doc_id % 8 AS INTEGER) AS pack_group,
          LEAST(len(regexp_split_to_array(trim(text), '\s+')), 256)
@@ -4658,7 +4661,7 @@ def q_doc_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_PACK_FFD_BASE = r"""
-t AS (
+t AS MATERIALIZED (
   SELECT doc_id,
          CAST(doc_id % 8 AS INTEGER) AS pack_group,
          LEAST(len(regexp_split_to_array(trim(text), '\s+')), 256)
@@ -4744,7 +4747,7 @@ def q_doc_pack_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_PACK_CURRICULUM_BASE = r"""
-t AS (
+t AS MATERIALIZED (
   SELECT doc_id,
          CAST(doc_id % 8 AS INTEGER) AS pack_group,
          LEAST(len(regexp_split_to_array(trim(text), '\s+')), 256)
@@ -5252,7 +5255,7 @@ WITH src AS (
               ELSE text END AS text
   FROM documents
 ),
-t AS (
+t AS MATERIALIZED (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
   FROM src
 ),
@@ -6443,7 +6446,7 @@ WITH d AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
   FROM documents
 ),
-t AS (
+t AS MATERIALIZED (
   SELECT doc_id, tk[r.i] AS term, r.i AS ord
   FROM d, UNNEST(range(1, len(tk) + 1)) r(i)
 ),
@@ -6694,7 +6697,7 @@ WITH d AS (
 stats AS (
   SELECT COUNT(*) AS n_docs, SUM(len(tk)) AS total_dl FROM d
 ),
-t AS (
+t AS MATERIALIZED (
   SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM d
 ),
 tf AS (
@@ -7638,7 +7641,7 @@ WITH d AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
   FROM documents
 ),
-t AS (
+t AS MATERIALIZED (
   SELECT doc_id, tk[r.i] AS term, r.i AS pos
   FROM d, UNNEST(range(1, len(tk) + 1)) r(i)
 ),
@@ -7932,7 +7935,7 @@ WITH d AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
   FROM documents
 ),
-t AS (
+t AS MATERIALIZED (
   SELECT doc_id, tk[r.i] AS term, r.i AS pos
   FROM d, UNNEST(range(1, len(tk) + 1)) r(i)
 )
@@ -10431,7 +10434,7 @@ WITH d AS (
 stats AS (
   SELECT COUNT(*) AS n_docs, SUM(len(tk)) AS total_dl FROM d
 ),
-t AS (
+t AS MATERIALIZED (
   SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM d
 ),
 tf AS (
@@ -11208,46 +11211,46 @@ def q_event_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_EVENT_LTTB_DOWNSAMPLE = """
 WITH RECURSIVE
-pts AS (
+pts AS MATERIALIZED (
   SELECT event_type AS g,
          epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t,
          value AS v, event_id AS i
   FROM events
 ),
-idx AS (
+idx AS MATERIALIZED (
   SELECT g, t, v, i,
          ROW_NUMBER() OVER (PARTITION BY g ORDER BY t ASC, i ASC) - 1
            AS j,
          COUNT(*) OVER (PARTITION BY g) AS n
   FROM pts
 ),
-short AS (
+short AS MATERIALIZED (
   -- Spark pass-through branch: a series with <= n_out points is
   -- emitted unchanged with pos = rank (operators/lttb.py kernel)
   SELECT g, j AS pos, t, v, i FROM idx WHERE n <= 64
 ),
-firstpt AS (SELECT g, t, v, i FROM idx WHERE j = 0 AND n > 64),
-lastpt  AS (SELECT g, t, v, i FROM idx WHERE j = n - 1 AND n > 64),
-interior AS (
+firstpt AS MATERIALIZED (SELECT g, t, v, i FROM idx WHERE j = 0 AND n > 64),
+lastpt  AS MATERIALIZED (SELECT g, t, v, i FROM idx WHERE j = n - 1 AND n > 64),
+interior AS MATERIALIZED (
   SELECT g, t, v, i,
          CAST((j - 1) * 62 // (n - 2) AS BIGINT) AS k, j
   FROM idx WHERE j >= 1 AND j <= n - 2 AND n > 64
 ),
-buckets AS (
+buckets AS MATERIALIZED (
   SELECT g, k,
          list(struct_pack(t := CAST(t AS DOUBLE), v := v,
                           ti := t, ii := i)
               ORDER BY j ASC) AS cand
   FROM interior GROUP BY 1, 2
 ),
-avgs AS (
+avgs AS MATERIALIZED (
   SELECT g, k,
          CAST(SUM(t) AS DOUBLE) / COUNT(*) AS at,
          CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
            AS av
   FROM interior GROUP BY 1, 2
 ),
-anchors AS (
+anchors AS MATERIALIZED (
   SELECT b.g, b.k, b.cand,
          COALESCE(a.at, CAST(l.t AS DOUBLE)) AS ct,
          COALESCE(a.av, l.v) AS cv
@@ -11379,7 +11382,7 @@ def q_event_lttb_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_EVENT_LTTB_M4 = """
 WITH RECURSIVE
-pts AS (
+pts AS MATERIALIZED (
   WITH m4base AS (
     SELECT event_type, value AS v, event_id AS i,
            epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t
@@ -11421,37 +11424,37 @@ pts AS (
   )
   SELECT DISTINCT g, t, v FROM exploded
 ),
-idx AS (
+idx AS MATERIALIZED (
   SELECT g, t, v,
          ROW_NUMBER() OVER (PARTITION BY g ORDER BY t ASC, v ASC) - 1
            AS j,
          COUNT(*) OVER (PARTITION BY g) AS n
   FROM pts
 ),
-short AS (
+short AS MATERIALIZED (
   SELECT g, j AS pos, t, v FROM idx WHERE n <= 64
 ),
-firstpt AS (SELECT g, t, v FROM idx WHERE j = 0 AND n > 64),
-lastpt  AS (SELECT g, t, v FROM idx WHERE j = n - 1 AND n > 64),
-interior AS (
+firstpt AS MATERIALIZED (SELECT g, t, v FROM idx WHERE j = 0 AND n > 64),
+lastpt  AS MATERIALIZED (SELECT g, t, v FROM idx WHERE j = n - 1 AND n > 64),
+interior AS MATERIALIZED (
   SELECT g, t, v,
          CAST((j - 1) * 62 // (n - 2) AS BIGINT) AS k, j
   FROM idx WHERE j >= 1 AND j <= n - 2 AND n > 64
 ),
-buckets AS (
+buckets AS MATERIALIZED (
   SELECT g, k,
          list(struct_pack(t := CAST(t AS DOUBLE), v := v, ti := t)
               ORDER BY j ASC) AS cand
   FROM interior GROUP BY 1, 2
 ),
-avgs AS (
+avgs AS MATERIALIZED (
   SELECT g, k,
          CAST(SUM(t) AS DOUBLE) / COUNT(*) AS at,
          CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
            AS av
   FROM interior GROUP BY 1, 2
 ),
-anchors AS (
+anchors AS MATERIALIZED (
   SELECT b.g, b.k, b.cand,
          COALESCE(a.at, CAST(l.t AS DOUBLE)) AS ct,
          COALESCE(a.av, l.v) AS cv
