@@ -129,6 +129,22 @@ HEADLINE = R1_KEYS + [
     "event_hourly_holt",
     "user_rolling_p95",
     "rolling_distinct_users_kmv",
+    # Round 11 (VERDICT r10 #6): promote the WAREHOUSE JOIN tier into
+    # the gated headliners, so join-plan regressions (broadcast
+    # demotion, lost bucket co-location, window re-sorts) gate the
+    # bench the way corpus ops already do. The star join
+    # (region x nation x customer x orders + rank window), the
+    # exchange-free bucketed fact-fact join, the point-in-time RANGE-
+    # frame feature window, and the CUBE grouping-set shuffle.
+    "top_customers_per_region",
+    "bucketed_order_revenue",
+    "customer_rolling_features",
+    "cube_revenue",
+    # Round 11: the composed M4 -> LTTB rendering recipe and the ALS
+    # factorization recommender (Spark ML Pipeline fit + blocked
+    # top-k serve; seed-pinned).
+    "event_lttb_m4",
+    "recommendations_als",
 ]
 
 

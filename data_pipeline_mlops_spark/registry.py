@@ -2085,34 +2085,34 @@ _DRIVER_WINDOW: list[str] = [
     "category_performance", "top_products", "regional_stats",
     "data_quality", "dedup_keep_latest", "top_customers_per_region",
     "item_similarity", "recommendations", "recommendations_served",
-    # rotated in for round 10 (rotation 5 — the FINAL rotation): the
-    # last 10 queries the driver had never hashed through r9, plus the
-    # four round-9 operators. After this round every registry query has
-    # met the driver's DuckDB environment at least once.
-    "cf_negative_samples", "embedding_drift", "cohort_retention",
-    "event_funnel_latency", "event_seasonality",
-    "event_seasonal_outliers", "item_similarity_basket_capped",
-    "association_rules_capped", "doc_label_classifier_eval",
-    "doc_skipgram_pairs",
-    # round-9 new operators (never driver-hashed)
-    "multimodal_mp3_meta", "doc_hybrid_search",
-    "image_dhash_near_dups", "audio_ehash_near_dups",
-    # NEW round-10 operators slot in here as they land (each new query
-    # must meet the driver in its birth round from now on)
-    "nation_daily_gapfill", "nation_daily_interpolate",
-    "event_hourly_gapfill", "event_time_weighted_value",
-    "user_counter_increase", "doc_semdedup", "doc_semdedup_lsh",
-    "user_state_durations", "user_uptime", "event_ohlc_daily",
-    "event_m4_downsample", "event_lttb_downsample",
-    "event_hourly_ema", "purchase_next_error",
-    "purchase_nearest_click", "regional_unpivot",
-    "event_transition_matrix", "event_cusum_drift",
-    "event_hourly_holt", "orders_incremental_candles",
-    "user_rolling_p95", "rolling_distinct_users_kmv",
-    # re-validation fill: previously-hashed representatives of each
-    # risk tier (HUGEINT/window frames, warehouse joins, corpus/text,
-    # ANN/sketch, lakehouse) so the window stays 50 deep
-    "event_alert_throttle", "purchase_attribution",
+    # round-11 rotation (rotation 6): every query whose ORACLE text
+    # changed this round meets the driver's DuckDB again — the new
+    # composed rendering recipe, the fixed-point pagerank, the
+    # short-series-guarded LTTB, and the whole MATERIALIZED-hinted
+    # set (the hint is semantics-neutral but the driver must parse it)
+    "event_lttb_m4", "item_pagerank", "event_lttb_downsample",
+    "corpus_pipeline", "doc_pack_sequences", "doc_pack_stats",
+    "doc_pack_ffd", "doc_pack_ffd_stats", "doc_pack_curriculum",
+    "doc_passage_removal", "term_postings", "doc_bm25_search",
+    "doc_phrase_search", "doc_skipgram_pairs", "doc_hybrid_search",
+    "minhash_jaccard_estimate", "purchase_attribution",
+    # warehouse-join tier promoted to bench headliners this round —
+    # hash-window them in the same round so plan and values are both
+    # gated (cube_revenue carries the NULL grouping-set edge)
+    "bucketed_order_revenue", "customer_rolling_features",
+    "cube_revenue",
+    # re-validation fill: recent round-10 operators + one
+    # representative per risk tier (window frames, gapfill, as-of,
+    # sequential kernels, rolling sketches, semdedup, CF cap, ANN,
+    # multimodal, incremental-index replay)
+    "nation_daily_gapfill", "event_hourly_gapfill",
+    "event_ohlc_daily", "event_m4_downsample", "event_hourly_ema",
+    "purchase_next_error", "purchase_nearest_click",
+    "event_hourly_holt", "event_cusum_drift", "user_rolling_p95",
+    "rolling_distinct_users_kmv", "doc_semdedup_lsh",
+    "item_similarity_basket_capped", "lsh_ann_topk",
+    "multimodal_mp3_meta", "image_dhash_near_dups",
+    "incremental_dedup_decisions", "user_uptime",
 ]
 
 
