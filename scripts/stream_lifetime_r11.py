@@ -45,8 +45,14 @@ def _text_expr():
     from pyspark.sql import functions as F
 
     base = F.col("src_id")
+    # modulus prime > max id so the 40-residue vector is distinct per
+    # src_id: every doc is unique EXCEPT the planted mirrors (the
+    # first version used % 97 and collapsed the corpus to 97 texts,
+    # which kept the index tiny and proved nothing about growth)
     words = [
-        F.concat(F.lit(f"tok{k}_"), ((base * (k + 3)) % 97).cast("string"))
+        F.concat(
+            F.lit(f"tok{k}_"), ((base * (k + 3)) % 1000003).cast("string")
+        )
         for k in range(40)
     ]
     return F.concat_ws(" ", F.lit("document body"), *words)
@@ -61,9 +67,12 @@ def _batch(spark, b: int, *, html: bool):
     lo = b * DOCS_PER_BATCH
     df = spark.range(lo, lo + DOCS_PER_BATCH).select(
         F.col("id").alias("doc_id"),
+        # planted history dups mirror a BATCH-0 slot (its text is its
+        # own pattern, so the mirror really exists in the store): a
+        # steady 10% of every later batch probes the index positively
         F.when(
             (F.col("id") % DUP_SHARE == 0) & (F.col("id") >= DOCS_PER_BATCH),
-            F.col("id") - DOCS_PER_BATCH,
+            F.col("id") % DOCS_PER_BATCH,
         )
         .otherwise(F.col("id"))
         .alias("src_id"),
@@ -103,7 +112,10 @@ def run_crawl(spark) -> dict:
         if MAINTAIN_EVERY and b > 0 and b % MAINTAIN_EVERY == 0:
             # the hash index is the per-batch join target; corpus and
             # audit are append-only products
-            compact_if_fragmented(store.seen, spark, max_txn_dirs=8)
+            compact_if_fragmented(
+                store.seen, spark, max_txn_dirs=8,
+                target_rows_per_file=4_000_000,
+            )
         times.append(round(time.monotonic() - t0, 3))
 
     got = sorted(
