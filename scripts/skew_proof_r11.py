@@ -99,17 +99,49 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     build_skewed(spark)
 
-    orders = spark.read.parquet(f"{SKEW_DIR}/orders.parquet")
+    orders1 = spark.read.parquet(f"{SKEW_DIR}/orders.parquet")
     li = spark.read.parquet(f"{SKEW_DIR}/lineitem.parquet")
     customer = spark.read.parquet(f"{SKEW_DIR}/customer.parquet")
+    # 10x-amplified fact for the shuffle measurements: sf0.1's 150k
+    # orders finish in noise on local[32]; 1.5M rows with a ~150k-row
+    # hot key put real pressure on one reducer (orderkeys remapped per
+    # copy so the fact stays a valid key space)
+    copies = 10
+    orders = orders1
+    okmax = orders1.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    for c in range(1, copies):
+        orders = orders.unionByName(
+            orders1.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(c * okmax)
+            )
+        )
+    orders = orders.localCheckpoint()
     hot_rows = orders.where(F.col("o_custkey") == 1).count()
     total_rows = orders.count()
 
     out: dict = {
         "skew_dir": SKEW_DIR,
+        "fact_copies": copies,
         "hot_customer_share": round(hot_rows / total_rows, 4),
         "orders_rows": total_rows,
     }
+
+    # direct skew evidence: rows per shuffle partition when the fact
+    # is hash-partitioned on the hot key (what every un-mitigated
+    # shuffle on this key sees)
+    dist = (
+        orders.repartition(32, F.col("o_custkey"))
+        .withColumn("__p", F.spark_partition_id())
+        .groupBy("__p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.max("n").alias("mx"),
+            F.expr("percentile(n, 0.5)").alias("med"),
+        )
+        .collect()[0]
+    )
+    out["shuffle_partition_rows_max"] = int(dist["mx"])
+    out["shuffle_partition_rows_median"] = float(dist["med"])
 
     # 1. hot-key groupBy: plain vs salted two-phase
     plain_agg = orders.groupBy("o_custkey").agg(
