@@ -2112,7 +2112,10 @@ _DRIVER_WINDOW: list[str] = [
     "rolling_distinct_users_kmv", "doc_semdedup_lsh",
     "item_similarity_basket_capped", "lsh_ann_topk",
     "multimodal_mp3_meta", "image_dhash_near_dups",
-    "incremental_dedup_decisions", "user_uptime",
+    "incremental_dedup_decisions",
+    # round-11 late addition (birth-round rule): KMV set-operation
+    # overlap — the sketch tier's intersection rule meets the driver
+    "kmv_audience_overlap",
 ]
 
 
@@ -12257,6 +12260,152 @@ FROM r
 
 QUERIES["rolling_distinct_users_kmv"] = QuerySpec(
     q_rolling_distinct_users_kmv, ORACLE_ROLLING_DISTINCT_USERS_KMV
+)
+
+
+def q_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types via KMV/theta sketch SET
+    OPERATIONS — the mergeable-sketch counterpart of COUNT(DISTINCT
+    user) INTERSECT, which at 100 TB would need a full dual shuffle of
+    raw user ids per pair. Per event type, the k=64 smallest
+    md5-derived user hashes (one shuffle, k rows survive per type);
+    per unordered type pair, the Data-Sketches rules: intersection =
+    |poolA ∩ poolB below theta| / (theta/2^60) with
+    theta = min(theta_A, theta_B); union = merge + re-truncate to k
+    (the same rule rolling_distinct_users_kmv uses along time);
+    jaccard = intersection / union. A sketch below capacity has seen
+    everything, so its theta is 2^60 and every estimate degrades to
+    EXACT — the oracle replays both regimes. All arithmetic is
+    Catalyst array HOFs over k-length arrays (no UDF); the pair frame
+    is |types|^2 rows of 64-long arrays — driver-safe at any corpus
+    size because k bounds it, not the data."""
+    from pyspark.sql import Window
+
+    k = 64
+    theta_max = 2**60
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    dh = ev.select(F.col("event_type"), h.alias("hv")).distinct()
+    wk = Window.partitionBy("event_type").orderBy(F.col("hv").asc())
+    pools = (
+        dh.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= k)
+        .groupBy("event_type")
+        .agg(F.array_sort(F.collect_list("hv")).alias("p"))
+    )
+
+    def theta(p):
+        return F.when(
+            F.size(p) >= k, F.element_at(p, k)
+        ).otherwise(F.lit(theta_max)).cast("long")
+
+    def est(p):
+        return F.when(
+            F.size(p) < k, F.size(p).cast("double")
+        ).otherwise(
+            F.round(
+                F.lit(float(k - 1))
+                / (F.element_at(p, k).cast("double") / F.lit(float(theta_max))),
+                4,
+            )
+        )
+
+    a = pools.select(
+        F.col("event_type").alias("type_a"), F.col("p").alias("pa")
+    )
+    b = pools.select(
+        F.col("event_type").alias("type_b"), F.col("p").alias("pb")
+    )
+    pair = a.join(b, F.col("type_a") < F.col("type_b"))
+    th = F.least(theta(F.col("pa")), theta(F.col("pb")))
+    inter_n = F.size(
+        F.filter(
+            F.array_intersect("pa", "pb"), lambda x: x < th
+        )
+    )
+    est_i = F.round(
+        inter_n.cast("double")
+        / (th.cast("double") / F.lit(float(theta_max))),
+        4,
+    )
+    pu = F.array_sort(F.array_distinct(F.concat("pa", "pb")))
+    est_u = F.when(F.size(pu) < k, F.size(pu).cast("double")).otherwise(
+        F.round(
+            F.lit(float(k - 1))
+            / (F.element_at(pu, k).cast("double") / F.lit(float(theta_max))),
+            4,
+        )
+    )
+    return pair.select(
+        "type_a",
+        "type_b",
+        est(F.col("pa")).alias("est_a"),
+        est(F.col("pb")).alias("est_b"),
+        est_i.alias("est_intersection"),
+        est_u.alias("est_union"),
+        F.round(est_i / est_u, 4).alias("jaccard_est"),
+    )
+
+
+ORACLE_KMV_AUDIENCE_OVERLAP = """
+WITH dh AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           AS hv
+  FROM events
+),
+rk AS (
+  SELECT event_type, hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv ASC) AS rn
+  FROM dh
+),
+pool AS (
+  SELECT event_type, list(hv ORDER BY hv ASC) AS p
+  FROM rk WHERE rn <= 64 GROUP BY 1
+),
+pair AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.p AS pa, b.p AS pb,
+         CASE WHEN len(a.p) >= 64 THEN a.p[64]
+              ELSE 1152921504606846976 END AS ta,
+         CASE WHEN len(b.p) >= 64 THEN b.p[64]
+              ELSE 1152921504606846976 END AS tb
+  FROM pool a JOIN pool b ON a.event_type < b.event_type
+),
+calc AS (
+  SELECT type_a, type_b, pa, pb,
+         LEAST(ta, tb) AS th,
+         list_sort(list_distinct(pa || pb)) AS pu
+  FROM pair
+),
+est AS (
+  SELECT type_a, type_b,
+         CASE WHEN len(pa) < 64 THEN CAST(len(pa) AS DOUBLE)
+              ELSE ROUND(63.0 / (CAST(pa[64] AS DOUBLE)
+                                 / 1152921504606846976.0), 4) END AS est_a,
+         CASE WHEN len(pb) < 64 THEN CAST(len(pb) AS DOUBLE)
+              ELSE ROUND(63.0 / (CAST(pb[64] AS DOUBLE)
+                                 / 1152921504606846976.0), 4) END AS est_b,
+         ROUND(CAST(len(list_filter(pa,
+                     x -> list_contains(pb, x) AND x < th)) AS DOUBLE)
+               / (CAST(th AS DOUBLE) / 1152921504606846976.0), 4)
+           AS est_intersection,
+         CASE WHEN len(pu) < 64 THEN CAST(len(pu) AS DOUBLE)
+              ELSE ROUND(63.0 / (CAST(pu[64] AS DOUBLE)
+                                 / 1152921504606846976.0), 4) END AS est_union
+  FROM calc
+)
+SELECT type_a, type_b, est_a, est_b, est_intersection, est_union,
+       ROUND(est_intersection / est_union, 4) AS jaccard_est
+FROM est
+"""
+
+QUERIES["kmv_audience_overlap"] = QuerySpec(
+    q_kmv_audience_overlap, ORACLE_KMV_AUDIENCE_OVERLAP
 )
 
 

@@ -491,3 +491,44 @@ def test_lttb_oracle_short_series_guard(spark):
     con.close()
     assert result["cols_match"] and result["rows_match"], result
     assert result["values_match"], result
+
+
+def test_kmv_audience_overlap_accuracy_and_exact_regime(spark):
+    """kmv_audience_overlap sanity against EXACT set arithmetic at
+    sf0.001: every pair's union/intersection estimate within the KMV
+    k=64 error envelope (rel err ~ 1/sqrt(k-2) ~ 13%; 3-sigma bound
+    asserted), and any below-capacity sketch is EXACT by construction."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_mlops_spark.registry import QUERIES
+    from data_pipeline_mlops_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    est = {
+        (r["type_a"], r["type_b"]): r
+        for r in QUERIES["kmv_audience_overlap"]
+        .spark(spark, SF_SMALL)
+        .collect()
+    }
+    assert est, "no event-type pairs"
+    ev = load_table(spark, SF_SMALL, "events")
+    users = {
+        r["event_type"]: set(r["us"])
+        for r in ev.groupBy("event_type")
+        .agg(F.collect_set("user_id").alias("us"))
+        .collect()
+    }
+    tol = 3.0 / (63 ** 0.5)  # 3 sigma of the KMV estimator
+    for (a, b), r in est.items():
+        inter = len(users[a] & users[b])
+        union = len(users[a] | users[b])
+        assert abs(r["est_union"] - union) <= max(tol * union, 1.0), (
+            a, b, r["est_union"], union,
+        )
+        assert abs(r["est_intersection"] - inter) <= max(
+            tol * union, 1.0
+        ), (a, b, r["est_intersection"], inter)
+        # sketches below capacity (= sets smaller than k) are exact
+        if len(users[a]) < 64 and len(users[b]) < 64 and union < 64:
+            assert r["est_intersection"] == float(inter)
+            assert r["est_union"] == float(union)
