@@ -12409,6 +12409,42 @@ QUERIES["kmv_audience_overlap"] = QuerySpec(
 )
 
 
+def q_ann_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over PCA-reduced embeddings — the pyspark.ml dimensionality
+    -reduction tier (ml/pca.py, the second Spark ML surface next to
+    ALS): fit PCA(k=32) on the 64-dim corpus, project corpus + queries
+    (JVM matrix multiply), brute-force cosine top-5 in the HALVED
+    space — every downstream ANN stage moves half the bytes through
+    broadcast/shuffle. Rows/schema-checked (eigensolves are not
+    bit-stable across partitionings and carry sign ambiguity; DuckDB
+    cannot replay them); VALUE gates live in
+    tests/test_ml.py::test_pca_ann_quality: recall@5 vs the exact
+    full-dim top-5 tracks the captured variance (this fixture is
+    near-ISOTROPIC — explained variance 0.65 at k=32/64, recall
+    measured 0.46, floor pinned 0.35; a real low-rank embedding corpus
+    sits far above both), plus a PCAModel save/load roundtrip and the
+    per-query row contract."""
+    from data_pipeline_mlops_spark.functions.similarity import (
+        brute_force_topk,
+    )
+    from data_pipeline_mlops_spark.ml.pca import fit_pca, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_pca(emb, vec_col="embedding", k=32)
+    proj = _materialize(
+        pca_project(model, emb, id_col="vec_id", vec_col="embedding")
+    )
+    return brute_force_topk(
+        proj.where(F.col("vec_id") < 10), proj,
+        id_col="vec_id", vec_col="pvec", k=5,
+    ).select("query_id", "neighbor_id", "cosine_sim", F.col("rank"))
+
+
+# rows/schema-checked (no oracle): eigensolve not bit-stable; value
+# gate = tests/test_ml.py::test_pca_ann_quality
+QUERIES["ann_pca_topk"] = QuerySpec(q_ann_pca_topk, None)
+
+
 # --------------------------------------------------------------------------
 # scale-safety labels (VERDICT r8 #7)
 # --------------------------------------------------------------------------
