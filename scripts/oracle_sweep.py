@@ -81,7 +81,21 @@ def main() -> None:
 
         spark = get_spark(app_name="oracle-sweep")
         con = duckdb_conn(args.sf)
+
+        def _release_storage() -> None:
+            # lazy localCheckpoints accumulate across ~200 sequential
+            # compares and crowd the executor storage pool; once full,
+            # later heavy queries spill every pass (bench.py and
+            # scaling_sweep.py carry the same discipline — measured
+            # recommendations 86 s in-sweep vs 8 s isolated at sf0.1).
+            # No cross-query reuse exists here, so release per query.
+            jsc = spark.sparkContext._jsc.sc()
+            it = jsc.getPersistentRDDs().values().iterator()
+            while it.hasNext():
+                it.next().unpersist(True)
+
         for i, name in enumerate(todo):
+            _release_storage()
             t0 = time.time()
             timer = None
             timed_out = threading.Event()
