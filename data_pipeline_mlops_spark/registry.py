@@ -8274,8 +8274,18 @@ def q_item_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )
     e = (
-        und.join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
-        .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
+        und.join(
+            F.broadcast(
+                deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du")
+            ),
+            "u",
+        )
+        .join(
+            F.broadcast(
+                deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv")
+            ),
+            "v",
+        )
         .select(
             F.when(
                 (F.col("du") < F.col("dv"))
