@@ -174,3 +174,55 @@ def recommend_als(
         .join(F.broadcast(item_map), "__item_idx")
         .select(user_col, item_col, "score", "rank")
     )
+
+
+def similar_items_als(
+    model,
+    *,
+    item_col: str,
+    item,
+    top_n: int = 10,
+    item_type: str = "string",
+) -> DataFrame:
+    """M8's factorization twin: top-``top_n`` most similar items to
+    one anchor by cosine over the fitted ALS item factors
+    (cf.similar_items is the co-occurrence twin — same serving
+    endpoint, reference recommendation/main.py:193-221, different
+    model family). The factor table is (items x rank) — corpus-sized
+    in rows but rank-wide, and the anchor side is one broadcast row,
+    so this is a single streaming pass over the factors (the same
+    shape functions/similarity.py::brute_force_topk locks in)."""
+    from data_pipeline_mlops_spark.functions.similarity import (
+        brute_force_topk,
+    )
+
+    u_idx, i_idx, als_model = model.stages
+    labels = list(i_idx.labelsArray[0])
+    try:
+        anchor_idx = labels.index(str(item))
+    except ValueError:
+        raise ValueError(f"unknown item {item!r}") from None
+    factors = als_model.itemFactors.select(
+        F.col("id").cast("long").alias("__iid"),
+        F.col("features").alias("__vec"),
+    )
+    topk = brute_force_topk(
+        factors.where(F.col("__iid") == anchor_idx),
+        factors,
+        id_col="__iid",
+        vec_col="__vec",
+        k=top_n,
+    )
+    spark = als_model.itemFactors.sparkSession
+    item_map = _label_map(spark, labels, item_col, item_type).select(
+        F.col("__idx").cast("long").alias("__iid"), F.col(item_col)
+    )
+    return (
+        topk.join(F.broadcast(item_map), topk.neighbor_id == item_map.__iid)
+        .select(
+            F.lit(item).alias("item"),
+            F.col(item_col).alias("similar_item"),
+            F.col("cosine_sim"),
+            F.col("rank"),
+        )
+    )

@@ -12455,6 +12455,39 @@ def q_ann_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ann_pca_topk"] = QuerySpec(q_ann_pca_topk, None)
 
 
+def q_similar_items_als(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8's factorization twin: top-10 most similar items to anchor
+    item 1 by cosine over the fitted ALS item factors (ml/als.py::
+    similar_items_als) — the same serving endpoint as `similar_items`
+    (reference recommendation/main.py:193-221) from the factorization
+    model instead of the co-occurrence one, so the ALS tier covers
+    BOTH reference serving endpoints (user recs + item neighbors).
+    Rows/schema-checked like recommendations_als (same fitted model
+    family); contract gates in tests/test_ml.py::test_similar_items_als."""
+    from data_pipeline_mlops_spark.ml.als import (
+        similar_items_als,
+        train_als,
+    )
+
+    inter = _materialize(_interactions(spark, sf_dir))
+    model = train_als(
+        inter, user_col="customer_id", item_col="product_id",
+        rank=16, max_iter=10, seed=42,
+    )
+    out = similar_items_als(
+        model, item_col="product_id", item=1, top_n=10
+    )
+    return out.select(
+        F.col("item").cast("long").alias("item"),
+        F.col("product_id").cast("long").alias("similar_item"),
+        "cosine_sim",
+        F.col("rank"),
+    )
+
+
+QUERIES["similar_items_als"] = QuerySpec(q_similar_items_als, None)
+
+
 # --------------------------------------------------------------------------
 # scale-safety labels (VERDICT r8 #7)
 # --------------------------------------------------------------------------

@@ -579,3 +579,41 @@ def test_pca_ann_quality(spark, tmp_path):
     assert sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in re_rows) == sorted(
         (r["query_id"], r["neighbor_id"], r["rank"]) for r in rows
     )
+
+
+def test_similar_items_als(spark):
+    """Contract gates for the rows-only `similar_items_als` entry:
+    exactly top-n neighbors, anchor excluded, cosine in [-1, 1] and
+    descending with rank, names mapped back to original ids, and an
+    unknown anchor raises."""
+    import pytest as _pytest
+
+    from data_pipeline_mlops_spark.ml.als import (
+        similar_items_als,
+        train_als,
+    )
+    from data_pipeline_mlops_spark.registry import _interactions
+    from tests.conftest import SF_SMALL
+
+    inter = _interactions(spark, SF_SMALL).localCheckpoint()
+    model = train_als(
+        inter, user_col="customer_id", item_col="product_id",
+        rank=8, max_iter=5, seed=42,
+    )
+    rows = similar_items_als(
+        model, item_col="product_id", item=1, top_n=10,
+        item_type="long",
+    ).orderBy("rank").collect()
+    assert len(rows) == 10
+    assert all(r["item"] == 1 for r in rows)
+    assert all(r["similar_item"] != 1 for r in rows)
+    sims = [r["cosine_sim"] for r in rows]
+    assert all(-1.0001 <= s <= 1.0001 for s in sims)
+    assert sims == sorted(sims, reverse=True)
+    valid = {
+        r["product_id"] for r in inter.select("product_id").distinct().collect()
+    }
+    assert {r["similar_item"] for r in rows} <= valid
+
+    with _pytest.raises(ValueError):
+        similar_items_als(model, item_col="product_id", item=-999)
