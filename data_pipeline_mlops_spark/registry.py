@@ -12475,11 +12475,12 @@ def q_similar_items_als(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank=16, max_iter=10, seed=42,
     )
     out = similar_items_als(
-        model, item_col="product_id", item=1, top_n=10
+        model, item_col="product_id", item=1, top_n=10,
+        item_type="long",
     )
     return out.select(
         F.col("item").cast("long").alias("item"),
-        F.col("product_id").cast("long").alias("similar_item"),
+        "similar_item",
         "cosine_sim",
         F.col("rank"),
     )
