@@ -2,9 +2,12 @@
 
 `queries()` / `oracle_sql()` are backed by
 data_pipeline_mlops_spark.registry — one entry per implemented operator
-from SURVEY.md §2 plus the training-data-pipeline extensions. Entries
-without an oracle are engine-specific paths (MinHash/LSH/ANN/
-multimodal) recorded as rows-only checks.
+from SURVEY.md §2 plus the training-data-pipeline extensions. The only
+entries without an oracle are the Spark ML model tiers
+(recommendations_als, similar_items_als, ann_pca_topk): ALS/eigensolves
+are not bit-stable across partitionings, so they are recorded as
+rows-only checks here and value-gated by the eval-harness tests in
+tests/test_ml.py instead.
 """
 
 from __future__ import annotations
