@@ -124,18 +124,30 @@ def recommend_als(
     owned_bound: int | None = None,
 ) -> DataFrame:
     """Top-``top_n`` un-owned recommendations per user appearing in
-    ``purchases``, from a fitted ``train_als(index=True)`` pipeline.
+    ``purchases``, from a fitted ``train_als`` model — either the
+    ``index=True`` PipelineModel (ids round-trip through the fitted
+    StringIndexer labels) or the ``index=False`` bare ``ALSModel``
+    (ids served in their native int type; the escape hatch for id
+    spaces too large for driver-side indexer labels — VERDICT r11 #3).
 
     Output: ``(user_col, item_col, score, rank)`` — the cf.recommend
-    contract. ``owned_bound`` is the per-user owned-item bound B used
-    to over-request ``top_n + B`` before masking; when None it is
-    computed with one scalar aggregate over ``purchases``.
+    contract in both paths. ``owned_bound`` is the per-user owned-item
+    bound B used to over-request ``top_n + B`` before masking; when
+    None it is computed with one scalar aggregate over ``purchases``.
     """
-    u_idx, i_idx, als_model = model.stages
     spark = purchases.sparkSession
-    idx = i_idx.transform(u_idx.transform(purchases)).select(
-        "__user_idx", "__item_idx"
-    ).distinct()
+    indexed = hasattr(model, "stages")
+    if indexed:
+        u_idx, i_idx, als_model = model.stages
+        idx = i_idx.transform(u_idx.transform(purchases)).select(
+            "__user_idx", "__item_idx"
+        ).distinct()
+    else:
+        als_model = model
+        idx = purchases.select(
+            F.col(user_col).cast("long").alias("__user_idx"),
+            F.col(item_col).cast("long").alias("__item_idx"),
+        ).distinct()
     if owned_bound is None:
         # 1-row scalar: the basket-size bound that sizes the
         # over-request; bounded output by construction.
@@ -143,13 +155,19 @@ def recommend_als(
             F.max("count")
         ).collect()[0][0] or 0
     users = idx.select("__user_idx").distinct()
+    if not indexed:
+        # the bare model's userCol is the native column name
+        users = users.withColumnRenamed("__user_idx", user_col)
     recs = als_model.recommendForUserSubset(users, top_n + int(owned_bound))
+    ucol_out = "__user_idx" if indexed else user_col
+    icol_out = "__item_idx" if indexed else item_col
+    key_t = "double" if indexed else "long"
     flat = recs.select(
-        F.col("__user_idx").cast("double").alias("__user_idx"),
+        F.col(ucol_out).cast(key_t).alias("__user_idx"),
         F.explode("recommendations").alias("__r"),
     ).select(
         "__user_idx",
-        F.col("__r.__item_idx").cast("double").alias("__item_idx"),
+        F.col(f"__r.{icol_out}").cast(key_t).alias("__item_idx"),
         F.col("__r.rating").cast("double").alias("score"),
     )
     masked = flat.join(idx, ["__user_idx", "__item_idx"], "left_anti")
@@ -163,6 +181,13 @@ def recommend_als(
     u_type = dict(
         (f.name, f.dataType.simpleString()) for f in purchases.schema.fields
     )
+    if not indexed:
+        return top.select(
+            F.col("__user_idx").cast(u_type[user_col]).alias(user_col),
+            F.col("__item_idx").cast(u_type[item_col]).alias(item_col),
+            "score",
+            "rank",
+        )
     user_map = _label_map(
         spark, list(u_idx.labelsArray[0]), user_col, u_type[user_col]
     ).withColumnRenamed("__idx", "__user_idx")
@@ -198,10 +223,29 @@ def similar_items_als(
 
     u_idx, i_idx, als_model = model.stages
     labels = list(i_idx.labelsArray[0])
-    try:
-        anchor_idx = labels.index(str(item))
-    except ValueError:
-        raise ValueError(f"unknown item {item!r}") from None
+    spark = als_model.itemFactors.sparkSession
+    item_map = _label_map(spark, labels, item_col, item_type).select(
+        F.col("__idx").cast("long").alias("__iid"), F.col(item_col)
+    )
+    # Resolve the anchor by comparing in the id's NATIVE type on the
+    # label-array-sized map (ADVICE r11): a driver-side
+    # labels.index(str(item)) was an O(|items|) scan per call AND
+    # silently mismatched non-integer id types (Python str(1.0) vs
+    # the string StringIndexer derived from the Spark cast). The map
+    # frame already casts each label back through item_type, so
+    # Spark's own coercion rules decide equality.
+    anchor_ids = [
+        r["__iid"]
+        for r in item_map.where(F.col(item_col) == F.lit(item))
+        .select("__iid")
+        .collect()
+    ]
+    if len(anchor_ids) != 1:
+        raise ValueError(
+            f"unknown or ambiguous item {item!r} "
+            f"({len(anchor_ids)} label matches)"
+        )
+    anchor_idx = anchor_ids[0]
     factors = als_model.itemFactors.select(
         F.col("id").cast("long").alias("__iid"),
         F.col("features").alias("__vec"),
@@ -212,10 +256,6 @@ def similar_items_als(
         id_col="__iid",
         vec_col="__vec",
         k=top_n,
-    )
-    spark = als_model.itemFactors.sparkSession
-    item_map = _label_map(spark, labels, item_col, item_type).select(
-        F.col("__idx").cast("long").alias("__iid"), F.col(item_col)
     )
     return (
         topk.join(F.broadcast(item_map), topk.neighbor_id == item_map.__iid)

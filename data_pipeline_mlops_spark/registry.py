@@ -2085,37 +2085,38 @@ _DRIVER_WINDOW: list[str] = [
     "category_performance", "top_products", "regional_stats",
     "data_quality", "dedup_keep_latest", "top_customers_per_region",
     "item_similarity", "recommendations", "recommendations_served",
-    # round-11 rotation (rotation 6): every query whose ORACLE text
-    # changed this round meets the driver's DuckDB again — the new
-    # composed rendering recipe, the fixed-point pagerank, the
-    # short-series-guarded LTTB, and the whole MATERIALIZED-hinted
-    # set (the hint is semantics-neutral but the driver must parse it)
-    "event_lttb_m4", "item_pagerank", "event_lttb_downsample",
-    "corpus_pipeline", "doc_pack_sequences", "doc_pack_stats",
-    "doc_pack_ffd", "doc_pack_ffd_stats", "doc_pack_curriculum",
-    "doc_passage_removal", "term_postings", "doc_bm25_search",
-    "doc_phrase_search", "doc_skipgram_pairs", "doc_hybrid_search",
-    "minhash_jaccard_estimate", "purchase_attribution",
-    # warehouse-join tier promoted to bench headliners this round —
-    # hash-window them in the same round so plan and values are both
-    # gated (cube_revenue carries the NULL grouping-set edge)
+    # round-12 rotation (rotation 7): birth-round entries — the
+    # capped co-purchase graph twins (VERDICT r11 #1) — plus every
+    # query whose ORACLE text changed this round: item_communities /
+    # item_triangles gained MATERIALIZED hints (the r11 linearization
+    # treatment; the driver's DuckDB must parse them too), and
+    # kmv_audience_overlap's oracle contract moved from ROUND(double)
+    # to integer-scaled half-up (ADVICE r11)
+    "item_pagerank_capped", "item_communities_capped",
+    "item_triangles_capped", "item_communities", "item_triangles",
+    "item_pagerank", "kmv_audience_overlap",
+    # carried from rotation 6 (oracle text unchanged; keep the
+    # recently-changed recipes under the driver one more round)
+    "event_lttb_m4", "event_lttb_downsample", "corpus_pipeline",
+    "doc_pack_sequences", "doc_pack_stats", "doc_pack_ffd",
+    "doc_pack_curriculum", "term_postings", "doc_bm25_search",
+    "doc_phrase_search", "doc_hybrid_search",
+    "minhash_jaccard_estimate",
+    # warehouse-join bench headliners (promoted r11; keep plan+value
+    # gated together one more round)
     "bucketed_order_revenue", "customer_rolling_features",
     "cube_revenue",
-    # re-validation fill: recent round-10 operators + one
-    # representative per risk tier (window frames, gapfill, as-of,
-    # sequential kernels, rolling sketches, semdedup, CF cap, ANN,
-    # multimodal, incremental-index replay)
+    # re-validation fill: one representative per risk tier (window
+    # frames, gapfill, as-of, sequential kernels, rolling sketches,
+    # semdedup, CF cap, ANN, multimodal, incremental-index replay)
     "nation_daily_gapfill", "event_hourly_gapfill",
-    "event_ohlc_daily", "event_m4_downsample", "event_hourly_ema",
+    "event_ohlc_daily", "event_hourly_ema",
     "purchase_next_error", "purchase_nearest_click",
     "event_hourly_holt", "event_cusum_drift", "user_rolling_p95",
     "rolling_distinct_users_kmv", "doc_semdedup_lsh",
     "item_similarity_basket_capped", "lsh_ann_topk",
     "multimodal_mp3_meta", "image_dhash_near_dups",
     "incremental_dedup_decisions",
-    # round-11 late addition (birth-round rule): KMV set-operation
-    # overlap — the sketch tier's intersection rule meets the driver
-    "kmv_audience_overlap",
 ]
 
 
@@ -6333,8 +6334,12 @@ def q_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     same order — 3 deterministic power iterations with decimal-exact
     neighbor sums, so the DuckDB oracle replays every iteration
     bit-for-bit (the second iterative-graph algorithm next to
-    connected components). The co-purchase self-join is the same
-    bounded basket join the CF tier uses."""
+    connected components). PARITY-ONLY edge build: the co-purchase
+    self-join here is UNCAPPED — per-order pair fan-out is quadratic
+    in basket size (SCALING_r11 measured one 18,644-item hot basket
+    turning this same pair source into 183M rows) — the 100 TB path
+    is `item_pagerank_capped`, which truncates baskets with the CF
+    tier's md5-rank cap before the join."""
     from data_pipeline_mlops_spark.functions.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -6361,18 +6366,24 @@ def q_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_oracle(
-    iters: int = 3, num: int = 17, den: int = 20, scale: int = 10**12
+    iters: int = 3, num: int = 17, den: int = 20, scale: int = 10**12,
+    inter_cte: str | None = None,
 ) -> str:
     """Replays functions/graph.pagerank's exact BIGINT fixed-point
     recurrence (round-half-up integer division (2a+b)//(2b), damping
     as the rational num/den) — no double is ever rounded, so the two
     engines agree bit-for-bit at any SF (the earlier ROUND(double,10)
     form hit a one-ulp Spark/DuckDB half-boundary divergence at
-    sf0.1)."""
-    parts = [f"""
-WITH inter AS (
+    sf0.1). ``inter_cte`` swaps the co-purchase vertex/edge source
+    (default: plain distinct (order, item)); the capped twin passes
+    the md5-rank basket-truncated variant so both tiers replay the
+    identical recurrence over their respective edge sets."""
+    if inter_cte is None:
+        inter_cte = """inter AS (
   SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
-),
+)"""
+    parts = [f"""
+WITH {inter_cte},
 ed AS (
   SELECT DISTINCT a.item AS src, b.item AS dst
   FROM inter a JOIN inter b ON a.ok = b.ok AND a.item <> b.item
@@ -7103,7 +7114,9 @@ def q_item_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic so DuckDB replays every round). The third iterative
     graph operator: components find reachability, PageRank finds
     centrality, LPA finds dense co-purchase communities. DISTINCT
-    edges so neighbor counts mean distinct neighbors."""
+    edges so neighbor counts mean distinct neighbors. PARITY-ONLY
+    edge build (uncapped basket² self-join — see item_pagerank's
+    note); the 100 TB path is `item_communities_capped`."""
     from data_pipeline_mlops_spark.functions.graph import label_propagation
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -7130,11 +7143,17 @@ def q_item_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("v").alias("item"), "label")
 
 
-ORACLE_ITEM_COMMUNITIES = """
-WITH inter AS (
+def _communities_oracle(inter_cte: str | None = None) -> str:
+    """LPA replay (3 unrolled synchronous rounds, total argmax
+    tiebreak) over a parameterized co-purchase source — the capped
+    twin passes the md5-rank basket-truncated inter CTE."""
+    if inter_cte is None:
+        inter_cte = """inter AS (
   SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
-),
-edges AS (
+)"""
+    return f"""
+WITH {inter_cte},
+edges AS MATERIALIZED (
   SELECT DISTINCT a.item AS s, b.item AS d
   FROM inter a JOIN inter b ON a.ok = b.ok AND a.item <> b.item
 ),
@@ -7181,8 +7200,9 @@ SELECT l2.v AS item, COALESCE(r3.label, l2.label) AS label
 FROM l2 LEFT JOIN r3 ON l2.v = r3.v
 """
 
+
 QUERIES["item_communities"] = QuerySpec(
-    q_item_communities, ORACLE_ITEM_COMMUNITIES
+    q_item_communities, _communities_oracle()
 )
 
 
@@ -8250,7 +8270,12 @@ def q_item_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     out-degree, which is O(sqrt(m)) even for hub vertices — the
     standard trick that keeps the wedge join feasible at web scale
     (a hub's undirected degree would otherwise square). Emits per-item
-    triangle counts for the top-20 items by (count, id)."""
+    triangle counts for the top-20 items by (count, id). NOTE the
+    orientation bounds the WEDGE join only — the edge BUILD in front
+    of it is the uncapped basket² self-join (parity-only; see
+    item_pagerank's note); the 100 TB path is
+    `item_triangles_capped`, which caps baskets before the join and
+    keeps the same oriented-wedge count."""
     li = load_table(spark, sf_dir, "lineitem")
     inter = _materialize(
         li.select(
@@ -8326,11 +8351,21 @@ def q_item_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_ITEM_TRIANGLES = """
-WITH inter AS (
+def _triangles_oracle(inter_cte: str | None = None) -> str:
+    """Degree-oriented triangle replay over a parameterized
+    co-purchase source. ``und``/``e`` carry AS MATERIALIZED hints
+    (the r11 linearization treatment, commit f129405's class): DuckDB
+    1.0 otherwise re-plans the oriented edge CTE into each of the
+    three wedge/closure join legs, re-running the basket self-join
+    three times — this replay was the slowest sf0.1 sweep row
+    (49.9 s) before the hints."""
+    if inter_cte is None:
+        inter_cte = """inter AS (
   SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
-),
-und AS (
+)"""
+    return f"""
+WITH {inter_cte},
+und AS MATERIALIZED (
   SELECT DISTINCT a.item AS u, b.item AS v
   FROM inter a JOIN inter b ON a.ok = b.ok AND a.item < b.item
 ),
@@ -8338,7 +8373,7 @@ deg AS (
   SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM (
     SELECT u AS x FROM und UNION ALL SELECT v FROM und) t GROUP BY 1
 ),
-e AS (
+e AS MATERIALIZED (
   SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v)
               THEN und.u ELSE und.v END AS s,
          CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v)
@@ -8365,7 +8400,8 @@ ORDER BY n_triangles DESC, item ASC
 LIMIT 20
 """
 
-QUERIES["item_triangles"] = QuerySpec(q_item_triangles, ORACLE_ITEM_TRIANGLES)
+
+QUERIES["item_triangles"] = QuerySpec(q_item_triangles, _triangles_oracle())
 
 
 def q_dedup_tier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12288,7 +12324,15 @@ def q_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT — the oracle replays both regimes. All arithmetic is
     Catalyst array HOFs over k-length arrays (no UDF); the pair frame
     is |types|^2 rows of 64-long arrays — driver-safe at any corpus
-    size because k bounds it, not the data."""
+    size because k bounds it, not the data.
+
+    Contract discipline (ADVICE r11): estimates are emitted as
+    e4-SCALED BIGINTs via FLOOR(x*10000 + 0.5) — pure IEEE double ops
+    on values that are bit-identical across engines by construction —
+    instead of ROUND(double, 4), whose half-boundary semantics differ
+    between Spark (BigDecimal HALF_UP on decimal repr) and DuckDB
+    (binary-double rounding) — the same one-ulp class the fixed-point
+    pagerank rewrite removed."""
     from pyspark.sql import Window
 
     k = 64
@@ -12317,12 +12361,14 @@ def q_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.when(
             F.size(p) < k, F.size(p).cast("double")
         ).otherwise(
-            F.round(
-                F.lit(float(k - 1))
-                / (F.element_at(p, k).cast("double") / F.lit(float(theta_max))),
-                4,
-            )
+            F.lit(float(k - 1))
+            / (F.element_at(p, k).cast("double") / F.lit(float(theta_max)))
         )
+
+    def e4(x):
+        # explicit half-up integer scaling: FLOOR on a double is
+        # engine-identical; all estimates are non-negative
+        return F.floor(x * F.lit(10000.0) + F.lit(0.5)).cast("long")
 
     a = pools.select(
         F.col("event_type").alias("type_a"), F.col("p").alias("pa")
@@ -12337,27 +12383,22 @@ def q_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_intersect("pa", "pb"), lambda x: x < th
         )
     )
-    est_i = F.round(
-        inter_n.cast("double")
-        / (th.cast("double") / F.lit(float(theta_max))),
-        4,
+    est_i = inter_n.cast("double") / (
+        th.cast("double") / F.lit(float(theta_max))
     )
     pu = F.array_sort(F.array_distinct(F.concat("pa", "pb")))
     est_u = F.when(F.size(pu) < k, F.size(pu).cast("double")).otherwise(
-        F.round(
-            F.lit(float(k - 1))
-            / (F.element_at(pu, k).cast("double") / F.lit(float(theta_max))),
-            4,
-        )
+        F.lit(float(k - 1))
+        / (F.element_at(pu, k).cast("double") / F.lit(float(theta_max)))
     )
     return pair.select(
         "type_a",
         "type_b",
-        est(F.col("pa")).alias("est_a"),
-        est(F.col("pb")).alias("est_b"),
-        est_i.alias("est_intersection"),
-        est_u.alias("est_union"),
-        F.round(est_i / est_u, 4).alias("jaccard_est"),
+        e4(est(F.col("pa"))).alias("est_a_e4"),
+        e4(est(F.col("pb"))).alias("est_b_e4"),
+        e4(est_i).alias("est_intersection_e4"),
+        e4(est_u).alias("est_union_e4"),
+        e4(est_i / est_u).alias("jaccard_est_e4"),
     )
 
 
@@ -12395,22 +12436,28 @@ calc AS (
 est AS (
   SELECT type_a, type_b,
          CASE WHEN len(pa) < 64 THEN CAST(len(pa) AS DOUBLE)
-              ELSE ROUND(63.0 / (CAST(pa[64] AS DOUBLE)
-                                 / 1152921504606846976.0), 4) END AS est_a,
+              ELSE 63.0 / (CAST(pa[64] AS DOUBLE)
+                           / 1152921504606846976.0) END AS est_a,
          CASE WHEN len(pb) < 64 THEN CAST(len(pb) AS DOUBLE)
-              ELSE ROUND(63.0 / (CAST(pb[64] AS DOUBLE)
-                                 / 1152921504606846976.0), 4) END AS est_b,
-         ROUND(CAST(len(list_filter(pa,
-                     x -> list_contains(pb, x) AND x < th)) AS DOUBLE)
-               / (CAST(th AS DOUBLE) / 1152921504606846976.0), 4)
+              ELSE 63.0 / (CAST(pb[64] AS DOUBLE)
+                           / 1152921504606846976.0) END AS est_b,
+         CAST(len(list_filter(pa,
+              x -> list_contains(pb, x) AND x < th)) AS DOUBLE)
+           / (CAST(th AS DOUBLE) / 1152921504606846976.0)
            AS est_intersection,
          CASE WHEN len(pu) < 64 THEN CAST(len(pu) AS DOUBLE)
-              ELSE ROUND(63.0 / (CAST(pu[64] AS DOUBLE)
-                                 / 1152921504606846976.0), 4) END AS est_union
+              ELSE 63.0 / (CAST(pu[64] AS DOUBLE)
+                           / 1152921504606846976.0) END AS est_union
   FROM calc
 )
-SELECT type_a, type_b, est_a, est_b, est_intersection, est_union,
-       ROUND(est_intersection / est_union, 4) AS jaccard_est
+SELECT type_a, type_b,
+       CAST(FLOOR(est_a * 10000.0 + 0.5) AS BIGINT) AS est_a_e4,
+       CAST(FLOOR(est_b * 10000.0 + 0.5) AS BIGINT) AS est_b_e4,
+       CAST(FLOOR(est_intersection * 10000.0 + 0.5) AS BIGINT)
+         AS est_intersection_e4,
+       CAST(FLOOR(est_union * 10000.0 + 0.5) AS BIGINT) AS est_union_e4,
+       CAST(FLOOR(est_intersection / est_union * 10000.0 + 0.5) AS BIGINT)
+         AS jaccard_est_e4
 FROM est
 """
 
@@ -12490,6 +12537,205 @@ QUERIES["similar_items_als"] = QuerySpec(q_similar_items_als, None)
 
 
 # --------------------------------------------------------------------------
+# capped co-purchase graph tier (round 12) — the 100 TB path for the
+# graph trio (pagerank / communities / triangles)
+# --------------------------------------------------------------------------
+# The uncapped trio builds edges via inter⋈inter on the order key:
+# per-order pair fan-out quadratic in basket size. SCALING_r11's
+# hot-basket artifact measured the hazard on this exact pair source —
+# one 18,644-item basket made it 183M rows (95% from that basket
+# alone). The capped twins truncate each order's basket to
+# _GRAPH_BASKET_CAP items with the CF tier's deterministic md5 rank
+# (ml/cf.py::cap_basket_size — engine-portable, so DuckDB replays the
+# truncation bit-for-bit) BEFORE the self-join exists, bounding every
+# order's contribution at cap² pairs regardless of upstream size.
+# The cap deliberately bites at TPC-H scale (lineitem orders run 1–7
+# items), so the oracles verify the truncation itself, not just the
+# downstream algorithm.
+
+_GRAPH_BASKET_CAP = 5
+
+_SQL_INTER_CAPPED = f"""inter0 AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+),
+inter AS MATERIALIZED (
+  SELECT ok, item FROM (
+    SELECT ok, item,
+           row_number() OVER (
+             PARTITION BY ok
+             ORDER BY md5(CAST(item AS VARCHAR)), item
+           ) AS br
+    FROM inter0
+  ) WHERE br <= {_GRAPH_BASKET_CAP}
+)"""
+
+
+def _copurchase_inter_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shared capped co-purchase source: distinct (order, item) rows
+    with each order truncated to _GRAPH_BASKET_CAP items by md5 rank
+    — the single edge-builder bound all three capped graph twins (and
+    their oracles, via _SQL_INTER_CAPPED) share."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return _materialize(
+        cf.cap_basket_size(
+            li.select(
+                F.col("l_orderkey").alias("ok"),
+                F.col("l_partkey").alias("item"),
+            ).distinct(),
+            basket_col="ok",
+            item_col="item",
+            max_items=_GRAPH_BASKET_CAP,
+        )
+    )
+
+
+def q_item_pagerank_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """item_pagerank's scale twin: identical 3-iteration fixed-point
+    PageRank (functions/graph.py::pagerank) over basket-capped
+    co-purchase edges. The only difference from the parity tier is
+    the md5-rank basket truncation before the edge self-join — the
+    one defense that acts before the quadratic shuffle exists."""
+    from data_pipeline_mlops_spark.functions.graph import pagerank
+
+    inter = _copurchase_inter_capped(spark, sf_dir)
+    edges = (
+        inter.alias("a")
+        .join(inter.alias("b"), "ok")
+        .where(F.col("a.item") != F.col("b.item"))
+        .select(
+            F.col("a.item").alias("src"), F.col("b.item").alias("dst")
+        )
+    )
+    verts = inter.select("item").distinct()
+    pr = pagerank(
+        verts, edges, vertex_col="item", src_col="src", dst_col="dst",
+        iters=3,
+    )
+    return pr.select(F.col("v").alias("item"), "pr")
+
+
+QUERIES["item_pagerank_capped"] = QuerySpec(
+    q_item_pagerank_capped, _pagerank_oracle(inter_cte=_SQL_INTER_CAPPED)
+)
+
+
+def q_item_communities_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """item_communities' scale twin: identical 3-round deterministic
+    LPA (functions/graph.py::label_propagation) over basket-capped
+    co-purchase edges (md5-rank truncation before the self-join)."""
+    from data_pipeline_mlops_spark.functions.graph import label_propagation
+
+    inter = _copurchase_inter_capped(spark, sf_dir)
+    edges = (
+        inter.alias("a")
+        .join(inter.alias("b"), "ok")
+        .where(F.col("a.item") != F.col("b.item"))
+        .select(
+            F.col("a.item").alias("src"), F.col("b.item").alias("dst")
+        )
+        .distinct()
+    )
+    verts = inter.select("item").distinct()
+    out = label_propagation(
+        verts, edges, vertex_col="item", src_col="src", dst_col="dst",
+        iters=3,
+    )
+    return out.select(F.col("v").alias("item"), "label")
+
+
+QUERIES["item_communities_capped"] = QuerySpec(
+    q_item_communities_capped, _communities_oracle(_SQL_INTER_CAPPED)
+)
+
+
+def q_item_triangles_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """item_triangles' scale twin: identical degree-oriented wedge
+    count over basket-capped co-purchase edges — with the cap in
+    front, BOTH halves are bounded (edge build by cap² per order,
+    wedge join by oriented out-degree)."""
+    inter = _copurchase_inter_capped(spark, sf_dir)
+    und = (
+        inter.alias("a")
+        .join(inter.alias("b"), "ok")
+        .where(F.col("a.item") < F.col("b.item"))
+        .select(
+            F.col("a.item").alias("u"), F.col("b.item").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .unionAll(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    e = (
+        und.join(
+            F.broadcast(
+                deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du")
+            ),
+            "u",
+        )
+        .join(
+            F.broadcast(
+                deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv")
+            ),
+            "v",
+        )
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(
+                F.struct(F.col("v").alias("s"), F.col("u").alias("t"))
+            )
+            .alias("o")
+        )
+        .select(F.col("o.s").alias("s"), F.col("o.t").alias("t"))
+    )
+    e = _materialize(e)
+    wedge = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.s") == F.col("e2.s"))
+        .where(F.col("e1.t") < F.col("e2.t"))
+        .select(
+            F.col("e1.s").alias("a"),
+            F.col("e1.t").alias("b"),
+            F.col("e2.t").alias("c"),
+        )
+    )
+    closer = e.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    tri = wedge.join(closer, ["b", "c"])
+    per_item = (
+        tri.select(F.col("a").alias("item"))
+        .unionAll(tri.select(F.col("b").alias("item")))
+        .unionAll(tri.select(F.col("c").alias("item")))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        per_item.orderBy(
+            F.col("n_triangles").desc(), F.col("item").asc()
+        ).limit(20)
+    )
+
+
+QUERIES["item_triangles_capped"] = QuerySpec(
+    q_item_triangles_capped, _triangles_oracle(_SQL_INTER_CAPPED)
+)
+
+
+# --------------------------------------------------------------------------
 # scale-safety labels (VERDICT r8 #7)
 # --------------------------------------------------------------------------
 # Parity-only formulations: each reproduces the reference's (or the
@@ -12509,6 +12755,12 @@ _PARITY_ONLY: dict[str, str] = {
     "ngram_jaccard_dups": "ngram_jaccard_capped",
     # components over the uncapped pair source inherit its fan-out
     "doc_dup_components": "doc_dup_components_capped",
+    # the co-purchase graph trio shares the same uncapped basket²
+    # edge self-join (SCALING_r11: one hot basket → 183M pairs); the
+    # capped twins truncate baskets before the join
+    "item_pagerank": "item_pagerank_capped",
+    "item_communities": "item_communities_capped",
+    "item_triangles": "item_triangles_capped",
     # uncapped basket² pair counting for rule mining
     "association_rules": "association_rules_capped",
     # exact in-bucket verify over ALL candidate pairs of every bucket

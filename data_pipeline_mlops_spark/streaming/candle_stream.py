@@ -155,6 +155,23 @@ class CandleStore:
         self.table.commit(delta, mode="append")
         return True
 
+    def pending_deltas(self, spark: SparkSession) -> int:
+        """Number of applied-but-not-yet-compacted batches: distinct
+        delta batch ids currently in the store (maintain() folds them
+        into summary rows, so the count resets to 0 on compaction).
+        This is the DURABLE compaction-cadence signal — unlike a
+        closure counter it survives streaming-query restarts
+        (ADVICE r11)."""
+        rows = self._rows(spark)
+        if rows is None:
+            return 0
+        return (
+            rows.where(F.col("kind") == "delta")
+            .select("batch_id")
+            .distinct()
+            .count()
+        )
+
     def read_candles(self, spark: SparkSession) -> DataFrame:
         """The current candle table: one row per (series, bucket_s)
         with (open, high, low, close, n_ticks, volume) — volume
@@ -228,16 +245,19 @@ def candle_foreach_batch(
     maintain_every: int = 32,
 ):
     """foreachBatch adapter: `stream.writeStream.foreachBatch(this)`.
-    Every ``maintain_every`` APPLIED batches the store self-compacts
-    (0 disables).  The cadence counts batches this closure actually
-    applied — empty batches and exactly-once-skipped redeliveries do
-    not advance it — so compaction frequency tracks ingested work,
-    not the stream's batch-id sequence (ADVICE r10)."""
+    The store self-compacts whenever ``maintain_every`` or more
+    APPLIED batches have accumulated since the last compaction
+    (0 disables). The cadence is derived from DURABLE store state —
+    the count of distinct un-folded delta batch ids
+    (CandleStore.pending_deltas) — not a closure counter: empty
+    batches and exactly-once-skipped redeliveries don't advance it
+    (ADVICE r10), and a streaming-query restart can't reset it
+    (ADVICE r11: the old in-memory counter restarted at zero, so
+    restart intervals shorter than ``maintain_every`` batches let
+    delta files accumulate unboundedly)."""
     store = CandleStore(root, bucket=bucket)
-    applied_n = 0
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
-        nonlocal applied_n
         if batch_df.isEmpty():
             return
         if store.update(
@@ -248,8 +268,10 @@ def candle_foreach_batch(
             tiebreak_col=tiebreak_col,
             batch_id=batch_id,
         ):
-            applied_n += 1
-            if maintain_every and applied_n % maintain_every == 0:
-                store.maintain(batch_df.sparkSession)
+            spark = batch_df.sparkSession
+            if maintain_every and (
+                store.pending_deltas(spark) >= maintain_every
+            ):
+                store.maintain(spark)
 
     return body

@@ -97,26 +97,49 @@ def main() -> None:
         for i, name in enumerate(todo):
             _release_storage()
             t0 = time.time()
-            timer = None
             timed_out = threading.Event()
-            if args.oracle_timeout > 0:
+            timers: list[threading.Timer] = []
 
-                def _interrupt(c=con, ev=timed_out):
-                    ev.set()
-                    c.interrupt()
+            # armed via compare(pre_oracle=...) AFTER the Spark
+            # collect, so the timeout measures the DuckDB leg only
+            # (ADVICE r11: the old whole-compare timer mislabeled
+            # slow Spark collects as oracle_timeout)
+            def _arm(c=con, ev=timed_out, box=timers):
+                if args.oracle_timeout > 0:
 
-                timer = threading.Timer(args.oracle_timeout, _interrupt)
-                timer.start()
+                    def _interrupt():
+                        ev.set()
+                        c.interrupt()
+
+                    t = threading.Timer(args.oracle_timeout, _interrupt)
+                    t.start()
+                    box.append(t)
+
             try:
-                r = compare(QUERIES[name].spark(spark, args.sf), con, QUERIES[name].oracle)
+                r = compare(
+                    QUERIES[name].spark(spark, args.sf),
+                    con,
+                    QUERIES[name].oracle,
+                    pre_oracle=_arm,
+                )
             except Exception as exc:  # noqa: BLE001 — record, keep going
                 if timed_out.is_set():
                     r = {"error": "oracle_timeout"}
                 else:
                     r = {"error": f"{type(exc).__name__}: {exc}"[:300]}
             finally:
-                if timer is not None:
-                    timer.cancel()
+                for t in timers:
+                    t.cancel()
+                if timed_out.is_set():
+                    # the interrupt may have landed while the replay
+                    # was already done (or never started) — a stale
+                    # interrupt flag would cancel the NEXT execute,
+                    # so recycle the connection
+                    try:
+                        con.close()
+                    except Exception:  # noqa: BLE001
+                        pass
+                    con = duckdb_conn(args.sf)
             r["elapsed_s"] = round(time.time() - t0, 2)
             done[name] = r
             # checkpoint after EVERY query so a kill loses at most one

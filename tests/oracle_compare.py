@@ -56,9 +56,17 @@ def canonical_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(out, key=repr)
 
 
-def compare(spark_df, con, oracle_sql: str) -> dict:
+def compare(spark_df, con, oracle_sql: str, *, pre_oracle=None) -> dict:
+    """Side-by-side Spark vs DuckDB check. ``pre_oracle`` (optional)
+    is invoked after the Spark collect and immediately before the
+    DuckDB replay — the hook oracle_sweep uses to arm its
+    oracle-timeout timer around the DuckDB leg ONLY (ADVICE r11: a
+    timer spanning both legs mislabeled slow Spark collects as
+    oracle_timeout and could interrupt an idle connection)."""
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
+    if pre_oracle is not None:
+        pre_oracle()
     rel = con.execute(oracle_sql)
     o_cols = [d[0] for d in rel.description]
     o_rows = rel.fetchall()

@@ -112,6 +112,37 @@ def test_maintain_compacts_without_changing_candles(spark, tmp_path):
     )
 
 
+def test_compaction_cadence_survives_restart(spark, tmp_path):
+    """ADVICE r11: the compaction cadence must be derived from durable
+    store state, not adapter-closure memory — a restart-heavy
+    deployment where every streaming-query incarnation applies fewer
+    than ``maintain_every`` batches would otherwise NEVER compact.
+    Simulate restarts by building a FRESH adapter per batch."""
+    root = str(tmp_path / "candles")
+    batches = [(0, 25), (25, 50), (50, 75), (75, 100)]
+    for i, (lo, hi) in enumerate(batches):
+        # new incarnation each batch: closure state is lost every time
+        body = candle_foreach_batch(
+            root=root, series_col="series", ts_col="ts",
+            value_col="value", tiebreak_col="event_id",
+            bucket="hour", maintain_every=2,
+        )
+        body(_events(spark, lo, hi), i)
+    store = CandleStore(root, bucket="hour")
+    # cadence fired in-stream despite the restarts: after batch 3
+    # (the 4th applied) pending hit 2 again and the store compacted —
+    # only summary + watermark rows remain
+    rows = store.table.read(spark)
+    assert rows.where(F.col("kind") == "delta").isEmpty()
+    assert store.pending_deltas(spark) == 0
+    wm = rows.where(F.col("kind") == "watermark").collect()
+    assert len(wm) == 1 and wm[0]["batch_id"] == 3
+    # and candles are still exactly the batch twin
+    assert _candles(store, spark) == _batch_twin(
+        spark, _events(spark, 0, 100)
+    )
+
+
 def test_candle_stream_end_to_end(spark, tmp_path):
     import os
 

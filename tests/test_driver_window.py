@@ -23,3 +23,24 @@ def test_driver_window_is_50_valid_unique_oracled():
     unoracled = [n for n in _DRIVER_WINDOW if QUERIES[n].oracle is None]
     assert not unoracled, unoracled
     assert _ordered_names()[:50] == _DRIVER_WINDOW
+
+
+def test_readme_registry_counts_match_live():
+    """README's registry row states the query/oracle counts; pin them
+    to the live registry so they can't silently drift (VERDICT r11 #8)."""
+    import pathlib
+    import re
+
+    from data_pipeline_mlops_spark.registry import QUERIES
+
+    readme = (
+        pathlib.Path(__file__).resolve().parents[1] / "README.md"
+    ).read_text()
+    m = re.search(
+        r"(\d+) testdata-bound queries, (\d+) with a DuckDB oracle", readme
+    )
+    assert m, "README registry row not found"
+    assert int(m.group(1)) == len(QUERIES)
+    assert int(m.group(2)) == sum(
+        1 for q in QUERIES.values() if q.oracle is not None
+    )

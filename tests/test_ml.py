@@ -617,3 +617,105 @@ def test_similar_items_als(spark):
 
     with _pytest.raises(ValueError):
         similar_items_als(model, item_col="product_id", item=-999)
+
+
+def test_train_als_index_false_serving_contract(spark):
+    """VERDICT r11 #3: the `index=False` escape hatch (skip the
+    driver-side StringIndexers, feed ALS native int ids — the path
+    for id spaces too large for driver-held label arrays) must serve
+    the SAME contract as the indexed path: exactly top-n rows per
+    user, no owned items, every train user covered, native id types
+    in the output."""
+    from data_pipeline_mlops_spark.ml.als import recommend_als, train_als
+    from data_pipeline_mlops_spark.registry import _interactions
+    from tests.conftest import SF_SMALL
+
+    inter = _interactions(spark, SF_SMALL).localCheckpoint()
+    model = train_als(
+        inter, user_col="customer_id", item_col="product_id",
+        rank=8, max_iter=5, seed=42, index=False,
+    )
+    # bare ALSModel, not a PipelineModel
+    assert not hasattr(model, "stages")
+    recs = recommend_als(
+        model, inter, user_col="customer_id", item_col="product_id",
+        top_n=10,
+    ).localCheckpoint()
+    assert recs.columns == ["customer_id", "product_id", "score", "rank"]
+    # native id types preserved (no double-indexed residue)
+    in_types = dict(
+        (f.name, f.dataType.simpleString()) for f in inter.schema.fields
+    )
+    out_types = dict(
+        (f.name, f.dataType.simpleString()) for f in recs.schema.fields
+    )
+    assert out_types["customer_id"] == in_types["customer_id"]
+    assert out_types["product_id"] == in_types["product_id"]
+    # exactly 10 unowned recs for every train user
+    assert recs.join(inter, ["customer_id", "product_id"]).count() == 0
+    counts = (
+        recs.groupBy("customer_id")
+        .count()
+        .agg(F.min("count").alias("lo"), F.max("count").alias("hi"))
+        .collect()[0]
+    )
+    assert (counts["lo"], counts["hi"]) == (10, 10)
+    n_users = inter.select("customer_id").distinct().count()
+    assert recs.select("customer_id").distinct().count() == n_users
+    # recommended items come from the training catalog
+    catalog = {
+        r["product_id"]
+        for r in inter.select("product_id").distinct().collect()
+    }
+    assert {
+        r["product_id"] for r in recs.select("product_id").distinct().collect()
+    } <= catalog
+
+
+def test_similar_items_als_quality_band(spark):
+    """VERDICT r11 #6: value band for the rows-only
+    `similar_items_als` entry (the contract test checks shape only).
+    ALS factor-cosine neighbors must AGREE with the co-occurrence
+    cosine tier well above chance on the fixture: across the 5 most
+    frequent anchor items, total neighbor-overlap@10 >= 5 with at
+    least 3 anchors overlapping (measured [2,3,2,1,3] = 11 total at
+    pin time; random chance is ~0.5 per anchor on the ~200-item
+    catalog)."""
+    from data_pipeline_mlops_spark.ml.als import similar_items_als, train_als
+    from data_pipeline_mlops_spark.registry import _interactions
+    from tests.conftest import SF_SMALL
+
+    inter = _interactions(spark, SF_SMALL).localCheckpoint()
+    model = train_als(
+        inter, user_col="customer_id", item_col="product_id",
+        rank=8, max_iter=5, seed=42,
+    )
+    sim = cf.item_similarity(
+        inter, user_col="customer_id", item_col="product_id",
+        min_cooccurrence=1,
+    ).localCheckpoint()
+    anchors = [
+        r["product_id"]
+        for r in inter.groupBy("product_id")
+        .count()
+        .orderBy(F.desc("count"), "product_id")
+        .limit(5)
+        .collect()
+    ]
+    overlaps = []
+    for a in anchors:
+        als_n = {
+            r["similar_item"]
+            for r in similar_items_als(
+                model, item_col="product_id", item=a, top_n=10,
+                item_type="long",
+            ).collect()
+        }
+        cos_n = {
+            r["similar_item"]
+            for r in cf.similar_items(sim, item=a, top_n=10).collect()
+        }
+        assert len(als_n) == 10 and len(cos_n) == 10
+        overlaps.append(len(als_n & cos_n))
+    assert sum(overlaps) >= 5, overlaps
+    assert sum(1 for o in overlaps if o >= 1) >= 3, overlaps

@@ -59,7 +59,17 @@ ALLOWED = {
     "ml/als.py": (
         "1-row scalar: max per-user basket size, the over-request "
         "bound B for recommendForUserSubset(top_n + B) before the "
-        "ownership anti-join (same adjudication as evaluate.py)"
+        "ownership anti-join (same adjudication as evaluate.py); "
+        "plus the anchor resolution in similar_items_als — a filter "
+        "on the broadcast-sized label map (bounded by the indexer's "
+        "driver-held label array by construction)"
+    ),
+    "streaming/candle_stream.py": (
+        "durable compaction-cadence scalar: count of distinct "
+        "un-folded delta batch ids in the store (bounded by "
+        "maintain_every by construction — maintain() folds them), "
+        "the restart-proof replacement for the closure counter "
+        "(ADVICE r11)"
     ),
     "streaming/alert_stream.py": (
         "webhook sink iterates the post-filter alert residue on the "

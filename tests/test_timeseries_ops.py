@@ -522,13 +522,17 @@ def test_kmv_audience_overlap_accuracy_and_exact_regime(spark):
     for (a, b), r in est.items():
         inter = len(users[a] & users[b])
         union = len(users[a] | users[b])
-        assert abs(r["est_union"] - union) <= max(tol * union, 1.0), (
-            a, b, r["est_union"], union,
+        # estimates are e4-scaled BIGINTs (ADVICE r11: explicit
+        # half-up integer contract instead of ROUND(double, 4))
+        est_union = r["est_union_e4"] / 10000.0
+        est_inter = r["est_intersection_e4"] / 10000.0
+        assert abs(est_union - union) <= max(tol * union, 1.0), (
+            a, b, est_union, union,
         )
-        assert abs(r["est_intersection"] - inter) <= max(
+        assert abs(est_inter - inter) <= max(
             tol * union, 1.0
-        ), (a, b, r["est_intersection"], inter)
+        ), (a, b, est_inter, inter)
         # sketches below capacity (= sets smaller than k) are exact
         if len(users[a]) < 64 and len(users[b]) < 64 and union < 64:
-            assert r["est_intersection"] == float(inter)
-            assert r["est_union"] == float(union)
+            assert r["est_intersection_e4"] == inter * 10000
+            assert r["est_union_e4"] == union * 10000
