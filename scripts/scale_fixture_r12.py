@@ -42,6 +42,8 @@ import shutil
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 FIXTURE = "/tmp/sfx0.5"
 REPLICAS = 5
 OFFSETS = {
@@ -61,7 +63,12 @@ TOP10 = [
     "doc_semdedup_fast",
     "embedding_near_dups_fast",
     "doc_winnowing_fps",
-    "image_dhash_near_dups",
+    # NOT image_dhash_near_dups (next by cost): its planted BMP grids
+    # are a function of doc_id mod 251, so replication grows its
+    # hash-equal clusters linearly and its PAIR COUNT quadratically —
+    # a fixture-planting artifact, not an engine property. The next
+    # honest headliner is the capped shingle tier.
+    "ngram_jaccard_capped",
 ]
 
 
@@ -183,7 +190,6 @@ def _release(spark) -> None:
 
 
 def time_queries(spark, sf_dir: str, runs: int) -> dict:
-    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
     from bench import _EXTRA_FNS
 
     from data_pipeline_mlops_spark.registry import QUERIES
