@@ -238,7 +238,28 @@ def main() -> None:
     ap.add_argument("--build-only", action="store_true")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--out", default="SCALING_r12.json")
+    ap.add_argument(
+        "--time-sf",
+        default=None,
+        help="internal: time ONE sf dir in this (fresh) JVM and dump "
+        "partial json to --out — the parent spawns one subprocess per "
+        "SF so no leg inherits the previous leg's JVM residue "
+        "(first single-JVM attempt inflated the middle leg's samples "
+        "up to 4x: broadcast/shuffle accumulation survives the "
+        "persistent-RDD release)",
+    )
     args = ap.parse_args()
+
+    if args.time_sf:
+        from data_pipeline_mlops_spark.session import get_spark
+
+        spark = get_spark(app_name="scale-r12-leg")
+        spark.read.parquet(f"{args.time_sf}/lineitem.parquet").count()
+        with open(args.out, "w") as fh:
+            json.dump(time_queries(spark, args.time_sf, args.runs), fh)
+        return
+
+    import subprocess
 
     from data_pipeline_mlops_spark.session import get_spark
 
@@ -249,10 +270,30 @@ def main() -> None:
     if args.build_only:
         return
 
+    # one heavy JVM at a time on this box: park the parent's executor
+    # threads while the timing legs run
+    spark.stop()
+
     result = {"fixture": FIXTURE, "replicas": REPLICAS, "runs": args.runs}
     timings = {}
     for sf_dir in ["/root/testdata/sf0.01", "/root/testdata/sf0.1", FIXTURE]:
-        timings[sf_dir] = time_queries(spark, sf_dir, args.runs)
+        part = f"/tmp/scale_r12_leg_{os.path.basename(sf_dir)}.json"
+        print(f"# fresh-JVM leg: {sf_dir}", file=sys.stderr)
+        subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--time-sf",
+                sf_dir,
+                "--runs",
+                str(args.runs),
+                "--out",
+                part,
+            ],
+            check=True,
+        )
+        with open(part) as fh:
+            timings[sf_dir] = json.load(fh)
     result["timings"] = timings
 
     exps = {}
@@ -272,6 +313,7 @@ def main() -> None:
         }
     result["exponents"] = exps
 
+    spark = get_spark(app_name="scale-r12-plans")
     plans_01 = plan_counts(spark, "/root/testdata/sf0.1")
     plans_05 = plan_counts(spark, FIXTURE)
     result["plan_invariance"] = {
