@@ -2094,7 +2094,7 @@ _DRIVER_WINDOW: list[str] = [
     # to integer-scaled half-up (ADVICE r11)
     "item_pagerank_capped", "item_communities_capped",
     "item_triangles_capped", "item_communities", "item_triangles",
-    "item_pagerank", "kmv_audience_overlap",
+    "item_pagerank", "kmv_audience_overlap", "doc_gopher_rules",
     # carried from rotation 6 (oracle text unchanged; keep the
     # recently-changed recipes under the driver one more round)
     "event_lttb_m4", "event_lttb_downsample", "corpus_pipeline",
@@ -2109,7 +2109,7 @@ _DRIVER_WINDOW: list[str] = [
     # re-validation fill: one representative per risk tier (window
     # frames, gapfill, as-of, sequential kernels, rolling sketches,
     # semdedup, CF cap, ANN, multimodal, incremental-index replay)
-    "nation_daily_gapfill", "event_hourly_gapfill",
+    "event_hourly_gapfill",
     "event_ohlc_daily", "event_hourly_ema",
     "purchase_next_error", "purchase_nearest_click",
     "event_hourly_holt", "event_cusum_drift", "user_rolling_p95",
@@ -12732,6 +12732,183 @@ def q_item_triangles_capped(
 
 QUERIES["item_triangles_capped"] = QuerySpec(
     q_item_triangles_capped, _triangles_oracle(_SQL_INTER_CAPPED)
+)
+
+
+def q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed Gopher-rule quality gate (Rae et al. 2021, App. A1.1
+    — the published rule set the standalone signals feed): one row
+    per doc with each rule's verdict and the conjunctive keep. Rules
+    adapted to this newline-free fixture (the line-based bullet/
+    ellipsis-line rules are degenerate here and omitted; the stop
+    list is the repo's STOPWORDS_EN with Gopher's >=2-distinct rule
+    shape): word count in [50, 1e5]; mean word length in [3, 10];
+    >=80% words contain an alphabetic char; symbol-to-word ratio
+    ('#' + '...') <= 0.1; >=2 distinct stop words; duplicate-bigram
+    fraction <= 0.2 (the n=2 row of Gopher's repetition table —
+    functions/text.py::with_repetition is the general operator).
+
+    Determinism discipline: every rule BOOLEAN is an exact integer
+    cross-multiplied comparison (5*alpha >= 4*n, 5*(t-d) <= t, ...) —
+    no IEEE threshold compare can ever sit on a rounding boundary;
+    the two emitted ratios are single divisions of exact longs
+    (bit-identical across engines). Shape: one projection pass +
+    one bigram explode/agg — scan-speed at 100 TB."""
+    docs = _docs(spark, sf_dir)
+    stops = text.STOPWORDS_EN
+    t = docs.select(
+        "doc_id", "text", text.tokens("text").alias("__toks")
+    )
+    n = F.size("__toks").cast("long")
+    chars = F.length(F.regexp_replace("text", r"\s", "")).cast("long")
+    alpha = F.size(
+        F.filter(F.col("__toks"), lambda x: x.rlike("[A-Za-z]"))
+    ).cast("long")
+    hash_cnt = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    ).cast("long")
+    ell_cnt = (
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+        )
+        / 3
+    ).cast("long")
+    stop_hits = F.size(
+        F.filter(
+            F.array_distinct("__toks"), lambda x: x.isin(*stops)
+        )
+    ).cast("long")
+    base = _materialize(
+        t.select(
+            "doc_id",
+            n.alias("n_words"),
+            chars.alias("__chars"),
+            alpha.alias("__alpha"),
+            (hash_cnt + ell_cnt).alias("__sym"),
+            stop_hits.alias("stop_hits"),
+            F.col("__toks"),
+        )
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("__toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("__toks", i),
+                        F.element_at("__toks", i + 1),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    rep = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__t"),
+        F.countDistinct("gram").cast("long").alias("__d"),
+    )
+    j = base.join(rep, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "__chars",
+        "__alpha",
+        "__sym",
+        "stop_hits",
+        F.coalesce("__t", F.lit(0)).cast("long").alias("__t"),
+        F.coalesce("__d", F.lit(0)).cast("long").alias("__d"),
+    )
+    r_wc = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    r_wlen = (3 * F.col("n_words") <= F.col("__chars")) & (
+        F.col("__chars") <= 10 * F.col("n_words")
+    )
+    r_alpha = 5 * F.col("__alpha") >= 4 * F.col("n_words")
+    r_sym = 10 * F.col("__sym") <= F.col("n_words")
+    r_stops = F.col("stop_hits") >= 2
+    r_rep = 5 * (F.col("__t") - F.col("__d")) <= F.col("__t")
+    return j.select(
+        "doc_id",
+        "n_words",
+        (F.col("__chars").cast("double") / F.col("n_words")).alias(
+            "mean_word_len"
+        ),
+        "stop_hits",
+        F.when(
+            F.col("__t") > 0,
+            (F.col("__t") - F.col("__d")).cast("double") / F.col("__t"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_ratio"),
+        r_wc.alias("r_wordcount"),
+        r_wlen.alias("r_wordlen"),
+        r_alpha.alias("r_alpha"),
+        r_sym.alias("r_symbol"),
+        r_stops.alias("r_stopwords"),
+        r_rep.alias("r_repetition"),
+        (r_wc & r_wlen & r_alpha & r_sym & r_stops & r_rep).alias("keep"),
+    )
+
+
+ORACLE_DOC_GOPHER_RULES = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+b AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+           AS chars,
+         CAST(len(list_filter(toks,
+              x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) // 3
+              AS BIGINT) AS sym,
+         CAST(len(list_filter(list_distinct(toks),
+              x -> x IN ({_STOP_SQL}))) AS BIGINT) AS stop_hits,
+         toks
+  FROM t
+),
+g AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tg,
+         CAST(COUNT(DISTINCT gram) AS BIGINT) AS dg
+  FROM (
+    SELECT b.doc_id, toks[r.i] || ' ' || toks[r.i + 1] AS gram
+    FROM b, UNNEST(range(1, len(toks))) r(i)
+  )
+  GROUP BY 1
+),
+j AS (
+  SELECT b.doc_id, b.n_words, b.chars, b.alpha, b.sym, b.stop_hits,
+         COALESCE(g.tg, 0) AS tg, COALESCE(g.dg, 0) AS dg
+  FROM b LEFT JOIN g ON g.doc_id = b.doc_id
+)
+SELECT doc_id, n_words,
+       CAST(chars AS DOUBLE) / n_words AS mean_word_len,
+       stop_hits,
+       CASE WHEN tg > 0 THEN CAST(tg - dg AS DOUBLE) / tg
+            ELSE 0.0 END AS dup_bigram_ratio,
+       (n_words >= 50 AND n_words <= 100000) AS r_wordcount,
+       (3 * n_words <= chars AND chars <= 10 * n_words) AS r_wordlen,
+       (5 * alpha >= 4 * n_words) AS r_alpha,
+       (10 * sym <= n_words) AS r_symbol,
+       (stop_hits >= 2) AS r_stopwords,
+       (5 * (tg - dg) <= tg) AS r_repetition,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (3 * n_words <= chars AND chars <= 10 * n_words)
+        AND (5 * alpha >= 4 * n_words)
+        AND (10 * sym <= n_words)
+        AND (stop_hits >= 2)
+        AND (5 * (tg - dg) <= tg)) AS keep
+FROM j
+"""
+
+QUERIES["doc_gopher_rules"] = QuerySpec(
+    q_doc_gopher_rules, ORACLE_DOC_GOPHER_RULES
 )
 
 
