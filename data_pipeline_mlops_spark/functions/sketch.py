@@ -207,3 +207,68 @@ def bloom_probe_inline(
             bit_arr, (pos + 1).cast("int")  # element_at is 1-based
         )
     return probe.withColumn("maybe_member", verdict)
+
+
+def bottomk_sample(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Mergeable per-group uniform sample: the ``k`` rows whose
+    md5(key) hashes are smallest within each group. Because the hash
+    is a fixed function of the KEY (not of partitioning, arrival
+    order, or randomness), the sample is (a) deterministic — DuckDB
+    replays it bit-for-bit, (b) uniform — md5 order is independent of
+    the value, and (c) MERGEABLE with the same rule as the KMV
+    distinct sketch: the bottom-k of a union is the re-truncated
+    union of per-shard bottom-ks, so shards/partitions/days can be
+    sketched independently and combined without re-reading data.
+    One shuffle (the group window); k rows survive per group.
+
+    This is the quantile member of the sketch family (KMV=distinct,
+    CMS=frequency, Bloom=membership): any rank statistic of the
+    group's value distribution can be estimated from the sample with
+    standard binomial error ~ sqrt(q(1-q)/k); a group smaller than
+    ``k`` is sampled COMPLETELY, so its estimates degrade to exact —
+    the same below-capacity rule the KMV tier has.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("__bk", F.row_number().over(w))
+        .where(F.col("__bk") <= int(k))
+        .drop("__bk")
+    )
+
+
+def bottomk_quantiles(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    k: int,
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """Per-group interpolated quantile estimates over the mergeable
+    bottom-k sample (see :func:`bottomk_sample`). Spark ``percentile``
+    and DuckDB ``quantile_cont`` share the same linear-interpolation
+    definition (parity proven by ``order_value_equidepth``), so the
+    estimates are engine-identical. Emits ``n_sample`` so consumers
+    can see when a group is below capacity (exact regime)."""
+    sampled = bottomk_sample(
+        df, group_col=group_col, value_col=value_col, key_col=key_col, k=k
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_sample")] + [
+        F.percentile(F.col(value_col), F.lit(q)).alias(
+            f"p{int(q * 100)}_est"
+        )
+        for q in quantiles
+    ]
+    return sampled.groupBy(group_col).agg(*aggs)

@@ -2095,6 +2095,7 @@ _DRIVER_WINDOW: list[str] = [
     "item_pagerank_capped", "item_communities_capped",
     "item_triangles_capped", "item_communities", "item_triangles",
     "item_pagerank", "kmv_audience_overlap", "doc_gopher_rules",
+    "order_value_quantile_sketch",
     # carried from rotation 6 (oracle text unchanged; keep the
     # recently-changed recipes under the driver one more round)
     "event_lttb_m4", "event_lttb_downsample", "corpus_pipeline",
@@ -2109,7 +2110,6 @@ _DRIVER_WINDOW: list[str] = [
     # re-validation fill: one representative per risk tier (window
     # frames, gapfill, as-of, sequential kernels, rolling sketches,
     # semdedup, CF cap, ANN, multimodal, incremental-index replay)
-    "event_hourly_gapfill",
     "event_ohlc_daily", "event_hourly_ema",
     "purchase_next_error", "purchase_nearest_click",
     "event_hourly_holt", "event_cusum_drift", "user_rolling_p95",
@@ -12909,6 +12909,57 @@ FROM j
 
 QUERIES["doc_gopher_rules"] = QuerySpec(
     q_doc_gopher_rules, ORACLE_DOC_GOPHER_RULES
+)
+
+
+def q_order_value_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distributed quantile ESTIMATION via the mergeable bottom-k hash
+    sample (functions/sketch.py::bottomk_quantiles) — the quantile
+    member of the sketch family (KMV=distinct, CMS=frequency,
+    Bloom=membership). Per order priority: the k=256 orders with the
+    smallest md5(o_orderkey) form a deterministic uniform sample (one
+    shuffle, k rows survive per group; merge rule = union +
+    re-truncate, same as KMV), then interpolated p50/p95 over the
+    sample. A 100 TB fact's median needs no global sort and no
+    full-column shuffle — k·|groups| rows move. Error band and the
+    KMV-style merge identity are value-gated in
+    tests/test_mixture_sketch_bpe.py; below-capacity groups degrade
+    to exact."""
+    from data_pipeline_mlops_spark.functions.sketch import (
+        bottomk_quantiles,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return bottomk_quantiles(
+        orders,
+        group_col="o_orderpriority",
+        value_col="o_totalprice",
+        key_col="o_orderkey",
+        k=256,
+    )
+
+
+ORACLE_ORDER_VALUE_QUANTILE_SKETCH = """
+WITH rk AS (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+         ) AS bk
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_sample,
+       quantile_cont(o_totalprice, 0.5) AS p50_est,
+       quantile_cont(o_totalprice, 0.95) AS p95_est
+FROM rk WHERE bk <= 256
+GROUP BY 1
+"""
+
+QUERIES["order_value_quantile_sketch"] = QuerySpec(
+    q_order_value_quantile_sketch, ORACLE_ORDER_VALUE_QUANTILE_SKETCH
 )
 
 

@@ -298,3 +298,89 @@ def test_mixture_schedule_is_shuffle_free_given_plan(spark):
     # broadcast the |strata|-row plan; the corpus side never shuffles
     assert "BroadcastHashJoin" in phys
     assert "Exchange hashpartitioning" not in phys
+
+
+def _orders(spark):
+    from data_pipeline_mlops_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    return load_table(spark, SF_SMALL, "orders")
+
+
+def test_bottomk_quantile_accuracy_and_exact_regime(spark):
+    """Quantile member of the sketch family: per-priority p50/p95 from
+    the k=256 bottom-k hash sample must sit within the binomial
+    3-sigma RANK band of the true distribution (rank error ~
+    sqrt(q(1-q)/k)); with k >= group size the sample is complete and
+    the estimate equals the exact interpolated percentile."""
+    from data_pipeline_mlops_spark.functions.sketch import (
+        bottomk_quantiles,
+    )
+
+    orders = _orders(spark).localCheckpoint()
+    est = {
+        r["o_orderpriority"]: r
+        for r in bottomk_quantiles(
+            orders, group_col="o_orderpriority",
+            value_col="o_totalprice", key_col="o_orderkey", k=256,
+        ).collect()
+    }
+    vals = {}
+    for r in orders.select("o_orderpriority", "o_totalprice").collect():
+        vals.setdefault(r[0], []).append(r[1])
+    assert set(est) == set(vals)
+    for g, r in est.items():
+        xs = sorted(vals[g])
+        n = len(xs)
+        assert r["n_sample"] == min(n, 256)
+        for q, col in [(0.5, "p50_est"), (0.95, "p95_est")]:
+            # realized rank of the estimate in the TRUE distribution
+            rank = sum(1 for x in xs if x <= r[col]) / n
+            tol = 3.0 * (q * (1 - q) / 256) ** 0.5
+            assert abs(rank - q) <= tol + 1.0 / n, (g, col, rank, q, tol)
+
+    # below capacity: complete sample -> exact interpolated percentile
+    exact = {
+        r["o_orderpriority"]: r
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+            F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+        )
+        .collect()
+    }
+    full = {
+        r["o_orderpriority"]: r
+        for r in bottomk_quantiles(
+            orders, group_col="o_orderpriority",
+            value_col="o_totalprice", key_col="o_orderkey", k=10**6,
+        ).collect()
+    }
+    for g in exact:
+        assert full[g]["p50_est"] == exact[g]["p50"]
+        assert full[g]["p95_est"] == exact[g]["p95"]
+
+
+def test_bottomk_sample_merge_identity(spark):
+    """The KMV merge rule holds for the sample itself: bottom-k of the
+    whole == bottom-k of (union of per-shard bottom-ks) — shards can
+    be sketched independently and combined without re-reading data."""
+    from data_pipeline_mlops_spark.functions.sketch import bottomk_sample
+
+    orders = _orders(spark).localCheckpoint()
+    kw = dict(
+        group_col="o_orderpriority", value_col="o_totalprice",
+        key_col="o_orderkey", k=64,
+    )
+    whole = bottomk_sample(orders, **kw)
+    shard_a = bottomk_sample(
+        orders.where(F.col("o_orderkey") % 2 == 0), **kw
+    )
+    shard_b = bottomk_sample(
+        orders.where(F.col("o_orderkey") % 2 == 1), **kw
+    )
+    merged = bottomk_sample(shard_a.unionByName(shard_b), **kw)
+    key = lambda r: (r["o_orderpriority"], r["o_orderkey"])  # noqa: E731
+    assert sorted(map(key, whole.collect())) == sorted(
+        map(key, merged.collect())
+    )
