@@ -145,6 +145,12 @@ HEADLINE = R1_KEYS + [
     # top-k serve; seed-pinned).
     "event_lttb_m4",
     "recommendations_als",
+    # Round 12: the composed Gopher-rule quality gate (projection +
+    # bigram explode/agg, zero UDFs) and the mergeable bottom-k
+    # quantile sketch (one group-window shuffle, k rows survive per
+    # group) — both cheap, both gate a new tier.
+    "doc_gopher_rules",
+    "order_value_quantile_sketch",
 ]
 
 
