@@ -384,3 +384,19 @@ def test_bottomk_sample_merge_identity(spark):
     assert sorted(map(key, whole.collect())) == sorted(
         map(key, merged.collect())
     )
+
+
+def test_bottomk_sample_partition_invariant(spark):
+    """The sample is a pure function of the keys (md5 rank + key
+    tiebreak), so any physical partitioning yields the same rows."""
+    from data_pipeline_mlops_spark.functions.sketch import bottomk_sample
+
+    orders = _orders(spark)
+    kw = dict(
+        group_col="o_orderpriority", value_col="o_totalprice",
+        key_col="o_orderkey", k=32,
+    )
+    key = lambda r: (r["o_orderpriority"], r["o_orderkey"])  # noqa: E731
+    a = sorted(map(key, bottomk_sample(orders.repartition(1), **kw).collect()))
+    b = sorted(map(key, bottomk_sample(orders.repartition(16), **kw).collect()))
+    assert a == b and len(a) > 0
