@@ -213,7 +213,6 @@ def bottomk_sample(
     df: DataFrame,
     *,
     group_col: str,
-    value_col: str,
     key_col: str,
     k: int,
 ) -> DataFrame:
@@ -234,6 +233,11 @@ def bottomk_sample(
     standard binomial error ~ sqrt(q(1-q)/k); a group smaller than
     ``k`` is sampled COMPLETELY, so its estimates degrade to exact —
     the same below-capacity rule the KMV tier has.
+
+    The sample is keyed purely on ``key_col`` — whole rows survive, so
+    any value column can be estimated from the same sample (which is
+    why there is no value parameter here; ``bottomk_quantiles`` names
+    the one it aggregates).
     """
     from pyspark.sql import Window
 
@@ -262,9 +266,7 @@ def bottomk_quantiles(
     definition (parity proven by ``order_value_equidepth``), so the
     estimates are engine-identical. Emits ``n_sample`` so consumers
     can see when a group is below capacity (exact regime)."""
-    sampled = bottomk_sample(
-        df, group_col=group_col, value_col=value_col, key_col=key_col, k=k
-    )
+    sampled = bottomk_sample(df, group_col=group_col, key_col=key_col, k=k)
     aggs = [F.count(F.lit(1)).cast("long").alias("n_sample")] + [
         F.percentile(F.col(value_col), F.lit(q)).alias(
             f"p{int(q * 100)}_est"

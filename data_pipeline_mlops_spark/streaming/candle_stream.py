@@ -100,6 +100,28 @@ class CandleStore:
         )
         return not hit.isEmpty()
 
+    def status(self, spark: SparkSession, batch_id: int) -> tuple[bool, int]:
+        """ONE store read answering both per-batch questions: (is
+        ``batch_id`` already applied?, how many applied-but-not-yet-
+        compacted delta batches sit in the store?). The foreachBatch
+        adapter needs both every batch — probing them via applied() +
+        pending_deltas() costs two full table scans (ADVICE r12)."""
+        rows = self._rows(spark)
+        if rows is None:
+            return False, 0
+        is_delta = F.col("kind") == "delta"
+        hit = (
+            (F.col("kind") == "watermark")
+            & (F.col("batch_id") >= batch_id)
+        ) | (is_delta & (F.col("batch_id") == batch_id))
+        r = rows.agg(
+            F.count(F.when(hit, 1)).alias("__hits"),
+            F.count_distinct(
+                F.when(is_delta, F.col("batch_id"))
+            ).alias("__pending"),
+        ).first()
+        return bool(r["__hits"]), int(r["__pending"])
+
     def update(
         self,
         batch_df: DataFrame,
@@ -109,14 +131,17 @@ class CandleStore:
         value_col: str,
         tiebreak_col: str,
         batch_id: int,
+        assume_new: bool = False,
     ) -> bool:
         """Merge one batch's per-bucket partials in; returns False
         (no-op) on a redelivered batch id.  ``tiebreak_col`` must be
         numeric (it is cast to long in the store schema); a
         non-numeric id casts to NULL and breaks open/close tie
-        determinism."""
+        determinism. ``assume_new=True`` skips the applied() probe —
+        for callers that already adjudicated the batch id via
+        status() on the same store version (single-writer only)."""
         spark = batch_df.sparkSession
-        if self.applied(spark, batch_id):
+        if not assume_new and self.applied(spark, batch_id):
             return False
         t = epoch_s(F.col(ts_col))
         edge = F.struct(
@@ -249,29 +274,34 @@ def candle_foreach_batch(
     APPLIED batches have accumulated since the last compaction
     (0 disables). The cadence is derived from DURABLE store state —
     the count of distinct un-folded delta batch ids
-    (CandleStore.pending_deltas) — not a closure counter: empty
-    batches and exactly-once-skipped redeliveries don't advance it
-    (ADVICE r10), and a streaming-query restart can't reset it
-    (ADVICE r11: the old in-memory counter restarted at zero, so
-    restart intervals shorter than ``maintain_every`` batches let
-    delta files accumulate unboundedly)."""
+    (CandleStore.status) — not a closure counter: empty batches and
+    exactly-once-skipped redeliveries don't advance it (ADVICE r10),
+    and a streaming-query restart can't reset it (ADVICE r11: the old
+    in-memory counter restarted at zero, so restart intervals shorter
+    than ``maintain_every`` batches let delta files accumulate
+    unboundedly). Both per-batch store questions — applied? and
+    pending-delta count — come from ONE status() read (ADVICE r12:
+    the applied()+pending_deltas() pair cost two full scans)."""
     store = CandleStore(root, bucket=bucket)
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if store.update(
+        spark = batch_df.sparkSession
+        already, pending = store.status(spark, batch_id)
+        if already:
+            return
+        store.update(
             batch_df,
             series_col=series_col,
             ts_col=ts_col,
             value_col=value_col,
             tiebreak_col=tiebreak_col,
             batch_id=batch_id,
-        ):
-            spark = batch_df.sparkSession
-            if maintain_every and (
-                store.pending_deltas(spark) >= maintain_every
-            ):
-                store.maintain(spark)
+            assume_new=True,
+        )
+        # +1: this batch's delta just landed and is itself un-folded
+        if maintain_every and pending + 1 >= maintain_every:
+            store.maintain(spark)
 
     return body

@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -58,7 +59,7 @@ def main() -> None:
                 samples.append(round(time.perf_counter() - t0, 3))
         results[name] = {
             "min": min(samples),
-            "median": sorted(samples)[len(samples) // 2],
+            "median": round(statistics.median(samples), 3),
             "samples": samples,
         }
         print(json.dumps({name: results[name]}), file=sys.stderr)

@@ -368,10 +368,7 @@ def test_bottomk_sample_merge_identity(spark):
     from data_pipeline_mlops_spark.functions.sketch import bottomk_sample
 
     orders = _orders(spark).localCheckpoint()
-    kw = dict(
-        group_col="o_orderpriority", value_col="o_totalprice",
-        key_col="o_orderkey", k=64,
-    )
+    kw = dict(group_col="o_orderpriority", key_col="o_orderkey", k=64)
     whole = bottomk_sample(orders, **kw)
     shard_a = bottomk_sample(
         orders.where(F.col("o_orderkey") % 2 == 0), **kw
@@ -392,10 +389,7 @@ def test_bottomk_sample_partition_invariant(spark):
     from data_pipeline_mlops_spark.functions.sketch import bottomk_sample
 
     orders = _orders(spark)
-    kw = dict(
-        group_col="o_orderpriority", value_col="o_totalprice",
-        key_col="o_orderkey", k=32,
-    )
+    kw = dict(group_col="o_orderpriority", key_col="o_orderkey", k=32)
     key = lambda r: (r["o_orderpriority"], r["o_orderkey"])  # noqa: E731
     a = sorted(map(key, bottomk_sample(orders.repartition(1), **kw).collect()))
     b = sorted(map(key, bottomk_sample(orders.repartition(16), **kw).collect()))
