@@ -175,15 +175,21 @@ def _minhash_fast(spark, sf_dir):
 def _embedding_near_dups_fast(spark, sf_dir):
     """xxhash64-bucketed embedding near-dup pairs (production hot
     path; the registry's embedding_near_dups_lsh is the md5-portable
-    oracle twin)."""
+    oracle twin). Knob corpus-scaled like the twin (auto_lsh_params:
+    constant expected bucket occupancy — VERDICT r12 #1)."""
     from data_pipeline_mlops_spark.functions import similarity
-    from data_pipeline_mlops_spark.registry import _near_dup_corpus
+    from data_pipeline_mlops_spark.registry import (
+        _near_dup_corpus,
+        _near_dup_lsh_params,
+    )
 
+    corpus = _near_dup_corpus(spark, sf_dir)
+    nb, nt = _near_dup_lsh_params(corpus)
     return similarity.cosine_near_dup_pairs(
-        _near_dup_corpus(spark, sf_dir),
+        corpus,
         id_col="vec_id", vec_col="embedding",
         threshold=0.98, method="xxhash64",
-        num_planes=6, num_tables=8,
+        num_planes=nb, num_tables=nt,
     )
 
 
@@ -195,13 +201,17 @@ def _semdedup_fast(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from data_pipeline_mlops_spark.functions import similarity
-    from data_pipeline_mlops_spark.registry import _near_dup_corpus
+    from data_pipeline_mlops_spark.registry import (
+        _near_dup_corpus,
+        _near_dup_lsh_params,
+    )
 
     corpus = _near_dup_corpus(spark, sf_dir)
+    nb, nt = _near_dup_lsh_params(corpus)
     pairs = similarity.cosine_near_dup_pairs(
         corpus, id_col="vec_id", vec_col="embedding",
         threshold=0.98, method="xxhash64",
-        num_planes=6, num_tables=8,
+        num_planes=nb, num_tables=nt,
     )
     lowest = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
         F.min("id_a").alias("dup_of")

@@ -105,6 +105,48 @@ def brute_force_topk(
     )
 
 
+def auto_lsh_params(
+    n: int,
+    *,
+    target_occupancy: int = 64,
+    min_planes: int = 4,
+    max_planes: int = 24,
+) -> tuple[int, int]:
+    """Corpus-scaled hyperplane-LSH knob: (num_planes, num_tables) for
+    a corpus of ``n`` vectors, sized so EXPECTED bucket occupancy stays
+    ~constant as the corpus grows — planes = the smallest ``b`` with
+    ``2^b * target_occupancy >= n`` (clamped to [min_planes,
+    max_planes]), tables = planes.
+
+    Why this exists (SCALING_r12.json): at FIXED planes, per-bucket
+    population grows linearly with the corpus and the per-bucket pair
+    join grows quadratically — the two fixed-knob tiers measured the
+    largest 5x-step exponents in the repo (doc_semdedup_fast 0.66,
+    embedding_near_dups_fast 0.77) while everything else sat <= 0.40.
+    With occupancy pinned, candidate pairs grow ~n * occupancy *
+    tables ~ n log n instead of n^2 / 2^b.
+
+    Why tables = planes keeps recall flat: a pair at collision
+    probability p per plane is missed with probability
+    (1 - p^b)^L. For near-dup thresholds (cosine >= 0.95 => p >= 0.90)
+    the miss probability at L = b stays below ~0.5% across the whole
+    clamp range — for the registered 0.98 threshold (p = 0.9362):
+    b=4 -> 0.0029, b=6 -> 0.0012, b=8 -> 0.0008, b=12 -> 0.0007,
+    b=16 -> 0.0011, b=24 -> 0.0040. Looser thresholds (p < 0.9) decay
+    faster than L = b compensates — callers there should pass explicit
+    table counts instead.
+
+    INTEGER-EXACT on purpose: the rule is a pure function of ``n``
+    using only shifts and comparisons, so the DuckDB oracle replays it
+    bit-for-bit with no cross-engine log2/pow ulp risk (the SQL twin
+    is ``COALESCE(MIN(b), max) .. WHERE (1::BIGINT << b) * occ >= n``
+    over ``range(min, max+1)``)."""
+    b = min_planes
+    while b < max_planes and (1 << b) * target_occupancy < n:
+        b += 1
+    return b, b
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     *,

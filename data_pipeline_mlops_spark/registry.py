@@ -5014,25 +5014,58 @@ QUERIES["embedding_near_dups"] = QuerySpec(
 )
 
 
+def _near_dup_lsh_params(
+    corpus: DataFrame,
+) -> tuple[int, int]:
+    """Corpus-scaled (num_planes, num_tables) for the near-dup LSH
+    tiers: one cheap count job, then the integer-exact
+    similarity.auto_lsh_params rule (occupancy 64, planes in [4, 24],
+    tables = planes). The DuckDB oracles recompute the identical rule
+    from COUNT(*) over the same corpus CTE, so the bucket replay stays
+    bit-for-bit at ANY scale — the knob is no longer fixed (VERDICT
+    r12 #1: fixed 6x8 measured the repo's largest 5x-step exponents,
+    0.66/0.77, because bucket occupancy grew with the corpus)."""
+    return similarity.auto_lsh_params(corpus.count())
+
+
+# SQL twin of similarity.auto_lsh_params (occupancy 64, clamp [4,24],
+# tables = planes): smallest b with 2^b * 64 >= COUNT(corpus), pure
+# integer shifts/compares — no log2/pow cross-engine ulp risk.
+ORACLE_NEAR_DUP_LSH_PARAMS = """
+params AS (
+  SELECT COALESCE(MIN(b), 24) AS nb
+  FROM (SELECT unnest(range(4, 25)) AS b) bs
+  WHERE (CAST(1 AS BIGINT) << b) * 64 >= (SELECT COUNT(*) FROM corpus)
+)
+"""
+
+
 def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale tier: hyperplane-LSH OR-construction (6 planes x 8
-    tables) generates candidate pairs per bucket — never all-pairs —
-    then exact cosine verifies. The md5 bucket variant quantizes
-    vectors to integers so bucket signs are exact int64 arithmetic and
-    DuckDB replays the SAME buckets: the approximation is
-    deterministic, so even the approximate path is fully oracled (the
-    same move as lsh_ann_topk). Production uses the xxhash64 bucket
-    twin (bench: embedding_near_dups_fast)."""
+    """Scale tier: hyperplane-LSH OR-construction generates candidate
+    pairs per bucket — never all-pairs — then exact cosine verifies.
+    The knob is CORPUS-SCALED (similarity.auto_lsh_params: planes =
+    ceil-log2(n/64) clamped to [4,24] via integer shifts, tables =
+    planes) so expected bucket occupancy stays constant as the corpus
+    grows — the fix for SCALING_r12's 0.77 step exponent at the old
+    fixed 6x8. The md5 bucket variant quantizes vectors to integers so
+    bucket signs are exact int64 arithmetic and DuckDB replays the
+    SAME buckets AND the same param rule from its own COUNT(*): the
+    approximation is deterministic and fully oracled at every scale
+    (the same move as lsh_ann_topk). Production uses the xxhash64
+    bucket twin (bench: embedding_near_dups_fast)."""
+    corpus = _near_dup_corpus(spark, sf_dir)
+    nb, nt = _near_dup_lsh_params(corpus)
     return similarity.cosine_near_dup_pairs(
-        _near_dup_corpus(spark, sf_dir),
+        corpus,
         id_col="vec_id", vec_col="embedding",
         threshold=0.98, method="md5",
-        num_planes=6, num_tables=8,
+        num_planes=nb, num_tables=nt,
     )
 
 
 ORACLE_EMBEDDING_NEAR_DUPS_LSH = f"""
 WITH {ORACLE_EMBEDDING_NEAR_DUPS_CORPUS},
+{ORACLE_NEAR_DUP_LSH_PARAMS.strip()},
 ei AS (
   SELECT vec_id,
          list_transform(v, x -> CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT))
@@ -5041,8 +5074,8 @@ ei AS (
 ),
 tp AS (
   SELECT t.t, p.p
-  FROM (SELECT unnest(range(8)) AS t) t
-  CROSS JOIN (SELECT unnest(range(6)) AS p) p
+  FROM (SELECT unnest(range((SELECT nb FROM params))) AS t) t
+  CROSS JOIN (SELECT unnest(range((SELECT nb FROM params))) AS p) p
 ),
 dots AS (
   SELECT vec_id, t, p,
@@ -10962,22 +10995,25 @@ QUERIES["doc_semdedup"] = QuerySpec(q_doc_semdedup, _semdedup_oracle())
 
 def q_doc_semdedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION SemDeDup tier: the pair source is the
-    hyperplane-LSH OR-construction (6 planes x 8 tables, per-bucket
-    joins — never all-pairs, occupancy-bounded at any corpus size)
-    feeding the same deterministic keep-lowest rule as doc_semdedup.
-    The md5 bucket variant quantizes to exact int64 arithmetic so
-    DuckDB replays the SAME buckets — the approximation itself is
-    oracled, not just the verify (production swaps in the xxhash64
-    bucket twin). Scale knob (measured, SCALING_r10.json): per-bucket
-    occupancy is ~N/2^planes, so planes grow with log2(N) — at 10x
-    vectors, fixed 6 planes ran 18.6x (pairs ~N^2/2^p) while
-    6+ceil(log2(10)) planes restored 4.7x (sub-linear)."""
+    hyperplane-LSH OR-construction (per-bucket joins — never
+    all-pairs) feeding the same deterministic keep-lowest rule as
+    doc_semdedup. The knob is CORPUS-SCALED (_near_dup_lsh_params —
+    constant expected occupancy, the lever SCALING_r10 measured: at
+    10x vectors, fixed 6 planes ran 18.6x (pairs ~N^2/2^p) while
+    6+ceil(log2(10)) planes restored 4.7x; SCALING_r12 then measured
+    the fixed knob as this repo's largest step exponent, 0.66). The
+    md5 bucket variant quantizes to exact int64 arithmetic so DuckDB
+    replays the SAME buckets and the SAME param rule from its own
+    COUNT(*) — the approximation itself is oracled at every scale,
+    not just the verify (production swaps in the xxhash64 bucket
+    twin, bench: doc_semdedup_fast)."""
     corpus = _near_dup_corpus(spark, sf_dir)
+    nb, nt = _near_dup_lsh_params(corpus)
     pairs = similarity.cosine_near_dup_pairs(
         corpus,
         id_col="vec_id", vec_col="embedding",
         threshold=0.98, method="md5",
-        num_planes=6, num_tables=8,
+        num_planes=nb, num_tables=nt,
     )
     lowest = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
         F.min("id_a").alias("dup_of")
