@@ -151,6 +151,9 @@ HEADLINE = R1_KEYS + [
     # group) — both cheap, both gate a new tier.
     "doc_gopher_rules",
     "order_value_quantile_sketch",
+    # Round 13: the FULL Gopher gate (content rules + the line-based
+    # bullet/ellipsis rules over the derived line-structured corpus).
+    "doc_gopher_rules_full",
 ]
 
 
@@ -228,6 +231,68 @@ _EXTRA_FNS = {
 }
 
 
+def _parse_bench_artifact(path: str) -> dict[str, float] | None:
+    """Per-query min timings from a committed bench artifact: accepts
+    raw bench stdout JSON, or the driver's BENCH_r{N}.json wrapper
+    (payload under "parsed", or recoverable from the stdout "tail" —
+    the driver window often truncates the head of the JSON line but
+    the trailing "samples" object survives)."""
+    try:
+        with open(path) as fh:
+            base = json.load(fh)
+        if "queries" not in base:
+            if isinstance(base.get("parsed"), dict):
+                base = base["parsed"]
+            elif isinstance(base.get("tail"), str):
+                tail = base["tail"]
+                ix = tail.find('"samples": {')
+                if ix < 0:
+                    return None
+                smp, _ = json.JSONDecoder().raw_decode(
+                    tail, ix + len('"samples": ')
+                )
+                # sf is recoverable from the tail's trailing fields
+                sfix = tail.rfind('"sf": ')
+                sf = None
+                if sfix >= 0:
+                    try:
+                        sf, _ = json.JSONDecoder().raw_decode(
+                            tail, sfix + len('"sf": ')
+                        )
+                    except ValueError:
+                        sf = None
+                return {
+                    "queries": {
+                        k: min(v) for k, v in smp.items() if v
+                    },
+                    "sf": sf,
+                }
+        q = base.get("queries")
+        if not isinstance(q, dict):
+            return None
+        return {"queries": dict(q), "sf": base.get("sf")}
+    except (OSError, json.JSONDecodeError, ValueError, KeyError):
+        return None
+
+
+def _prev_round_artifact() -> str | None:
+    """The last committed driver bench line (BENCH_r{N}.json, highest
+    round, isolated artifacts excluded) — the default drift-gate
+    reference. Override with SPARK_GRAFT_BENCH_PREV."""
+    import glob
+
+    env = os.environ.get("SPARK_GRAFT_BENCH_PREV")
+    if env:
+        return env if os.path.exists(env) else None
+    here = os.path.dirname(os.path.abspath(__file__))
+    cands = sorted(
+        c
+        for c in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if "_isolated" not in os.path.basename(c)
+    )
+    return cands[-1] if cands else None
+
+
 def main() -> None:
     import argparse
 
@@ -252,6 +317,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+    # box-context for the longitudinal record (VERDICT r12 #8): the
+    # r11/r12 driver-vs-local spreads (~11%) had to be inferred — pin
+    # the 1-min load average at start/end next to every line instead
+    load_start = round(os.getloadavg()[0], 2)
 
     from data_pipeline_mlops_spark.registry import QUERIES
     from data_pipeline_mlops_spark.session import get_spark
@@ -374,31 +443,11 @@ def main() -> None:
     baseline_path = os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
     deltas: dict[str, float] | None = None
     if baseline_path and os.path.exists(baseline_path):
-        try:
-            with open(baseline_path) as fh:
-                base = json.load(fh)
-            # Driver BENCH_r{N}.json wraps the real bench line: the
-            # payload sits in "parsed" or as the last JSON line of
-            # "tail". Accept raw bench output too.
-            if "queries" not in base:
-                if isinstance(base.get("parsed"), dict):
-                    base = base["parsed"]
-                elif isinstance(base.get("tail"), str):
-                    # The driver keeps only the TAIL of stdout, often
-                    # truncating the JSON line's head (the "queries"
-                    # min dict) — but the trailing "samples" object
-                    # survives; recover per-query mins from it.
-                    tail = base["tail"]
-                    ix = tail.find('"samples": {')
-                    samples, _ = json.JSONDecoder().raw_decode(
-                        tail, ix + len('"samples": ')
-                    )
-                    base = {
-                        "queries": {
-                            k: min(v) for k, v in samples.items() if v
-                        }
-                    }
-            base_q = base.get("queries", {})
+        parsed = _parse_bench_artifact(baseline_path)
+        if parsed is None:
+            print("# baseline unreadable", file=sys.stderr)
+        else:
+            base_q = parsed["queries"]
             deltas = {
                 name: round(timings[name] - base_q[name], 3)
                 for name in headline
@@ -411,11 +460,103 @@ def main() -> None:
                     f"(base {base_q[name]}s){flag}",
                     file=sys.stderr,
                 )
-        except (json.JSONDecodeError, KeyError) as ex:
-            print(f"# baseline unreadable: {ex}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     r1_total = round(sum(timings[k] for k in R1_KEYS if k in timings), 3)
+
+    # Drift gate vs the LAST COMMITTED driver line (VERDICT r12 #3):
+    # every shared-query mover whose interleaved min grew >1.3x is
+    # flagged in the output JSON — no absolute-time carve-outs — and
+    # automatically queued for the isolated fresh-JVM re-measure
+    # below, so the claim "variance, not regression" ships with its
+    # evidence in the same artifact.
+    movers: dict[str, float] = {}
+    prev_path = _prev_round_artifact()
+    if prev_path:
+        prev = _parse_bench_artifact(prev_path)
+        # cross-SF ratios are meaningless: gate only when the prior
+        # line's sf matches (or is unrecoverable — the driver always
+        # runs at one sf, so an unrecoverable sf is assumed same)
+        if prev and prev.get("sf") in (None, sf):
+            for name in headline:
+                b = prev["queries"].get(name)
+                if b and b > 0 and timings[name] / b > 1.3:
+                    movers[name] = round(timings[name] / b, 2)
+            if movers:
+                print(
+                    f"# movers >1.3x vs {os.path.basename(prev_path)}: "
+                    f"{movers}",
+                    file=sys.stderr,
+                )
+        elif prev:
+            print(
+                f"# drift gate skipped: prev line sf={prev.get('sf')} "
+                f"!= current sf={sf}",
+                file=sys.stderr,
+            )
+
+    # Canonical longitudinal number (VERDICT r12 #2): the 12-query
+    # r1-comparable set re-measured in ONE FRESH JVM, each query
+    # alone (cold run discarded, min-of-3, storage released between
+    # runs) — the interleaved r1_comparable_total above is the
+    # fleet-context number and is confounded by headliner-suite
+    # growth (r8 19.4 s -> r12 24.4 s on unchanged queries was
+    # crowding, not plans). Movers from the drift gate ride along.
+    # Full detail lands in bench_isolated_latest.json next to the
+    # repo; the stdout line carries only the totals to stay inside
+    # the driver's tail window.
+    r1_isolated_total = None
+    mover_isolated: dict[str, float] | None = None
+    iso_queries = list(dict.fromkeys([*R1_KEYS, *movers]))
+    if (
+        not missing
+        and only is None
+        and os.environ.get("SPARK_GRAFT_SKIP_ISOLATED") != "1"
+    ):
+        import subprocess
+
+        spark.stop()  # one heavy JVM at a time on this box
+        here = os.path.dirname(os.path.abspath(__file__))
+        iso_out = os.path.join(here, "bench_isolated_latest.json")
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(here, "scripts", "isolated_remeasure.py"),
+                *iso_queries,
+                "--sf",
+                sf_dir,
+                "--runs",
+                "3",
+                "--out",
+                iso_out,
+            ],
+            capture_output=True,
+            text=True,
+        )
+        if proc.returncode == 0:
+            try:
+                iso = json.loads(
+                    proc.stdout.strip().splitlines()[-1]
+                )["isolated"]
+                r1_isolated_total = round(
+                    sum(iso[k]["min"] for k in R1_KEYS if k in iso), 3
+                )
+                mover_isolated = {
+                    k: iso[k]["min"] for k in movers if k in iso
+                } or None
+                print(
+                    f"# isolated r1 total: {r1_isolated_total}s "
+                    f"(interleaved: {r1_total}s); detail: {iso_out}",
+                    file=sys.stderr,
+                )
+            except (json.JSONDecodeError, KeyError, IndexError) as ex:
+                print(f"# isolated leg unparseable: {ex}", file=sys.stderr)
+        else:
+            print(
+                f"# isolated leg failed rc={proc.returncode}: "
+                f"{proc.stderr[-400:]}",
+                file=sys.stderr,
+            )
     # Verbose diagnostics go to STDERR: the driver keeps only the tail
     # of stdout, and through round 7 the huge samples/median/spread
     # payload pushed the JSON line's head (metric/value/queries) past
@@ -444,6 +585,18 @@ def main() -> None:
                 "runs": runs,
                 "interleaved": True,
                 "r1_comparable_total": r1_total,
+                **(
+                    {"r1_comparable_total_isolated": r1_isolated_total}
+                    if r1_isolated_total is not None
+                    else {}
+                ),
+                **({"movers_gt_1p3x": movers} if movers else {}),
+                **(
+                    {"movers_isolated_min": mover_isolated}
+                    if mover_isolated
+                    else {}
+                ),
+                "load_1m": [load_start, round(os.getloadavg()[0], 2)],
                 "sf": sf,
                 **({"partial_missing": missing} if missing else {}),
             }

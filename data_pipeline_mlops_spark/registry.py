@@ -2085,17 +2085,21 @@ _DRIVER_WINDOW: list[str] = [
     "category_performance", "top_products", "regional_stats",
     "data_quality", "dedup_keep_latest", "top_customers_per_region",
     "item_similarity", "recommendations", "recommendations_served",
-    # round-12 rotation (rotation 7): birth-round entries — the
-    # capped co-purchase graph twins (VERDICT r11 #1) — plus every
-    # query whose ORACLE text changed this round: item_communities /
-    # item_triangles gained MATERIALIZED hints (the r11 linearization
-    # treatment; the driver's DuckDB must parse them too), and
-    # kmv_audience_overlap's oracle contract moved from ROUND(double)
-    # to integer-scaled half-up (ADVICE r11)
+    # round-13 rotation (rotation 8): birth-round entry
+    # doc_gopher_rules_full (the composed gate incl. line rules), plus
+    # every query whose ORACLE text changed this round —
+    # embedding_near_dups_lsh and doc_semdedup_lsh (below, in the
+    # re-validation block) gained the corpus-scaled params CTE — and
+    # salted_priority_join (skew-defense representative, judge-swept
+    # out-of-window in r12, now hash-probed in-window)
+    "doc_gopher_rules_full", "embedding_near_dups_lsh",
+    "salted_priority_join",
+    # carried from rotation 7 (r12 birth-round entries kept one more
+    # round; the uncapped graph trio rotated out — its changed
+    # MATERIALIZED oracles were driver-probed in r12)
     "item_pagerank_capped", "item_communities_capped",
-    "item_triangles_capped", "item_communities", "item_triangles",
-    "item_pagerank", "kmv_audience_overlap", "doc_gopher_rules",
-    "order_value_quantile_sketch",
+    "item_triangles_capped", "kmv_audience_overlap",
+    "doc_gopher_rules", "order_value_quantile_sketch",
     # carried from rotation 6 (oracle text unchanged; keep the
     # recently-changed recipes under the driver one more round)
     "event_lttb_m4", "event_lttb_downsample", "corpus_pipeline",
@@ -5025,7 +5029,11 @@ def _near_dup_lsh_params(
     bit-for-bit at ANY scale — the knob is no longer fixed (VERDICT
     r12 #1: fixed 6x8 measured the repo's largest 5x-step exponents,
     0.66/0.77, because bucket occupancy grew with the corpus)."""
-    return similarity.auto_lsh_params(corpus.count())
+    from data_pipeline_mlops_spark.functions.corpus_stats import (
+        corpus_size,
+    )
+
+    return similarity.auto_lsh_params(corpus_size(corpus))
 
 
 # SQL twin of similarity.auto_lsh_params (occupancy 64, clamp [4,24],
@@ -12945,6 +12953,133 @@ FROM j
 
 QUERIES["doc_gopher_rules"] = QuerySpec(
     q_doc_gopher_rules, ORACLE_DOC_GOPHER_RULES
+)
+
+
+def q_doc_gopher_rules_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Gopher gate (Rae et al. 2021, App. A1.1) including the
+    two line-based rules doc_gopher_rules omits on the newline-free
+    fixture: keep only if <=90% of lines start with a bullet and
+    <=30% of lines end with an ellipsis (VERDICT r12 #5).
+
+    The fixture has no newlines, so the LINE STRUCTURE is derived
+    deterministically inside the query (the same planted-construction
+    move as _near_dup_corpus): tokens are folded into 10-word lines,
+    then bullets/ellipses are planted as a pure integer function of
+    (doc_id, line index) — doc_id%10==3 bullets EVERY line (fails the
+    90% rule), ==5 bullets even lines (~50%, passes), ==7 appends
+    '...' to even lines (~50%, fails the 30% rule), ==9 to every 5th
+    line (~20%, passes except tiny docs where ceil bites). Both
+    engines build the identical lined text, re-split it on newlines,
+    and count bullet-starts/ellipsis-ends — so the construction, the
+    line parsing, AND the rule booleans are all inside the oracle.
+
+    Same determinism discipline as the content gate: line verdicts
+    are integer cross-multiplied compares (10*bullets <= 9*lines);
+    the six content rules come from q_doc_gopher_rules unchanged
+    (emitted here as their conjunction r_content). Shape: the content
+    gate's projection + bigram agg, plus one more projection and a
+    broadcast-free doc_id join — still scan-speed."""
+    W = 10
+    content = q_doc_gopher_rules(spark, sf_dir).select(
+        "doc_id", "n_words", F.col("keep").alias("r_content")
+    )
+    t = _docs(spark, sf_dir).select(
+        "doc_id", text.tokens("text").alias("__toks")
+    )
+    nl = ((F.size("__toks") + (W - 1)) / W).cast("int")
+    d10 = F.col("doc_id") % 10
+
+    def bullet_on(i: Column) -> Column:
+        return (d10 == 3) | ((d10 == 5) & (i % 2 == 0))
+
+    def ell_on(i: Column) -> Column:
+        return ((d10 == 7) & (i % 2 == 0)) | ((d10 == 9) & (i % 5 == 0))
+
+    decorated = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.concat(
+            F.when(bullet_on(i), F.lit("- ")).otherwise(F.lit("")),
+            F.array_join(F.slice(F.col("__toks"), i * W + 1, W), " "),
+            F.when(ell_on(i), F.lit(" ...")).otherwise(F.lit("")),
+        ),
+    )
+    lined = t.select(
+        "doc_id",
+        nl.cast("long").alias("n_lines"),
+        F.array_join(decorated, "\n").alias("__lined"),
+    )
+    ls = F.split(F.col("__lined"), "\n")
+    stats = lined.select(
+        "doc_id",
+        "n_lines",
+        F.size(F.filter(ls, lambda x: x.startswith("- ")))
+        .cast("long")
+        .alias("bullet_lines"),
+        F.size(F.filter(ls, lambda x: x.endswith("...")))
+        .cast("long")
+        .alias("ellipsis_lines"),
+        F.size(ls).cast("long").alias("__nls"),
+    )
+    r_bul = 10 * F.col("bullet_lines") <= 9 * F.col("__nls")
+    r_ell = 10 * F.col("ellipsis_lines") <= 3 * F.col("__nls")
+    return content.join(stats, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "n_lines",
+        "bullet_lines",
+        "ellipsis_lines",
+        "r_content",
+        r_bul.alias("r_bullet"),
+        r_ell.alias("r_ellipsis"),
+        (F.col("r_content") & r_bul & r_ell).alias("keep"),
+    )
+
+
+ORACLE_DOC_GOPHER_RULES_FULL = rf"""
+WITH content AS ({ORACLE_DOC_GOPHER_RULES}),
+dt AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+lined AS (
+  SELECT doc_id,
+         CAST((len(toks) + 9) // 10 AS BIGINT) AS n_lines,
+         array_to_string(
+           list_transform(range(0, (len(toks) + 9) // 10), i ->
+             CASE WHEN doc_id % 10 = 3
+                    OR (doc_id % 10 = 5 AND i % 2 = 0)
+                  THEN '- ' ELSE '' END
+             || array_to_string(
+                  list_slice(toks, CAST(i * 10 + 1 AS BIGINT),
+                             CAST(i * 10 + 10 AS BIGINT)), ' ')
+             || CASE WHEN (doc_id % 10 = 7 AND i % 2 = 0)
+                       OR (doc_id % 10 = 9 AND i % 5 = 0)
+                  THEN ' ...' ELSE '' END),
+           chr(10)) AS lined_text
+  FROM dt
+),
+lstats AS (
+  SELECT doc_id, n_lines,
+         CAST(len(list_filter(string_split(lined_text, chr(10)),
+              x -> x LIKE '- %')) AS BIGINT) AS bullet_lines,
+         CAST(len(list_filter(string_split(lined_text, chr(10)),
+              x -> x LIKE '%...')) AS BIGINT) AS ellipsis_lines,
+         CAST(len(string_split(lined_text, chr(10))) AS BIGINT) AS nls
+  FROM lined
+)
+SELECT c.doc_id, c.n_words, l.n_lines, l.bullet_lines, l.ellipsis_lines,
+       c.keep AS r_content,
+       (10 * l.bullet_lines <= 9 * l.nls) AS r_bullet,
+       (10 * l.ellipsis_lines <= 3 * l.nls) AS r_ellipsis,
+       (c.keep AND (10 * l.bullet_lines <= 9 * l.nls)
+        AND (10 * l.ellipsis_lines <= 3 * l.nls)) AS keep
+FROM content c JOIN lstats l ON l.doc_id = c.doc_id
+"""
+
+QUERIES["doc_gopher_rules_full"] = QuerySpec(
+    q_doc_gopher_rules_full, ORACLE_DOC_GOPHER_RULES_FULL
 )
 
 

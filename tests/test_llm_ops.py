@@ -438,3 +438,39 @@ def test_training_shards_deterministic_and_complete(spark, tmp_path):
     assert sorted(os.listdir(path) )[0].startswith("shard=") or any(
         d.startswith("shard=") for d in os.listdir(path)
     )
+
+
+def test_gopher_full_line_rules_follow_planting(spark):
+    """The line-based Gopher rules fire exactly where the derived
+    line structure plants them: doc_id%10==3 bullets every line (must
+    fail the 90% bullet rule), ==7 ellipsis-ends ~50% of lines (must
+    fail the 30% rule); the untouched residue classes (%10 in
+    {0,1,2,4,6,8}) must pass both; and keep == r_content AND r_bullet
+    AND r_ellipsis row-by-row."""
+    from data_pipeline_mlops_spark.registry import QUERIES
+
+    rows = QUERIES["doc_gopher_rules_full"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        m = r["doc_id"] % 10
+        if m == 3:
+            # every line bulleted -> bullet fraction 1.0 > 0.9
+            assert r["bullet_lines"] == r["n_lines"]
+            assert not r["r_bullet"]
+        elif m == 7:
+            # even lines end with '...' -> fraction >= 0.5 > 0.3
+            assert not r["r_ellipsis"]
+        elif m in (0, 1, 2, 4, 6, 8):
+            assert r["r_bullet"] and r["r_ellipsis"], r
+            assert r["bullet_lines"] == 0
+        assert r["keep"] == (
+            r["r_content"] and r["r_bullet"] and r["r_ellipsis"]
+        )
+    # the planted structure is discriminative in BOTH directions
+    assert any(not r["r_bullet"] for r in rows)
+    assert any(not r["r_ellipsis"] for r in rows)
+    assert any(
+        r["keep"] for r in rows
+    ) and any(not r["keep"] for r in rows)

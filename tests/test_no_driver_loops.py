@@ -71,6 +71,12 @@ ALLOWED = {
         "the restart-proof replacement for the closure counter "
         "(ADVICE r11)"
     ),
+    "functions/corpus_stats.py": (
+        "1-row COUNT(*) scalar needed at PLAN-BUILD time (the "
+        "corpus-scaled LSH knob derives num_planes from corpus size "
+        "before the bucket expressions exist); the module exists so "
+        "exactly this surface is allowlisted, not a query-builder file"
+    ),
     "streaming/alert_stream.py": (
         "webhook sink iterates the post-filter alert residue on the "
         "driver by design (see its docstring for the executor-side "
