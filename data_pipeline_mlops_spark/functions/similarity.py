@@ -147,6 +147,18 @@ def auto_lsh_params(
     return b, b
 
 
+def _md5_component(key: str) -> int:
+    """One hyperplane component in [-1000, 1000] from md5 — the EXACT
+    integer any engine derives from the same key string:
+    int(md5_hex[:15], 16) % 2001 - 1000 equals Spark's
+    pmod(conv(substring(md5(key),1,15),16,10), 2001) - 1000 and
+    DuckDB's (('0x'||substring(md5(key),1,15))::BIGINT % 2001) - 1000
+    (60-bit value, never negative, so % == pmod)."""
+    import hashlib
+
+    return int(hashlib.md5(key.encode()).hexdigest()[:15], 16) % 2001 - 1000
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     *,
@@ -157,11 +169,24 @@ def hyperplane_lsh_buckets(
     dim: int | None = None,
 ) -> DataFrame:
     """Scale path: random-hyperplane LSH — bucket = sign bits of
-    `num_planes` pseudo-random projections. Hyperplane components are
-    derived deterministically from xxhash64(plane, dim_index, seed), so
-    every executor generates identical planes with no broadcast state.
-    Near vectors collide with high probability; ANN search joins query
-    buckets to corpus buckets instead of cross-joining.
+    `num_planes` pseudo-random projections. Near vectors collide with
+    high probability; ANN search joins query buckets to corpus buckets
+    instead of cross-joining.
+
+    ``dim`` given (the hot path): hyperplane components are
+    PRECOMPUTED on the driver (seeded md5 of "x,seed,plane,i") and
+    inlined as literal arrays — the executors do pure multiply-add,
+    ZERO per-row hash calls. The components are a few KB of plan
+    literals at any realistic (planes, dim), fine to ship to 1000
+    executors. This removed the dominant bucketing cost SCALING_r13's
+    pre-artifact measured: with per-row hashing, planes^2 * dim hash
+    evaluations per vector made the 5x->25x step exponent ~1.0 once
+    the corpus-scaled knob grew the plane count.
+
+    ``dim=None``: components derived per-row from xxhash64(plane, i,
+    seed) — dimension-agnostic fallback for ragged/unknown-width
+    vectors (pmod, not %: xxhash64 is signed and % would bias the
+    hyperplanes negative).
 
     The double-cast vector is materialized ONCE in a prior projection —
     each of the num_planes projections references it, and inline HOF
@@ -172,24 +197,38 @@ def hyperplane_lsh_buckets(
         _to_double(F.col(vec_col)).alias("__v"),
     )
     v = F.col("__v")
-    n = F.size(v) if dim is None else F.lit(dim)
 
-    def plane_component(p: int, i: Column) -> Column:
-        # pmod, not %: xxhash64 is signed and Spark's % keeps the
-        # dividend sign — plain % - 1000 lands in [-3000, 1000],
-        # negatively-biased hyperplanes that skew bucket populations.
-        # pmod gives symmetric components in [-1000, 1000].
-        h = F.xxhash64(F.lit(p), i, F.lit(seed))
-        return (F.pmod(h, F.lit(2001)) - 1000).cast("double") / 1000.0
+    if dim is not None:
+        comps = [
+            [
+                _md5_component(f"x,{seed},{p},{i}") / 1000.0
+                for i in range(dim)
+            ]
+            for p in range(num_planes)
+        ]
 
-    def projection(p: int) -> Column:
-        idx = F.sequence(F.lit(0), n - 1)
-        prods = F.zip_with(
-            v,
-            F.transform(idx, lambda i: plane_component(p, i)),
-            lambda x, w: x * w,
-        )
-        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        def projection(p: int) -> Column:
+            w = F.array(*[F.lit(c) for c in comps[p]])
+            return F.aggregate(
+                F.zip_with(v, w, lambda x, c: x * c),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+    else:
+
+        def plane_component(p: int, i: Column) -> Column:
+            h = F.xxhash64(F.lit(p), i, F.lit(seed))
+            return (F.pmod(h, F.lit(2001)) - 1000).cast("double") / 1000.0
+
+        def projection(p: int) -> Column:
+            idx = F.sequence(F.lit(0), F.size(v) - 1)
+            prods = F.zip_with(
+                v,
+                F.transform(idx, lambda i: plane_component(p, i)),
+                lambda x, w: x * w,
+            )
+            return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
     bucket = sum(
         [
@@ -209,6 +248,7 @@ def hyperplane_buckets_md5(
     vec_col: str,
     num_planes: int,
     table: int,
+    dim: int | None = 64,
 ) -> DataFrame:
     """Engine-portable hyperplane LSH bucketing (oracle twin of
     hyperplane_lsh_buckets). Two determinism moves so DuckDB reproduces
@@ -218,7 +258,16 @@ def hyperplane_buckets_md5(
        double cast) — the sign of each projection is then EXACT int64
        arithmetic, immune to fold-order/precision differences;
     2. plane components are pmod(md5_60("t,p,i"), 2001) - 1000 — any
-       engine with md5 generates identical planes, no shared RNG state.
+       engine generates identical planes from the key string alone.
+
+    With ``dim`` given (the hot path), the components are computed
+    ONCE on the driver (hashlib.md5 — _md5_component proves the
+    value-identity with the SQL derivation) and inlined as literal
+    arrays: executors do pure integer multiply-add, zero per-row hash
+    calls, and the DuckDB oracle still reproduces the identical
+    buckets because the VALUES are the same md5-derived integers.
+    ``dim=None`` falls back to per-row Spark-md5 component derivation
+    for unknown-width vectors.
 
     Output: (id, vec, bucket) for one table; OR-construction unions
     tables (see lsh_topk method="md5")."""
@@ -232,23 +281,39 @@ def hyperplane_buckets_md5(
     )
     vi = F.col("__vi")
 
-    def component(p: int, i: Column) -> Column:
-        key = F.concat_ws(
-            ",", F.lit(str(table)), F.lit(str(p)), i.cast("string")
-        )
-        h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
-        return F.pmod(h, F.lit(2001)) - 1000
+    if dim is not None:
+        comps = [
+            [_md5_component(f"{table},{p},{i}") for i in range(dim)]
+            for p in range(num_planes)
+        ]
 
-    def projection(p: int) -> Column:
-        idx = F.sequence(F.lit(0), F.size(vi) - 1)
-        prods = F.zip_with(
-            vi,
-            F.transform(idx, lambda i: component(p, i)),
-            lambda x, w: x * w,
-        )
-        return F.aggregate(
-            prods, F.lit(0).cast("long"), lambda acc, x: acc + x
-        )
+        def projection(p: int) -> Column:
+            w = F.array(*[F.lit(c).cast("long") for c in comps[p]])
+            return F.aggregate(
+                F.zip_with(vi, w, lambda x, c: x * c),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+
+    else:
+
+        def component(p: int, i: Column) -> Column:
+            key = F.concat_ws(
+                ",", F.lit(str(table)), F.lit(str(p)), i.cast("string")
+            )
+            h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+            return F.pmod(h, F.lit(2001)) - 1000
+
+        def projection(p: int) -> Column:
+            idx = F.sequence(F.lit(0), F.size(vi) - 1)
+            prods = F.zip_with(
+                vi,
+                F.transform(idx, lambda i: component(p, i)),
+                lambda x, w: x * w,
+            )
+            return F.aggregate(
+                prods, F.lit(0).cast("long"), lambda acc, x: acc + x
+            )
 
     bucket = sum(
         [
@@ -272,9 +337,12 @@ def lsh_topk(
     seed: int = 42,
     num_tables: int = 1,
     method: str = "xxhash64",
+    dim: int | None = 64,
 ) -> DataFrame:
     """ANN top-k: bucket both sides, join on bucket, exact-rescore the
-    candidates, dedupe across tables.
+    candidates, dedupe across tables. ``dim`` (vector width) enables
+    the driver-inlined literal hyperplane components — pass None for
+    unknown-width vectors (per-row hash fallback).
 
     Standard (k planes, L tables) OR-construction: a pair is a
     candidate if it collides in ANY of `num_tables` independent
@@ -288,11 +356,11 @@ def lsh_topk(
         if method == "md5":
             return hyperplane_buckets_md5(
                 df, id_col=id_col, vec_col=vec_col,
-                num_planes=num_planes, table=t,
+                num_planes=num_planes, table=t, dim=dim,
             )
         return hyperplane_lsh_buckets(
             df, id_col=id_col, vec_col=vec_col,
-            num_planes=num_planes, seed=seed + 7919 * t,
+            num_planes=num_planes, seed=seed + 7919 * t, dim=dim,
         )
 
     def bucketed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
@@ -472,6 +540,7 @@ def cosine_near_dup_pairs(
     num_planes: int = 6,
     num_tables: int = 8,
     seed: int = 42,
+    dim: int | None = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection (the SemDeDup-style
     dedup tier): every unordered pair (id_a < id_b) whose cosine
@@ -507,11 +576,11 @@ def cosine_near_dup_pairs(
             if method == "md5":
                 return hyperplane_buckets_md5(
                     corpus, id_col=id_col, vec_col=vec_col,
-                    num_planes=num_planes, table=t,
+                    num_planes=num_planes, table=t, dim=dim,
                 )
             return hyperplane_lsh_buckets(
                 corpus, id_col=id_col, vec_col=vec_col,
-                num_planes=num_planes, seed=seed + 7919 * t,
+                num_planes=num_planes, seed=seed + 7919 * t, dim=dim,
             )
 
         tables = [

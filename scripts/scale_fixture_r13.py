@@ -87,9 +87,12 @@ def build_fixture(spark, root: str, replicas: int) -> None:
         "region", "nation", "part", "supplier", "events",
         "customer", "orders", "lineitem",
     ]:
-        shutil.copytree(
-            f"{SRC}/{t}.parquet", f"{root}/{t}.parquet"
-        )
+        src = f"{SRC}/{t}.parquet"
+        dst = f"{root}/{t}.parquet"
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy2(src, dst)
 
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
     doc_parts = []
