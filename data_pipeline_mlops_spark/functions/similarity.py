@@ -14,6 +14,7 @@ sequential oracle.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: TC002 — pandas_udf resolves 'pd.Series'
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -108,7 +109,7 @@ def brute_force_topk(
 def auto_lsh_params(
     n: int,
     *,
-    target_occupancy: int = 64,
+    target_occupancy: int = 8,
     min_planes: int = 4,
     max_planes: int = 24,
 ) -> tuple[int, int]:
@@ -124,7 +125,12 @@ def auto_lsh_params(
     largest 5x-step exponents in the repo (doc_semdedup_fast 0.66,
     embedding_near_dups_fast 0.77) while everything else sat <= 0.40.
     With occupancy pinned, candidate pairs grow ~n * occupancy *
-    tables ~ n log n instead of n^2 / 2^b.
+    tables ~ n log n instead of n^2 / 2^b. The default occupancy 8 is
+    deliberately tight: with Arrow-matmul bucketing (see
+    hyperplane_buckets_all_tables) extra planes are nearly free, and
+    candidate volume — which the exact-cosine rescore pays for — is
+    the real cost (measured at the 25x fixture: occupancy 64 produced
+    18.5M candidates for 5k true pairs).
 
     Why tables = planes keeps recall flat: a pair at collision
     probability p per plane is missed with probability
@@ -208,6 +214,8 @@ def hyperplane_lsh_buckets(
         ]
 
         def projection(p: int) -> Column:
+            # literal weights + HOF fold — see hyperplane_buckets_md5
+            # for why NOT an expanded getItem sum
             w = F.array(*[F.lit(c) for c in comps[p]])
             return F.aggregate(
                 F.zip_with(v, w, lambda x, c: x * c),
@@ -288,6 +296,12 @@ def hyperplane_buckets_md5(
         ]
 
         def projection(p: int) -> Column:
+            # literal weight array + one zip_with/aggregate fold per
+            # plane. Measured alternative at the 25x leg: expanding
+            # to explicit getItem*literal sums (planes x dim expr
+            # nodes) ballooned task binaries to ~8 MiB and ran ~3x
+            # SLOWER than the interpreted fold — plan size beats
+            # interpretation overhead here; don't "optimize" back.
             w = F.array(*[F.lit(c).cast("long") for c in comps[p]])
             return F.aggregate(
                 F.zip_with(vi, w, lambda x, c: x * c),
@@ -323,6 +337,96 @@ def hyperplane_buckets_md5(
     )
     return df.select(
         F.col(id_col), F.col(vec_col), bucket.cast("long").alias("bucket")
+    )
+
+
+def hyperplane_buckets_all_tables(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    num_planes: int,
+    num_tables: int,
+    dim: int,
+    method: str = "md5",
+    seed: int = 42,
+) -> DataFrame:
+    """ALL tables' buckets in ONE Arrow-vectorized pass: a pandas UDF
+    computes the (rows x dim) @ (dim x planes*tables) projection
+    matmul in numpy and packs sign bits per table; posexplode emits
+    (id, table, bucket).
+
+    Why a UDF here, in a repo that bans hot-path UDFs: the per-plane
+    fold is a genuine matmul, which no built-in vectorized expression
+    can express — the zip_with/aggregate HOF form is INTERPRETED per
+    row, and at the 25x scale leg planes*tables*dim interpreted fold
+    steps per vector were the single largest cost of the near-dup
+    tier (11.3 s of a 20 s run; this pass measures <1 s). Arrow
+    batching + numpy is the sanctioned fast path for exactly this
+    shape. The per-table builders (hyperplane_buckets_md5 /
+    hyperplane_lsh_buckets) remain the pure-JVM form.
+
+    ORACLE-EXACT for method="md5": vectors quantize to int64
+    (floor(x*1e6+0.5) — float32->float64 cast, multiply, +0.5, floor
+    are the identical IEEE ops Spark's expression form performs) and
+    the projection is an int64 matmul — integer addition is
+    associative, so numpy's summation order CANNOT change the result:
+    DuckDB replays the same buckets bit-for-bit. The components are
+    the same _md5_component("t,p,i") integers the SQL derives.
+    method="seeded" uses float64 projections (sign flips from
+    summation-order ulps are measure-zero and this path is not
+    oracle-replayed; it is deterministic for a fixed Spark/numpy)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    if method == "md5":
+        comps = np.array(
+            [
+                [
+                    _md5_component(f"{t},{p},{i}")
+                    for p in range(num_planes)
+                    for i in range(dim)
+                ]
+                for t in range(num_tables)
+            ],
+            dtype=np.int64,
+        ).reshape(num_tables * num_planes, dim)
+    else:
+        comps = (
+            np.array(
+                [
+                    [
+                        _md5_component(f"x,{seed + 7919 * t},{p},{i}")
+                        for p in range(num_planes)
+                        for i in range(dim)
+                    ]
+                    for t in range(num_tables)
+                ],
+                dtype=np.float64,
+            ).reshape(num_tables * num_planes, dim)
+            / 1000.0
+        )
+    weights = 1 << np.arange(num_planes, dtype=np.int64)
+    quantize = method == "md5"
+
+    @pandas_udf("array<bigint>")
+    def _buckets(emb: pd.Series) -> pd.Series:
+        v = np.stack(emb.to_numpy()).astype(np.float64)
+        x = (
+            np.floor(v * 1000000.0 + 0.5).astype(np.int64)
+            if quantize
+            else v
+        )
+        proj = x @ comps.T  # (rows, tables*planes)
+        bits = (proj > 0).reshape(len(v), num_tables, num_planes)
+        buckets = (bits * weights).sum(axis=2, dtype=np.int64)
+        return pd.Series(list(buckets))
+
+    return df.select(
+        F.col(id_col), _buckets(F.col(vec_col)).alias("__bkts")
+    ).select(
+        id_col,
+        F.posexplode("__bkts").alias("table", "bucket"),
     )
 
 
@@ -583,38 +687,65 @@ def cosine_near_dup_pairs(
                 num_planes=num_planes, seed=seed + 7919 * t, dim=dim,
             )
 
-        tables = [
-            one_table(t).select(
-                F.col(id_col), F.col(vec_col), F.lit(t).alias("table"),
-                "bucket",
+        # candidate generation on BARE IDS: the bucket self-join and
+        # the cross-table dedup shuffle move 16-byte pair rows, not
+        # the vectors — at 25x fixture scale the old shape (vectors
+        # carried through join + dropDuplicates) shuffled ~15 GB of
+        # float arrays and dominated the whole tier (SCALING_r13
+        # profiling); vectors re-join AFTER dedup, exactly the shape
+        # the DuckDB oracle replays (cand -> JOIN e av -> JOIN e bv)
+        if dim is not None:
+            # one Arrow matmul pass for every table's buckets
+            bucketed = hyperplane_buckets_all_tables(
+                corpus, id_col=id_col, vec_col=vec_col,
+                num_planes=num_planes, num_tables=num_tables,
+                dim=dim,
+                method="md5" if method == "md5" else "seeded",
+                seed=seed,
             )
-            for t in range(num_tables)
-        ]
-        bucketed = tables[0]
-        for t in tables[1:]:
-            bucketed = bucketed.unionByName(t)
+        else:
+            tables = [
+                one_table(t).select(
+                    F.col(id_col), F.lit(t).alias("table"), "bucket"
+                )
+                for t in range(num_tables)
+            ]
+            bucketed = tables[0]
+            for t in tables[1:]:
+                bucketed = bucketed.unionByName(t)
+        # the bare (id, table, bucket) relation feeds BOTH sides of
+        # the self-join: lazily checkpoint it so the bucketing
+        # (planes x tables projections per vector) computes once, not
+        # twice — rows are ~24 bytes, so the block is tiny even at
+        # corpus scale (same _materialize discipline as registry.py)
+        bucketed = bucketed.localCheckpoint(eager=False)
         left = bucketed.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va_raw"),
-            "table", "bucket",
+            F.col(id_col).alias("id_a"), "table", "bucket"
         )
         right = bucketed.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb_raw"),
-            "table", "bucket",
+            F.col(id_col).alias("id_b"), "table", "bucket"
         )
-        pairs = (
+        cand = (
             left.join(right, ["table", "bucket"])
             .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
+        )
+        e = corpus.select(
+            F.col(id_col).alias("__id"),
+            _to_double(F.col(vec_col)).alias("__v"),
+        ).select("__id", "__v", l2_norm_d("__v").alias("__n"))
+        ea, eb = e.alias("__ea"), e.alias("__eb")
+        pairs = (
+            cand.join(ea, F.col("id_a") == F.col("__ea.__id"))
+            .join(eb, F.col("id_b") == F.col("__eb.__id"))
             .select(
                 "id_a",
                 "id_b",
-                _to_double(F.col("__va_raw")).alias("__va"),
-                _to_double(F.col("__vb_raw")).alias("__vb"),
-            )
-            .select(
-                "id_a", "id_b", "__va", "__vb",
-                l2_norm_d("__va").alias("__na"),
-                l2_norm_d("__vb").alias("__nb"),
+                F.col("__ea.__v").alias("__va"),
+                F.col("__eb.__v").alias("__vb"),
+                F.col("__ea.__n").alias("__na"),
+                F.col("__eb.__n").alias("__nb"),
             )
         )
     scored = pairs.select(

@@ -5023,7 +5023,7 @@ def _near_dup_lsh_params(
 ) -> tuple[int, int]:
     """Corpus-scaled (num_planes, num_tables) for the near-dup LSH
     tiers: one cheap count job, then the integer-exact
-    similarity.auto_lsh_params rule (occupancy 64, planes in [4, 24],
+    similarity.auto_lsh_params rule (occupancy 8, planes in [4, 24],
     tables = planes). The DuckDB oracles recompute the identical rule
     from COUNT(*) over the same corpus CTE, so the bucket replay stays
     bit-for-bit at ANY scale — the knob is no longer fixed (VERDICT
@@ -5036,14 +5036,14 @@ def _near_dup_lsh_params(
     return similarity.auto_lsh_params(corpus_size(corpus))
 
 
-# SQL twin of similarity.auto_lsh_params (occupancy 64, clamp [4,24],
-# tables = planes): smallest b with 2^b * 64 >= COUNT(corpus), pure
+# SQL twin of similarity.auto_lsh_params (occupancy 8, clamp [4,24],
+# tables = planes): smallest b with 2^b * 8 >= COUNT(corpus), pure
 # integer shifts/compares — no log2/pow cross-engine ulp risk.
 ORACLE_NEAR_DUP_LSH_PARAMS = """
 params AS (
   SELECT COALESCE(MIN(b), 24) AS nb
   FROM (SELECT unnest(range(4, 25)) AS b) bs
-  WHERE (CAST(1 AS BIGINT) << b) * 64 >= (SELECT COUNT(*) FROM corpus)
+  WHERE (CAST(1 AS BIGINT) << b) * 8 >= (SELECT COUNT(*) FROM corpus)
 )
 """
 
@@ -5052,7 +5052,7 @@ def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale tier: hyperplane-LSH OR-construction generates candidate
     pairs per bucket — never all-pairs — then exact cosine verifies.
     The knob is CORPUS-SCALED (similarity.auto_lsh_params: planes =
-    ceil-log2(n/64) clamped to [4,24] via integer shifts, tables =
+    ceil-log2(n/8) clamped to [4,24] via integer shifts, tables =
     planes) so expected bucket occupancy stays constant as the corpus
     grows — the fix for SCALING_r12's 0.77 step exponent at the old
     fixed 6x8. The md5 bucket variant quantizes vectors to integers so

@@ -530,7 +530,7 @@ def test_char_entropy_known_values(spark):
 
 def test_auto_lsh_params_rule():
     """The corpus-scaled LSH knob: integer-exact smallest-b rule with
-    2^b * 64 >= n, clamped to [4, 24], tables = planes — and MONOTONE
+    2^b * 8 >= n, clamped to [4, 24], tables = planes — and MONOTONE
     in n (a bigger corpus never gets fewer planes). The SQL twin in
     registry.ORACLE_NEAR_DUP_LSH_PARAMS replays the identical rule, so
     this pins the contract both engines share."""
@@ -540,13 +540,13 @@ def test_auto_lsh_params_rule():
 
     # clamp floor: tiny corpora stay at 4 planes / 4 tables
     assert auto_lsh_params(0) == (4, 4)
-    assert auto_lsh_params(1024) == (4, 4)  # 16*64 = 1024 exactly
-    assert auto_lsh_params(1025) == (5, 5)
+    assert auto_lsh_params(128) == (4, 4)  # 16*8 = 128 exactly
+    assert auto_lsh_params(129) == (5, 5)
     # the fixture corpora (550 / 2200 / 11000 / 55000)
-    assert auto_lsh_params(550) == (4, 4)
-    assert auto_lsh_params(2200) == (6, 6)
-    assert auto_lsh_params(11000) == (8, 8)
-    assert auto_lsh_params(55000) == (10, 10)
+    assert auto_lsh_params(550) == (7, 7)
+    assert auto_lsh_params(2200) == (9, 9)
+    assert auto_lsh_params(11000) == (11, 11)
+    assert auto_lsh_params(55000) == (13, 13)
     # clamp ceiling
     assert auto_lsh_params(10**12) == (24, 24)
     # monotone, occupancy bounded while unclamped
@@ -556,7 +556,7 @@ def test_auto_lsh_params_rule():
         assert b == t and b >= prev
         prev = b
         if 4 < b < 24:
-            assert (1 << b) * 64 >= 2**e > (1 << (b - 1)) * 64
+            assert (1 << b) * 8 >= 2**e > (1 << (b - 1)) * 8
 
 
 def test_auto_lsh_params_matches_sql_twin(spark):
@@ -569,13 +569,13 @@ def test_auto_lsh_params_matches_sql_twin(spark):
     )
 
     con = duckdb.connect()
-    for n in [0, 1, 63, 64, 550, 1024, 1025, 2200, 4096, 11000,
-              55000, 10**6, 10**9, 2**30 * 64]:
+    for n in [0, 1, 63, 64, 128, 129, 550, 1024, 1025, 2200, 4096,
+              11000, 55000, 10**6, 10**9, 2**30 * 64]:
         (nb,) = con.execute(
             """
             SELECT COALESCE(MIN(b), 24)
             FROM (SELECT unnest(range(4, 25)) AS b) bs
-            WHERE (CAST(1 AS BIGINT) << b) * 64 >= ?
+            WHERE (CAST(1 AS BIGINT) << b) * 8 >= ?
             """,
             [n],
         ).fetchone()
