@@ -580,3 +580,56 @@ def test_auto_lsh_params_matches_sql_twin(spark):
             [n],
         ).fetchone()
         assert (nb, nb) == auto_lsh_params(n), n
+
+
+def test_all_tables_buckets_equal_per_table_builders(spark):
+    """The Arrow-matmul all-tables bucketing must produce EXACTLY the
+    buckets the pure-JVM per-table builders produce — for the md5
+    path this is the oracle contract (int64 matmul is order-immune),
+    for the seeded path the same driver-side component table feeds
+    both, so equality is expected except measure-zero float-sum sign
+    flips (none on this fixture)."""
+    from data_pipeline_mlops_spark.functions.similarity import (
+        hyperplane_buckets_all_tables,
+        hyperplane_buckets_md5,
+        hyperplane_lsh_buckets,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+
+    allt = {
+        (r["vec_id"], r["table"]): r["bucket"]
+        for r in hyperplane_buckets_all_tables(
+            emb, id_col="vec_id", vec_col="embedding",
+            num_planes=5, num_tables=3, dim=64, method="md5",
+        ).collect()
+    }
+    for t in range(3):
+        per = {
+            (r["vec_id"], t): r["bucket"]
+            for r in hyperplane_buckets_md5(
+                emb, id_col="vec_id", vec_col="embedding",
+                num_planes=5, table=t, dim=64,
+            ).collect()
+        }
+        assert per == {k: v for k, v in allt.items() if k[1] == t}
+
+    allt_s = {
+        (r["vec_id"], r["table"]): r["bucket"]
+        for r in hyperplane_buckets_all_tables(
+            emb, id_col="vec_id", vec_col="embedding",
+            num_planes=5, num_tables=3, dim=64,
+            method="seeded", seed=42,
+        ).collect()
+    }
+    for t in range(3):
+        per = {
+            (r["vec_id"], t): r["bucket"]
+            for r in hyperplane_lsh_buckets(
+                emb, id_col="vec_id", vec_col="embedding",
+                num_planes=5, seed=42 + 7919 * t, dim=64,
+            ).collect()
+        }
+        assert per == {k: v for k, v in allt_s.items() if k[1] == t}
