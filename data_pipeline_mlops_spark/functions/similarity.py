@@ -453,7 +453,16 @@ def lsh_topk(
     bucketings — per-table recall p^k becomes 1-(1-p^k)^L. More tables
     = more candidates to rescore; on clustered real embeddings a few
     tables suffice, on uniform random data recall is intrinsically
-    expensive (no structure to hash)."""
+    expensive (no structure to hash).
+
+    Plan shape (round-13 rebuild, same treatment as
+    cosine_near_dup_pairs): with ``dim`` given, both sides bucket in
+    ONE Arrow matmul pass (hyperplane_buckets_all_tables) and the
+    bucket join + cross-table dedup move BARE (query_id, neighbor_id)
+    pairs — the corpus vectors never ride the candidate shuffle; they
+    re-join once per distinct candidate for the exact rescore. At
+    corpus scale the old shape shipped num_tables full-vector copies
+    of the corpus through the join."""
     from pyspark.sql import Window
 
     def one_table(df: DataFrame, t: int) -> DataFrame:
@@ -467,11 +476,18 @@ def lsh_topk(
             num_planes=num_planes, seed=seed + 7919 * t, dim=dim,
         )
 
-    def bucketed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+    def bucketed(df: DataFrame, out_id: str) -> DataFrame:
+        if dim is not None:
+            return hyperplane_buckets_all_tables(
+                df, id_col=id_col, vec_col=vec_col,
+                num_planes=num_planes, num_tables=num_tables,
+                dim=dim,
+                method="md5" if method == "md5" else "seeded",
+                seed=seed,
+            ).select(F.col(id_col).alias(out_id), "table", "bucket")
         tables = [
             one_table(df, t).select(
                 F.col(id_col).alias(out_id),
-                F.col(vec_col).alias(out_vec),
                 F.lit(t).alias("table"),
                 "bucket",
             )
@@ -482,27 +498,26 @@ def lsh_topk(
             out = out.unionByName(t)
         return out
 
-    qb = bucketed(queries, "query_id", "__qv")
-    cb = bucketed(corpus, "neighbor_id", "__cv")
+    qb = bucketed(queries, "query_id")
+    cb = bucketed(corpus, "neighbor_id")
     cands = (
         cb.join(F.broadcast(qb), ["table", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    # materialize double vectors + norms once per candidate row — the
-    # per-pair cosine() would re-derive both norms (interpreted HOFs)
-    withvecs = cands.select(
-        "query_id",
-        "neighbor_id",
-        _to_double(F.col("__qv")).alias("__qd"),
-        _to_double(F.col("__cv")).alias("__cd"),
-    ).select(
-        "query_id",
-        "neighbor_id",
-        "__qd",
-        "__cd",
-        l2_norm_d("__qd").alias("__qn"),
-        l2_norm_d("__cd").alias("__cn"),
+    # vectors + norms join AFTER the dedup, once per distinct
+    # candidate (queries side broadcast-sized by construction)
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        _to_double(F.col(vec_col)).alias("__qd"),
+    ).select("query_id", "__qd", l2_norm_d("__qd").alias("__qn"))
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _to_double(F.col(vec_col)).alias("__cd"),
+    ).select("neighbor_id", "__cd", l2_norm_d("__cd").alias("__cn"))
+    withvecs = cands.join(F.broadcast(qv), "query_id").join(
+        cv, "neighbor_id"
     )
     scored = withvecs.select(
         "query_id",
