@@ -176,10 +176,13 @@ def _minhash_fast(spark, sf_dir):
 
 
 def _embedding_near_dups_fast(spark, sf_dir):
-    """xxhash64-bucketed embedding near-dup pairs (production hot
-    path; the registry's embedding_near_dups_lsh is the md5-portable
-    oracle twin). Knob corpus-scaled like the twin (auto_lsh_params:
-    constant expected bucket occupancy — VERDICT r12 #1)."""
+    """Seeded-plane embedding near-dup pairs (the registry's
+    embedding_near_dups_lsh is the oracle twin). Knob corpus-scaled
+    like the twin (auto_lsh_params — VERDICT r12 #1). Since the
+    round-13 rebuild both twins run the SAME Arrow-matmul bucketing
+    with different plane tables — the historical fast-vs-portable
+    hash split collapsed; this twin persists to keep the bench series
+    comparable and to exercise the float-projection path."""
     from data_pipeline_mlops_spark.functions import similarity
     from data_pipeline_mlops_spark.registry import (
         _near_dup_corpus,
@@ -197,10 +200,11 @@ def _embedding_near_dups_fast(spark, sf_dir):
 
 
 def _semdedup_fast(spark, sf_dir):
-    """SemDeDup production tier on xxhash64 LSH buckets (the
-    registry's doc_semdedup_lsh is the md5-portable oracle twin; the
-    trained-kmeans doc_semdedup is parity-only and too
-    cluster-granularity-sensitive to headline — SCALING_r10.json)."""
+    """SemDeDup tier on seeded LSH buckets (the registry's
+    doc_semdedup_lsh is the oracle twin — same Arrow-matmul bucketing
+    since round 13, see _embedding_near_dups_fast; the trained-kmeans
+    doc_semdedup is parity-only and too cluster-granularity-sensitive
+    to headline — SCALING_r10.json)."""
     from pyspark.sql import functions as F
 
     from data_pipeline_mlops_spark.functions import similarity
