@@ -130,3 +130,56 @@ def schedule_mixture(
         )
         .drop("epochs_full", "frac_ppm")
     )
+
+
+def temperature_weights(
+    docs: DataFrame,
+    *,
+    strata_col: str,
+    token_col: str,
+    scale: int = 1000,
+) -> DataFrame:
+    """Temperature-scaled mixture weights, tau = 1/2: per stratum s
+    with n_s available tokens, weight w_s proportional to sqrt(n_s) —
+    the multilingual sampling rule (XLM-R / mBERT style, p_i^tau with
+    tau in (0,1]) that upweights low-resource strata relative to
+    their raw share. Output: (stratum, available_tokens, weight_ppm)
+    with sum(weight_ppm) <= 1e6 — feed straight into the ppm plan
+    arithmetic (mixture_plan's columns / schedule_mixture).
+
+    Why tau is FIXED at 1/2: IEEE-754 specifies sqrt as correctly
+    rounded, so floor(sqrt(n)*scale) is the IDENTICAL int64 on every
+    engine — a general pow(n, tau) is not correctly rounded and a
+    1-ulp cross-engine wobble could flip a ppm floor. Everything
+    downstream of the scaled sqrt is exact integer arithmetic. Other
+    temperatures come from composing: tau=1/4 is sqrt(sqrt(n)) (two
+    correctly-rounded ops), tau=3/4 is sqrt(n)*sqrt(sqrt(n)) — stay
+    on the sqrt lattice for engine-portable weights.
+
+    Scale shape: one groupBy(|strata| rows) then an unpartitioned
+    window over those |strata| rows — bounded by the stratum
+    cardinality (a dimension, never data-scale), the same bounded-
+    window adjudication as the calendar grids."""
+    from pyspark.sql import Window
+
+    avail = docs.groupBy(strata_col).agg(
+        F.sum(F.col(token_col)).cast("long").alias("available_tokens")
+    )
+    sq = F.floor(
+        F.sqrt(F.col("available_tokens").cast("double")) * F.lit(int(scale))
+    ).cast("long")
+    w = Window.partitionBy()  # |strata| rows by construction
+    return (
+        avail.withColumn("__sq", sq)
+        .withColumn("__total", F.sum("__sq").over(w))
+        .withColumn(
+            # int64 `div`, not floor(double /): at 100 TB token sums
+            # the numerator (~sqrt(1e14)*1e3*1e6 = 1e16) exceeds 2^53
+            # and a double quotient would round before the floor
+            "weight_ppm",
+            F.expr("__sq * CAST(1000000 AS BIGINT) div __total").cast(
+                "long"
+            ),
+        )
+        .drop("__sq", "__total")
+    )

@@ -2093,7 +2093,7 @@ _DRIVER_WINDOW: list[str] = [
     # salted_priority_join (skew-defense representative, judge-swept
     # out-of-window in r12, now hash-probed in-window)
     "doc_gopher_rules_full", "embedding_near_dups_lsh",
-    "salted_priority_join",
+    "salted_priority_join", "corpus_mixture_temperature",
     # carried from rotation 7 (r12 birth-round entries kept one more
     # round; the uncapped graph trio rotated out — its changed
     # MATERIALIZED oracles were driver-probed in r12)
@@ -2106,7 +2106,6 @@ _DRIVER_WINDOW: list[str] = [
     "doc_pack_sequences", "doc_pack_stats", "doc_pack_ffd",
     "doc_pack_curriculum", "term_postings", "doc_bm25_search",
     "doc_phrase_search", "doc_hybrid_search",
-    "minhash_jaccard_estimate",
     # warehouse-join bench headliners (promoted r11; keep plan+value
     # gated together one more round)
     "bucketed_order_revenue", "customer_rolling_features",
@@ -5490,6 +5489,86 @@ FROM pl3 LEFT JOIN st USING (lang)
 
 QUERIES["corpus_mixture_plan"] = QuerySpec(
     q_corpus_mixture_plan, ORACLE_CORPUS_MIXTURE_PLAN
+)
+
+
+def q_corpus_mixture_temperature(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-scaled mixture DERIVATION (tau = 1/2, the XLM-R /
+    mBERT multilingual sampling rule): instead of consuming a hand-
+    written weights dict like corpus_mixture_plan, the weights come
+    from the data — w_lang proportional to sqrt(available chars), so
+    low-resource languages are upweighted relative to their raw share
+    (functions/mixture.py::temperature_weights; tau fixed at 1/2
+    because IEEE sqrt is correctly rounded and a general pow is not —
+    the scaled sqrt is the identical int64 on every engine, and
+    everything downstream is integer arithmetic). The derived ppm
+    weights then feed the standard plan columns over a 300k-char
+    budget: integer target, full epochs, fractional-epoch ppm gate.
+    One |strata|-row aggregate + a bounded |strata|-row window —
+    dimension-sized at any corpus scale."""
+    from data_pipeline_mlops_spark.functions import mixture
+
+    w = mixture.temperature_weights(
+        _docs(spark, sf_dir), strata_col="lang", token_col="n_chars"
+    )
+    return (
+        w.withColumn(
+            "target_tokens",
+            F.expr(
+                "weight_ppm * CAST(300000 AS BIGINT) div 1000000"
+            ).cast("long"),
+        )
+        .withColumn(
+            "epochs_full",
+            F.expr("target_tokens div available_tokens").cast("long"),
+        )
+        .withColumn(
+            "frac_ppm",
+            F.floor(
+                (F.col("target_tokens") % F.col("available_tokens"))
+                * F.lit(1_000_000)
+                / F.col("available_tokens")
+            ).cast("long"),
+        )
+    )
+
+
+ORACLE_CORPUS_MIXTURE_TEMPERATURE = """
+WITH avail AS (
+  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS available_tokens
+  FROM documents GROUP BY 1
+),
+s AS (
+  SELECT lang, available_tokens,
+         CAST(FLOOR(SQRT(CAST(available_tokens AS DOUBLE)) * 1000)
+              AS BIGINT) AS sq
+  FROM avail
+),
+w AS (
+  SELECT lang, available_tokens,
+         CAST(sq * CAST(1000000 AS BIGINT)
+              // CAST((SELECT SUM(sq) FROM s) AS BIGINT)
+              AS BIGINT) AS weight_ppm
+  FROM s
+),
+p AS (
+  SELECT lang, available_tokens, weight_ppm,
+         CAST(weight_ppm * CAST(300000 AS BIGINT) // 1000000
+              AS BIGINT) AS target_tokens
+  FROM w
+)
+SELECT lang, available_tokens, weight_ppm, target_tokens,
+       CAST(target_tokens // available_tokens AS BIGINT) AS epochs_full,
+       CAST(FLOOR((target_tokens % available_tokens) * 1000000
+                  / CAST(available_tokens AS DOUBLE)) AS BIGINT)
+         AS frac_ppm
+FROM p
+"""
+
+QUERIES["corpus_mixture_temperature"] = QuerySpec(
+    q_corpus_mixture_temperature, ORACLE_CORPUS_MIXTURE_TEMPERATURE
 )
 
 

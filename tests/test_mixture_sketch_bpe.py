@@ -394,3 +394,40 @@ def test_bottomk_sample_partition_invariant(spark):
     a = sorted(map(key, bottomk_sample(orders.repartition(1), **kw).collect()))
     b = sorted(map(key, bottomk_sample(orders.repartition(16), **kw).collect()))
     assert a == b and len(a) > 0
+
+
+def test_temperature_weights_flatten_skew(spark):
+    """tau=1/2 temperature weights: the largest stratum's weight share
+    must be BELOW its raw token share and every smaller stratum's at
+    or above it (the multilingual upweighting the rule exists for);
+    weights are ppm longs summing to <= 1e6; and the scaled-sqrt
+    contract holds exactly."""
+    import math
+
+    from data_pipeline_mlops_spark.functions.mixture import (
+        temperature_weights,
+    )
+    from data_pipeline_mlops_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    rows = {
+        r["lang"]: r
+        for r in temperature_weights(
+            docs, strata_col="lang", token_col="n_chars"
+        ).collect()
+    }
+    total = sum(r["available_tokens"] for r in rows.values())
+    ppm_sum = sum(r["weight_ppm"] for r in rows.values())
+    assert 1_000_000 - len(rows) <= ppm_sum <= 1_000_000
+    big = max(rows.values(), key=lambda r: r["available_tokens"])
+    small = min(rows.values(), key=lambda r: r["available_tokens"])
+    assert big["weight_ppm"] / 1e6 < big["available_tokens"] / total
+    assert small["weight_ppm"] / 1e6 > small["available_tokens"] / total
+    # exact scaled-sqrt contract: floor(sqrt(n)*1000) drives the ppm
+    sqs = {
+        k: math.floor(math.sqrt(r["available_tokens"]) * 1000)
+        for k, r in rows.items()
+    }
+    t = sum(sqs.values())
+    for k, r in rows.items():
+        assert r["weight_ppm"] == sqs[k] * 1_000_000 // t
