@@ -154,6 +154,13 @@ HEADLINE = R1_KEYS + [
     # Round 13: the FULL Gopher gate (content rules + the line-based
     # bullet/ellipsis rules over the derived line-structured corpus).
     "doc_gopher_rules_full",
+    # Round 13 late additions: Broder containment near-dups (the
+    # capped shingle pair join with asymmetric min-size thresholding,
+    # over the excerpt-augmented derived corpus) and CCNet LM
+    # terciles (bigram LM score + histogram-cutoff bucketing — no
+    # corpus-wide sort).
+    "ngram_containment_dups",
+    "doc_ccnet_buckets",
 ]
 
 

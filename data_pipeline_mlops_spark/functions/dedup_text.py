@@ -165,6 +165,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold_pct: int = 80,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Tier 2b: exact n-gram CONTAINMENT near-dup pairs — Broder's
+    asymmetric resemblance (Broder 1997, "On the resemblance and
+    containment of documents"): C = |A∩B| / min(|A|, |B|). Where
+    Jaccard divides by the UNION, containment divides by the smaller
+    set, so an excerpt fully contained in a 2x-longer parent scores
+    C = 1.0 while J ≈ 0.5 — the quote/boilerplate/partial-copy case
+    every web-crawl dedup pipeline hits and symmetric Jaccard
+    structurally misses.
+
+    Same pair source and scale posture as ngram_jaccard_pairs (shared
+    int-keyed shingle join; `max_shingle_freq` bounds the quadratic
+    per-shingle fan-out before the shuffle). The threshold gate is
+    integer cross-multiplied (100*inter >= pct*min_size) — no IEEE
+    boundary risk; the rounded `containment` column is display-only.
+    Output: id_a < id_b, inter/sz_a/sz_b (exact BIGINTs), containment
+    (rounded 6dp).
+    """
+    sh = shingle_rows(df, id_col=id_col, text_col=text_col, n=n)
+    sizes = df.select(
+        F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
+    ).select("__id", F.size(_shingle_expr("__toks", n)).alias("__sz"))
+    if max_shingle_freq is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__f"))
+            .where(F.col("__f") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    a = sh.select(F.col("__id").alias("id_a"), "shingle")
+    b = sh.select(F.col("__id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("__id").alias("id_a"), F.col("__sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("__id").alias("id_b"), F.col("__sz").alias("sz_b"))
+    min_sz = F.least(F.col("sz_a"), F.col("sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .where(100 * F.col("inter") >= threshold_pct * min_sz)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("sz_a").cast("long").alias("sz_a"),
+            F.col("sz_b").cast("long").alias("sz_b"),
+            F.round(F.col("inter") / min_sz, 6).alias("containment"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     *,

@@ -459,6 +459,90 @@ def char_bigram_lm_score(
     )
 
 
+def lm_quality_buckets(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    head_chars: int = 1000,
+    scale: int = 10**6,
+) -> DataFrame:
+    """CCNet-style head/middle/tail quality bucketing (Wenzek et al.
+    2020 §4.4): per language, rank documents by LM score and split the
+    ranking into thirds — "head" (most language-model-typical) is what
+    CCNet keeps for LM pretraining, "tail" is the gibberish end. The
+    LM score is char_bigram_lm_score's integer-exact corpus-frequency
+    proxy (higher mean bigram frequency = more typical prose; CCNet's
+    perplexity is the log-space analog and ranks identically for
+    filtering purposes).
+
+    Determinism/scale contract:
+    - score_key = freq_sum * scale div n_bigrams — pure int64
+      arithmetic on both engines (`div`, not floor(double /), which
+      loses exactness past 2^53). Caller must keep
+      freq_sum * scale < 2^63: at the default ppm scale that allows
+      freq_sum up to ~9.2e12; for corpora whose bigram LM counts
+      exceed that (a 100 TB crawl), pass scale=10**3 or train the LM
+      on a fixed-size sample — the ranking only needs relative order.
+    - Buckets are assigned by SCORE CUTOFFS, not per-doc rank: with
+      `above` = #docs of the same language with strictly greater
+      score_key, a doc is head iff 3*above < n_lang, middle iff
+      3*above < 2*n_lang, else tail (ties share a bucket, exact
+      thirds up to tie granularity — the same contract as CCNet's
+      percentile thresholds).
+    - Scale shape: NO corpus-wide sort. The ranking runs on the
+      (lang, score_key) HISTOGRAM — bounded by |langs| x |distinct
+      scores| (value-space, not corpus-sized) — and the per-doc
+      bucket assignment is a broadcast join back on
+      (lang, score_key). A Window.partitionBy(lang).orderBy over the
+      raw docs would put 40%+ of a real crawl in one partition; the
+      histogram cumsum never sees a fact-sized partition.
+
+    Output: id, lang, n_bigrams, freq_sum, score_key, bucket.
+    """
+    from pyspark.sql import Window
+
+    scored = (
+        char_bigram_lm_score(
+            df, id_col=id_col, text_col=text_col, head_chars=head_chars
+        )
+        .join(df.select(F.col(id_col), F.col(lang_col).alias("lang")), id_col)
+        .select(
+            F.col(id_col),
+            "lang",
+            "n_bigrams",
+            "freq_sum",
+            F.expr(f"freq_sum * {scale} div n_bigrams").alias("score_key"),
+        )
+    )
+    hist = scored.groupBy("lang", "score_key").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_desc = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("score_key").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("lang")
+    cut = hist.select(
+        "lang",
+        "score_key",
+        (F.sum("__cnt").over(w_desc) - F.col("__cnt")).alias("__above"),
+        F.sum("__cnt").over(w_all).alias("__n"),
+    ).select(
+        "lang",
+        "score_key",
+        F.when(3 * F.col("__above") < F.col("__n"), F.lit("head"))
+        .when(3 * F.col("__above") < 2 * F.col("__n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    return scored.join(F.broadcast(cut), ["lang", "score_key"]).select(
+        F.col(id_col), "lang", "n_bigrams", "freq_sum", "score_key", "bucket"
+    )
+
+
 BOILERPLATE_LINE = r"::(nav|footer)::"
 
 

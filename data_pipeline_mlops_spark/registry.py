@@ -2094,6 +2094,11 @@ _DRIVER_WINDOW: list[str] = [
     # out-of-window in r12, now hash-probed in-window)
     "doc_gopher_rules_full", "embedding_near_dups_lsh",
     "salted_priority_join", "corpus_mixture_temperature",
+    # round-13 late additions (birth-round rule): Broder containment
+    # near-dups over the derived excerpt corpus + CCNet LM terciles.
+    # term_postings / doc_phrase_search rotate out to make room
+    # (retrieval tier, driver-hashed rotations 6-7, oracle unchanged)
+    "ngram_containment_dups", "doc_ccnet_buckets",
     # carried from rotation 7 (r12 birth-round entries kept one more
     # round; the uncapped graph trio rotated out — its changed
     # MATERIALIZED oracles were driver-probed in r12)
@@ -2104,8 +2109,7 @@ _DRIVER_WINDOW: list[str] = [
     # recently-changed recipes under the driver one more round)
     "event_lttb_m4", "event_lttb_downsample", "corpus_pipeline",
     "doc_pack_sequences", "doc_pack_stats", "doc_pack_ffd",
-    "doc_pack_curriculum", "term_postings", "doc_bm25_search",
-    "doc_phrase_search", "doc_hybrid_search",
+    "doc_pack_curriculum", "doc_bm25_search", "doc_hybrid_search",
     # warehouse-join bench headliners (promoted r11; keep plan+value
     # gated together one more round)
     "bucketed_order_revenue", "customer_rolling_features",
@@ -13210,6 +13214,170 @@ GROUP BY 1
 
 QUERIES["order_value_quantile_sketch"] = QuerySpec(
     q_order_value_quantile_sketch, ORACLE_ORDER_VALUE_QUANTILE_SKETCH
+)
+
+
+_EXCERPT_ID_OFFSET = 100_000_000  # > any fixture/scale-replica doc_id
+
+
+def q_ngram_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection via Broder CONTAINMENT
+    (functions/dedup_text.py::containment_pairs): C = |A∩B|/min(|A|,|B|)
+    >= 0.8 over word-trigram shingle sets, with the stop-shingle cap
+    (max_shingle_freq=50) bounding the pair join's per-shingle fan-out
+    — the quote/partial-copy case symmetric Jaccard structurally
+    misses (an excerpt wholly inside a 2x parent has C=1.0, J~0.5).
+
+    The fixture corpus has near-copy pairs but no INCLUSION pairs, so
+    the inclusion structure is derived deterministically inside the
+    query (the doc_gopher_rules_full / _near_dup_corpus move): every
+    doc with doc_id%7==3 also contributes an EXCERPT doc — its first
+    len(tokens) div 2 tokens, id = doc_id + 100,000,000 (collision-
+    free for any fixture; parent<excerpt keeps (id_a,id_b) ordered
+    parent-first). Both engines build the identical augmented corpus,
+    so the construction AND the containment algebra sit inside the
+    oracle. The planted-verdict test pins the discriminating fact:
+    excerpt-parent pairs pass the containment gate while their
+    implied Jaccard (derivable from the emitted exact integers) fails
+    the same threshold."""
+    t = _docs(spark, sf_dir).select(
+        "doc_id", text.tokens("text").alias("__toks")
+    )
+    excerpts = t.where(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + F.lit(_EXCERPT_ID_OFFSET)).alias("doc_id"),
+        F.array_join(
+            F.expr("slice(__toks, 1, size(__toks) div 2)"), " "
+        ).alias("text"),
+    )
+    corpus = _docs(spark, sf_dir).select("doc_id", "text").unionByName(
+        excerpts
+    )
+    return dedup_text.containment_pairs(
+        corpus,
+        id_col="doc_id",
+        text_col="text",
+        n=3,
+        threshold_pct=80,
+        max_shingle_freq=50,
+    )
+
+
+ORACLE_NGRAM_CONTAINMENT_DUPS = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+t AS (
+  SELECT doc_id, toks FROM base
+  UNION ALL
+  SELECT doc_id + 100000000 AS doc_id,
+         list_slice(toks, 1, len(toks) // 2) AS toks
+  FROM base WHERE doc_id % 7 = 3
+),
+sh AS (
+  SELECT doc_id, UNNEST(list_distinct(
+    list_transform(range(1, len(toks) - 1),
+      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM t
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+freq AS (SELECT shingle, COUNT(*) AS f FROM sh GROUP BY 1),
+kept AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  JOIN freq ON freq.shingle = sh.shingle
+  WHERE freq.f <= 50
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(i AS BIGINT) AS inter,
+       CAST(sa.sz AS BIGINT) AS sz_a,
+       CAST(sb.sz AS BIGINT) AS sz_b,
+       ROUND(i / LEAST(sa.sz, sb.sz), 6) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE 100 * i >= 80 * LEAST(sa.sz, sb.sz)
+"""
+
+QUERIES["ngram_containment_dups"] = QuerySpec(
+    q_ngram_containment_dups, ORACLE_NGRAM_CONTAINMENT_DUPS
+)
+
+
+def q_doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail LM-quality bucketing (Wenzek et al. 2020
+    §4.4) via functions/text.py::lm_quality_buckets: per language,
+    docs are terciled by the integer-exact char-bigram LM score
+    (doc_char_lm_score's freq proxy — monotone with CCNet's
+    perplexity ranking) and labeled head/middle/tail; "head" is what
+    CCNet retains for pretraining. Bucket cutoffs come from the
+    (lang, score) HISTOGRAM — a value-space-bounded aggregate — then
+    broadcast back for a map-side per-doc assignment: no corpus-wide
+    sort, no fact-sized window partition (a naive
+    Window.partitionBy(lang) would put ~40% of a real crawl in one
+    partition). score_key = freq_sum * 1e6 div n_bigrams, all int64;
+    ties share a bucket (exact thirds up to tie granularity, the
+    percentile-threshold contract of the paper)."""
+    return text.lm_quality_buckets(
+        _docs(spark, sf_dir),
+        id_col="doc_id",
+        text_col="text",
+        lang_col="lang",
+        head_chars=1000,
+    )
+
+
+ORACLE_DOC_CCNET_BUCKETS = """
+WITH d AS (
+  SELECT doc_id, lang, substring(text, 1, 1000) AS t FROM documents
+),
+b AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(t)),
+                               i -> substring(t, CAST(i AS INTEGER), 2)))
+           AS bg
+  FROM d
+),
+lm AS (SELECT bg, COUNT(*) AS c FROM b GROUP BY 1),
+s AS (
+  SELECT b.doc_id,
+         COUNT(*) AS n_bigrams,
+         CAST(SUM(lm.c) AS BIGINT) AS freq_sum
+  FROM b JOIN lm ON lm.bg = b.bg
+  GROUP BY 1
+),
+scored AS (
+  SELECT s.doc_id, d.lang,
+         CAST(s.n_bigrams AS BIGINT) AS n_bigrams,
+         s.freq_sum,
+         s.freq_sum * 1000000 // s.n_bigrams AS score_key
+  FROM s JOIN d ON d.doc_id = s.doc_id
+),
+hist AS (
+  SELECT lang, score_key, COUNT(*) AS cnt FROM scored GROUP BY 1, 2
+),
+cut AS (
+  SELECT lang, score_key,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY score_key DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) - cnt AS above,
+         SUM(cnt) OVER (PARTITION BY lang) AS n
+  FROM hist
+)
+SELECT sc.doc_id, sc.lang, sc.n_bigrams, sc.freq_sum, sc.score_key,
+       CASE WHEN 3 * c.above < c.n THEN 'head'
+            WHEN 3 * c.above < 2 * c.n THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored sc
+JOIN cut c ON c.lang = sc.lang AND c.score_key = sc.score_key
+"""
+
+QUERIES["doc_ccnet_buckets"] = QuerySpec(
+    q_doc_ccnet_buckets, ORACLE_DOC_CCNET_BUCKETS
 )
 
 
