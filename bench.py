@@ -525,8 +525,39 @@ def main() -> None:
         and os.environ.get("SPARK_GRAFT_SKIP_ISOLATED") != "1"
     ):
         import subprocess
+        import time as _time
 
-        spark.stop()  # one heavy JVM at a time on this box
+        # spark.stop() alone leaves the py4j gateway JVM RESIDENT in
+        # this process (tens of GB of RSS + mmap'd shuffle state)
+        # while the isolated child JVM runs — measured inflating the
+        # child's CF queries 4-10x (recommendations 4 s standalone vs
+        # 17-47 s as bench's child). Terminate the gateway process
+        # outright, then let the box settle below load 2 (the
+        # interleaved pass ends at 1-min load 7-17) so the canonical
+        # longitudinal number is measured uncontended.
+        spark.stop()
+        try:
+            from pyspark import SparkContext
+
+            gw = getattr(SparkContext, "_gateway", None)
+            if gw is not None:
+                p = getattr(gw, "proc", None)
+                gw.shutdown()
+                if p is not None:
+                    p.terminate()
+                    p.wait(timeout=30)
+            SparkContext._gateway = None
+            SparkContext._jvm = None
+        except Exception as ex:  # noqa: BLE001
+            print(f"# gateway teardown: {ex}", file=sys.stderr)
+        settle_t0 = _time.time()
+        while os.getloadavg()[0] > 2.0 and _time.time() - settle_t0 < 180:
+            _time.sleep(5)
+        print(
+            f"# isolated leg starts at load_1m={os.getloadavg()[0]:.2f} "
+            f"after {round(_time.time() - settle_t0)}s settle",
+            file=sys.stderr,
+        )
         here = os.path.dirname(os.path.abspath(__file__))
         iso_out = os.path.join(here, "bench_isolated_latest.json")
         proc = subprocess.run(
