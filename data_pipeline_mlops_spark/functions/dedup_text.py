@@ -126,11 +126,18 @@ def ngram_jaccard_pairs(
     that many docs (they explode the join and carry no signal) — this
     changes results only for pairs glued solely by boilerplate.
     """
-    sh = shingle_rows(df, id_col=id_col, text_col=text_col, n=n)
+    # One tokenize+shingle pass, lineage-truncated: the shingle array is
+    # consumed by BOTH pair-join sides, the frequency-cap build AND the
+    # two size re-attach joins — without truncation Catalyst re-expands
+    # the regexp-split + array build per reference (4 Generate subtrees
+    # + 2 size passes in the before plan). Values unchanged (guide §1.2
+    # step 1 / §2.3: compute the heavy projection once, reuse bytes).
+    base = shingled(
+        df, id_col=id_col, text_col=text_col, n=n
+    ).localCheckpoint(eager=False)
+    sh = base.select("__id", F.explode("__sh").alias("shingle"))
     # set sizes straight off the array expression: map-side, no shuffle
-    sizes = df.select(
-        F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
-    ).select("__id", F.size(_shingle_expr("__toks", n)).alias("__sz"))
+    sizes = base.select("__id", F.size("__sh").alias("__sz"))
     if max_shingle_freq is not None:
         keep = (
             sh.groupBy("shingle")
@@ -191,10 +198,12 @@ def containment_pairs(
     Output: id_a < id_b, inter/sz_a/sz_b (exact BIGINTs), containment
     (rounded 6dp).
     """
-    sh = shingle_rows(df, id_col=id_col, text_col=text_col, n=n)
-    sizes = df.select(
-        F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
-    ).select("__id", F.size(_shingle_expr("__toks", n)).alias("__sz"))
+    # same one-pass shingle materialization as ngram_jaccard_pairs
+    base = shingled(
+        df, id_col=id_col, text_col=text_col, n=n
+    ).localCheckpoint(eager=False)
+    sh = base.select("__id", F.explode("__sh").alias("shingle"))
+    sizes = base.select("__id", F.size("__sh").alias("__sz"))
     if max_shingle_freq is not None:
         keep = (
             sh.groupBy("shingle")

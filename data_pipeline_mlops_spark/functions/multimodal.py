@@ -1353,9 +1353,15 @@ def dhash_near_dup_pairs(
     nbits = 63
     bands = max_hamming + 1
     width = -(-nbits // bands)  # ceil
+    # fp is referenced FOUR times downstream (both sides of the banded
+    # candidate join + both fingerprint re-attach joins); hashes is
+    # typically an Arrow mapInPandas decode chain, and without lineage
+    # truncation every reference re-decodes every blob (the before plan
+    # carried 4 copies of the Python decode subtree). Truncate once —
+    # 8 bytes/row survive, the media bytes never re-enter the plan.
     fp = hashes.where(F.col(hash_col).isNotNull()).select(
         F.col(id_col).alias("__id"), F.col(hash_col).alias("__fp")
-    )
+    ).localCheckpoint(eager=False)
 
     def chunk(b: int) -> F.Column:
         start = b * width

@@ -515,6 +515,13 @@ def lm_quality_buckets(
             "freq_sum",
             F.expr(f"freq_sum * {scale} div n_bigrams").alias("score_key"),
         )
+        # scored feeds BOTH the histogram (broadcast build side) and the
+        # final probe side; without lineage truncation Catalyst expands
+        # the whole bigram explode + LM-join subtree once per reference
+        # (4 Generate nodes in the physical plan, measured ~2x the
+        # query). Values unchanged — plan-shape only (guide §1.2 step 1:
+        # don't compute things twice).
+        .localCheckpoint(eager=False)
     )
     hist = scored.groupBy("lang", "score_key").agg(
         F.count(F.lit(1)).alias("__cnt")

@@ -61,6 +61,7 @@ def item_similarity(
     item_col: str,
     min_cooccurrence: int = 1,
     max_basket_size: int | None = None,
+    touching_items: DataFrame | None = None,
 ) -> DataFrame:
     """M5+M6: upper-triangle item-item cosine similarity.
 
@@ -73,6 +74,19 @@ def item_similarity(
     cap) truncates each user's basket deterministically BEFORE the
     self-join — see :func:`cap_basket_size`. Item counts are taken
     over the capped interactions so cosine stays internally consistent.
+
+    ``touching_items`` (opt-in, PURE PRUNING — surviving rows are
+    bit-identical) keeps only pairs where at least one side is in the
+    given 1-column item set. A downstream consumer that only ever
+    scores a bounded anchor-item set (cf.recommend with
+    small_user_band semi-prunes the symmetric similarity to purchased
+    items) provably never reads a pair touching no anchor, and each
+    pair's (cooccurrence, cosine) depends only on that pair's own
+    rows — so dropping untouched pairs BEFORE the pair aggregation
+    changes nothing downstream while cutting the pair shuffle to the
+    anchors' share of the fan-out (guide §2.3/§3.2: prune the big
+    side before the exchange). The filter is two broadcast left
+    joins + an IS NOT NULL OR — map-side, no extra shuffle.
     """
     if max_basket_size is not None:
         interactions = cap_basket_size(
@@ -87,10 +101,37 @@ def item_similarity(
     b = interactions.select(
         F.col(user_col).alias("__u"), F.col(item_col).alias("item_b")
     )
+    pairs = a.join(b, "__u").where(F.col("item_a") < F.col("item_b"))
+    if touching_items is not None:
+        touch = touching_items.select(
+            F.col(touching_items.columns[0]).alias("__ti")
+        ).distinct()
+        pairs = (
+            pairs.join(
+                F.broadcast(
+                    touch.select(
+                        F.col("__ti").alias("item_a"),
+                        F.lit(1).alias("__ka"),
+                    )
+                ),
+                "item_a",
+                "left",
+            )
+            .join(
+                F.broadcast(
+                    touch.select(
+                        F.col("__ti").alias("item_b"),
+                        F.lit(1).alias("__kb"),
+                    )
+                ),
+                "item_b",
+                "left",
+            )
+            .where(F.col("__ka").isNotNull() | F.col("__kb").isNotNull())
+            .drop("__ka", "__kb")
+        )
     cooc = (
-        a.join(b, "__u")
-        .where(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
+        pairs.groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("cooccurrence"))
         .where(F.col("cooccurrence") >= min_cooccurrence)
     )

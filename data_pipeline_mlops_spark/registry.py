@@ -773,15 +773,24 @@ def q_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7: item-based CF recommendations, decimal-exact score
     accumulation, purchased masked via anti-join, per-user top-5
     (reference dags/daily_pipeline.py:506-524). Scored for customers
-    with key <= 50 to bound the surfaced output."""
+    with key <= 50 to bound the surfaced output.
+
+    Round-13 optimization: the pair build is pruned to pairs TOUCHING
+    the scored band's purchased items (cf.item_similarity
+    touching_items — pure pruning, surviving rows bit-identical, and
+    cf.recommend's small_user_band semi-join never reads an untouched
+    pair), and the materialized model drops the unused cooccurrence
+    column — the pair shuffle and the checkpoint shrink to the
+    anchors' share of the fan-out. Same oracle, unchanged."""
     inter = _materialize(_interactions(spark, sf_dir))
+    purchases = inter.where(F.col("customer_id") <= 50)
     sim = _materialize(
         cf.item_similarity(
             inter, user_col="customer_id", item_col="product_id",
             min_cooccurrence=1,
-        )
+            touching_items=purchases.select("product_id"),
+        ).select("item_a", "item_b", "cosine_sim")
     )
-    purchases = inter.where(F.col("customer_id") <= 50)
     recs = cf.recommend(
         purchases, sim, user_col="customer_id", item_col="product_id",
         top_n=5, small_user_band=True,
@@ -847,15 +856,22 @@ def q_recommendations_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     |purchases| x 20 instead of |purchases| x full item degree (a hot
     item's whole similarity row otherwise multiplies the shuffle).
     The cap is SQL-expressible (ROW_NUMBER() <= 20 over the symmetric
-    similarity), so this approximation is fully oracle-checked."""
+    similarity), so this approximation is fully oracle-checked.
+
+    Round-13 optimization: same touching-items pair-build prune +
+    cooccurrence-column drop as `recommendations` (pure pruning; the
+    neighbor-cap window partitions by item_a and every anchor item's
+    partition is complete under the either-side filter, so ranks are
+    identical). Same oracle, unchanged."""
     inter = _materialize(_interactions(spark, sf_dir))
+    purchases = inter.where(F.col("customer_id") <= 50)
     sim = _materialize(
         cf.item_similarity(
             inter, user_col="customer_id", item_col="product_id",
             min_cooccurrence=1,
-        )
+            touching_items=purchases.select("product_id"),
+        ).select("item_a", "item_b", "cosine_sim")
     )
-    purchases = inter.where(F.col("customer_id") <= 50)
     recs = cf.recommend(
         purchases, sim, user_col="customer_id", item_col="product_id",
         top_n=5, max_neighbors=20, small_user_band=True,

@@ -265,6 +265,34 @@ def test_connected_components_hand_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
 
 
+def test_connected_components_foreign_edge_endpoints_ignored(spark):
+    """Round-13 internals change (labels iterate only over edge-touched
+    vertices): an edge naming a vertex OUTSIDE ``vertices`` must behave
+    exactly as before the change — the foreign endpoint neither appears
+    in the output nor donates its label to a real vertex, and isolated
+    vertices still label themselves."""
+    from data_pipeline_mlops_spark.functions.graph import (
+        connected_components,
+    )
+
+    vertices = spark.createDataFrame(
+        [(v,) for v in [5, 6, 99]], "doc_id long"
+    )
+    # 1 is NOT a vertex: without the left_semi guard it would win the
+    # hash-min and relabel 5/6 to component 1
+    edges = spark.createDataFrame(
+        [(1, 5), (5, 6)], "id_a long, id_b long"
+    )
+    got = {
+        r.doc_id: r.component
+        for r in connected_components(
+            vertices, edges, vertex_col="doc_id",
+            src_col="id_a", dst_col="id_b",
+        ).collect()
+    }
+    assert got == {5: 5, 6: 5, 99: 99}
+
+
 def test_ivf_index_persists_and_reloads_through_registry(spark, tmp_path):
     """The IVF index is two plain DataFrames, so the train-once /
     serve-many path runs through the model registry: persist

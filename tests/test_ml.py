@@ -440,6 +440,64 @@ def test_item_similarity_max_basket_size_bounded_pairs(spark):
     assert capped.count() == 10 * 9 // 2
 
 
+def test_item_similarity_touching_items_is_pure_pruning(spark):
+    """The round-13 pair-build prune: with ``touching_items`` the
+    surviving rows must be BIT-IDENTICAL to the full build filtered
+    post-hoc to pairs touching the set — counts and cosines are
+    per-pair quantities, so pre-aggregation pruning may drop rows but
+    never change one."""
+    from data_pipeline_mlops_spark.ml.cf import item_similarity
+
+    inter = _inter(spark)
+    touch = spark.createDataFrame([("A",)], "item string")
+    pruned = {
+        (r["item_a"], r["item_b"]): (r["cooccurrence"], r["cosine_sim"])
+        for r in item_similarity(
+            inter, user_col="user", item_col="item",
+            touching_items=touch,
+        ).collect()
+    }
+    full = {
+        (r["item_a"], r["item_b"]): (r["cooccurrence"], r["cosine_sim"])
+        for r in item_similarity(
+            inter, user_col="user", item_col="item"
+        ).collect()
+        if r["item_a"] == "A" or r["item_b"] == "A"
+    }
+    assert pruned == full
+    # and the untouched pair (B,C), (C,D) really are pruned
+    assert ("B", "C") not in pruned and ("C", "D") not in pruned
+
+
+def test_recommend_equal_with_touching_items_pruned_sim(spark):
+    """End-to-end equivalence behind registry `recommendations`/
+    `recommendations_capped`: scoring a bounded user band against the
+    anchor-pruned similarity build must produce the exact rows the
+    full build produces — capped and uncapped."""
+    from data_pipeline_mlops_spark.ml.cf import item_similarity, recommend
+
+    inter = _inter(spark)
+    band = inter.where(F.col("user") == "u1")
+    anchors = band.select("item")
+    for cap in (None, 1):
+        full = recommend(
+            band,
+            item_similarity(inter, user_col="user", item_col="item"),
+            user_col="user", item_col="item",
+            top_n=5, max_neighbors=cap, small_user_band=True,
+        ).collect()
+        pruned = recommend(
+            band,
+            item_similarity(
+                inter, user_col="user", item_col="item",
+                touching_items=anchors,
+            ),
+            user_col="user", item_col="item",
+            top_n=5, max_neighbors=cap, small_user_band=True,
+        ).collect()
+        assert sorted(map(tuple, full)) == sorted(map(tuple, pruned))
+
+
 def test_als_quality_band(spark, tmp_path):
     """Eval harness for the factorization twin (registry
     `recommendations_als` is rows/schema-checked — ALS is not
