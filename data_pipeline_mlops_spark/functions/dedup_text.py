@@ -256,8 +256,18 @@ def minhash_signatures(
     linear permutations (a_i*base + b_i) mod P — minhash_coeffs — so
     DuckDB replicates signatures bit-for-bit at ~the cost of a single
     digest instead of k)."""
-    sh = shingle_rows(df, id_col=id_col, text_col=text_col, n=shingle_n)
+    return _signatures_from_rows(
+        shingle_rows(df, id_col=id_col, text_col=text_col, n=shingle_n),
+        id_col=id_col, num_hashes=num_hashes, hash_method=hash_method,
+    )
 
+
+def _signatures_from_rows(
+    sh: DataFrame, *, id_col: str, num_hashes: int, hash_method: str
+) -> DataFrame:
+    """Signature aggregation over exploded (__id, shingle) rows —
+    split out so minhash_dedup can feed a SHARED materialized shingle
+    base instead of re-deriving the rows from text."""
     if hash_method == "md5":
         sh = sh.select(
             "__id", (_md5_60(F.col("shingle")) % MINHASH_P).alias("__base")
@@ -359,10 +369,27 @@ def minhash_dedup(
     """Tier 3 end-to-end: signatures -> LSH candidates -> (optional)
     exact Jaccard verification of candidates only."""
     assert num_hashes % bands == 0
-    sigs = minhash_signatures(
-        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
-        shingle_n=shingle_n, hash_method=hash_method,
-    )
+    # One shingle pass, one signature aggregation, shared by lineage
+    # truncation: without it the band self-join recomputes the FULL
+    # signature pipeline on both sides (tokenize + shingle explode +
+    # digest + k-slot min agg — the dominant cost) and the candidate
+    # verification tokenizes twice more — 4 text passes and 2 signature
+    # aggregations in the before plan, 0 reused exchanges (guide §1.2
+    # step 1 / §2.3). Values unchanged — same computation, materialized
+    # once. When verification is off the shingle base has a single
+    # consumer, so only the signatures are pinned (and the exploded
+    # rows keep the inline shingle_rows shape — exploding a
+    # non-materialized aliased array is the measured-25x-slower plan).
+    if verify_threshold is not None:
+        base = shingled(
+            df, id_col=id_col, text_col=text_col, n=shingle_n
+        ).localCheckpoint(eager=False)
+        sh = base.select("__id", F.explode("__sh").alias("shingle"))
+    else:
+        sh = shingle_rows(df, id_col=id_col, text_col=text_col, n=shingle_n)
+    sigs = _signatures_from_rows(
+        sh, id_col=id_col, num_hashes=num_hashes, hash_method=hash_method,
+    ).localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(
         sigs, id_col=id_col, bands=bands,
         rows_per_band=num_hashes // bands, hash_method=hash_method,
@@ -372,9 +399,7 @@ def minhash_dedup(
     # verify ONLY the candidates: join each pair to its two shingle
     # arrays and compute exact Jaccard with array_intersect — O(#cands)
     # instead of the all-pairs shingle join (the whole point of LSH).
-    shingle_sets = shingled(
-        df, id_col=id_col, text_col=text_col, n=shingle_n
-    )
+    shingle_sets = base
     sa = shingle_sets.select(
         F.col("__id").alias("id_a"), F.col("__sh").alias("__sha")
     )
