@@ -41,6 +41,17 @@ def extract_and_gate(
     streaming ingest dedups against its persisted hash index
     instead — streaming/crawl_stream.py)."""
     extracted = html_extract(pages, id_col=id_col, html_col=html_col)
+    if not extracted.isStreaming:
+        # Materialize the extraction once: the quality/link gate below
+        # references the derived text, and Catalyst pushes that filter
+        # beneath the extraction projections, re-inlining the 15-step
+        # strip_html regexp chain ~10x per row (Filter + Project each
+        # carried the full chain per reference in the executed plan).
+        # One lineage cut makes extraction a single pass; scoring and
+        # the gate read the materialized (id, text, counts) columns.
+        # Values unchanged. Batch-only: streaming frames cannot
+        # checkpoint, and the streaming ingest gates per micro-batch.
+        extracted = extracted.localCheckpoint(eager=False)
     scored = with_quality_score(with_lang_id(extracted, "text"), "text")
     return scored.where(
         (F.col("quality_score") >= min_quality)
