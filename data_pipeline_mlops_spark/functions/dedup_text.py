@@ -667,8 +667,15 @@ def winnowing_fingerprints(
         kgrams,
         lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
     )
-    h = d.select(F.col(id_col), hashes.alias("__hs")).where(
-        F.size("__hs") >= 1
+    # Filter on the TOKEN count, not the hash-array size: the k-gram
+    # hash array is non-empty iff the doc has >= k tokens, and a
+    # pushed-down size(__hs) >= 1 predicate re-evaluates the whole
+    # md5-per-k-gram array a second time per row just to test
+    # emptiness (the executed plan carried the full transform chain
+    # in both the Filter and the Project — 2x the hashing work).
+    # Token-count split is cheap; values unchanged.
+    h = d.where(F.size("__tk") >= k).select(
+        F.col(id_col), hashes.alias("__hs")
     )
     starts = F.sequence(
         F.lit(1), F.greatest(F.size("__hs") - F.lit(window - 1), F.lit(1))
