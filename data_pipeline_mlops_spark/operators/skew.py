@@ -68,3 +68,84 @@ def salted_join(
     )
     out = left.join(right, [on, "__salt"], "inner").drop("__salt")
     return out
+
+
+def skewfree_rank(
+    df: DataFrame,
+    *,
+    part_col: str,
+    order_col: str,
+    id_col: str,
+    descending: bool = False,
+    with_cumsum: bool = False,
+) -> DataFrame:
+    """`row_number() OVER (PARTITION BY part ORDER BY order, id)` —
+    and optionally the running SUM of ``order_col`` over the same
+    frame — WITHOUT a fact-sized per-partition sort.
+
+    A direct window partitioned by a low-cardinality column (language,
+    status) puts a whole stratum in ONE sort task: at corpus scale the
+    dominant language is ~half the data, so the stage degenerates to a
+    single straggler (guide §2.5 — and AQE skew handling cannot split
+    windows, only joins). This computes the identical rank in three
+    bounded steps:
+
+    1. histogram: count rows per (part, order-value) — value-space
+       sized, not fact-sized;
+    2. prefix counts over the HISTOGRAM per part (a window over
+       |distinct order values| rows, broadcast back);
+    3. tie-break `row_number` partitioned by (part, order-value) —
+       partitions are tie GROUPS, bounded by the largest set of rows
+       sharing one order value, never a whole stratum.
+
+    rank = (#rows strictly before this order value) + (position of
+    ``id_col`` within the tie group) — exactly `row_number` of the
+    direct window for every row. With ``with_cumsum``, ``__cum`` is
+    the running sum of ``order_col`` over the same ordering (all tie
+    rows share the order value, so the tie contribution is
+    ``order_value * tie_rank`` — exact for integer columns).
+
+    Adds columns: ``__rank`` (long), ``__n_part`` (rows in the
+    partition, long), and ``__cum`` (long) when requested.
+    ``part_col``/``order_col`` must be non-null (the histogram
+    re-attach is a null-unsafe equi-join).
+    """
+    from pyspark.sql import Window
+
+    o = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    hist = df.groupBy(part_col, order_col).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_h = Window.partitionBy(part_col).orderBy(o).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_p = Window.partitionBy(part_col)
+    cum_cols = [
+        F.col(part_col),
+        F.col(order_col),
+        (F.sum("__cnt").over(w_h) - F.col("__cnt")).alias("__before"),
+        F.sum("__cnt").over(w_p).alias("__n_part"),
+    ]
+    if with_cumsum:
+        contrib = F.col(order_col).cast("long") * F.col("__cnt")
+        cum_cols.append(
+            (F.sum(contrib).over(w_h) - contrib).alias("__before_sum")
+        )
+    cuts = hist.select(*cum_cols)
+    w_tie = Window.partitionBy(part_col, order_col).orderBy(
+        F.col(id_col).asc()
+    )
+    out = (
+        df.join(F.broadcast(cuts), [part_col, order_col])
+        .withColumn("__tie", F.row_number().over(w_tie))
+        .withColumn(
+            "__rank", F.col("__before") + F.col("__tie").cast("long")
+        )
+    )
+    if with_cumsum:
+        out = out.withColumn(
+            "__cum",
+            F.col("__before_sum")
+            + F.col(order_col).cast("long") * F.col("__tie"),
+        )
+    return out.drop("__before", "__before_sum", "__tie")

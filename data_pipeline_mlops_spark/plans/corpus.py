@@ -24,13 +24,14 @@ packing fold) and hash-matches the final packed assignment.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_mlops_spark.functions import dedup_text, text
 from data_pipeline_mlops_spark.functions.graph import connected_components
 from data_pipeline_mlops_spark.functions.packing import pack_greedy
 from data_pipeline_mlops_spark.operators.sample import stratified_sample
+from data_pipeline_mlops_spark.operators.skew import skewfree_rank
 from data_pipeline_mlops_spark.sources.tables import load_table
 
 
@@ -47,16 +48,29 @@ def prepare_corpus(
     """(doc_id, pack_group, tokens, pack_bin, bin_fill) for every doc
     that survives quality filtering, dedup and sampling."""
     docs = load_table(spark, sf_dir, "documents")
-    scored = text.with_quality_score(docs, "text")
-
-    w_rank = Window.partitionBy("lang").orderBy(
-        F.col("quality_score").asc(), F.col("doc_id").asc()
+    # materialize the scored rows once: the skew-free ranking below
+    # reads them twice (histogram build + probe side) and the quality
+    # projection re-derives from text per reference otherwise
+    scored = text.with_quality_score(docs, "text").localCheckpoint(
+        eager=False
     )
-    w_lang = Window.partitionBy("lang")
+
+    # Rank-based quartile drop WITHOUT a per-language fact-sized sort:
+    # a direct Window.partitionBy("lang") puts the dominant language
+    # (~half a real crawl) in ONE sort task (guide §2.5; AQE cannot
+    # split window partitions). skewfree_rank computes the identical
+    # row_number from a (lang, score) histogram + tie-group ranks —
+    # bounded partitions at every step. Values unchanged (equivalence
+    # pinned by tests/test_functions.py::
+    # test_skewfree_rank_matches_direct_window and the oracle).
+    ranked = skewfree_rank(
+        scored, part_col="lang", order_col="quality_score",
+        id_col="doc_id",
+    )
     kept = (
-        scored.withColumn("__rn", F.row_number().over(w_rank))
-        .withColumn("__nl", F.count(F.lit(1)).over(w_lang))
-        .where(F.col("__rn") > F.floor((F.col("__nl") + 3) / F.lit(4)))
+        ranked.where(
+            F.col("__rank") > F.floor((F.col("__n_part") + 3) / F.lit(4))
+        )
         .select("doc_id", "lang", "text")
         # four downstream consumers (pair join x2 sides, CC vertices,
         # survivor join) — materialize once

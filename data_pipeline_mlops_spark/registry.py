@@ -1262,22 +1262,34 @@ def q_doc_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents in descending-length order (doc_id tiebreak) until the
     running whitespace-token total would exceed a 2000-token budget —
     the greedy per-stratum selection every mixture-weighted training
-    corpus build runs. One window cumsum per stratum; no driver state."""
-    from pyspark.sql import Window
+    corpus build runs. No driver state.
+
+    Running total computed skew-free (operators/skew.py::
+    skewfree_rank with_cumsum): histogram prefix sums + tie-group
+    row_number x token count instead of a fact-sized per-language
+    window sort — identical values (ties share n_tokens, so the tie
+    contribution is exactly n_tokens * tie_rank), no dominant-
+    language straggler at corpus scale (guide §2.5)."""
+    from data_pipeline_mlops_spark.operators.skew import skewfree_rank
 
     budget = 2000
-    d = text.with_token_stats(_docs(spark, sf_dir), "text").select(
-        "doc_id", "lang", "n_tokens"
+    # slim + materialized once: the ranking reads the rows twice
+    # (histogram + probe) and n_tokens re-tokenizes text otherwise
+    d = _materialize(
+        text.with_token_stats(_docs(spark, sf_dir), "text").select(
+            "doc_id", "lang", "n_tokens"
+        )
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = skewfree_rank(
+        d, part_col="lang", order_col="n_tokens", id_col="doc_id",
+        descending=True, with_cumsum=True,
     )
     return (
-        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .where(F.col("cum_tokens") <= budget)
-        .select("lang", "doc_id", "n_tokens", "cum_tokens")
+        ranked.where(F.col("__cum") <= budget)
+        .select(
+            "lang", "doc_id", "n_tokens",
+            F.col("__cum").alias("cum_tokens"),
+        )
     )
 
 
@@ -4915,21 +4927,33 @@ def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_score WITHIN each language (per-stratum thresholds — a
     global cut would empty the weakest language). Rank-based rather
     than interpolated-percentile so the boundary is a concrete row
-    (rounded score + id tiebreak), deterministic on both engines."""
-    from pyspark.sql import Window
+    (rounded score + id tiebreak), deterministic on both engines.
 
-    scored = text.with_quality_score(_docs(spark, sf_dir), "text")
-    w_rank = Window.partitionBy("lang").orderBy(
-        F.col("quality_score").asc(), F.col("doc_id").asc()
+    Rank computed skew-free (operators/skew.py::skewfree_rank):
+    histogram prefix counts + tie-group row_number instead of a
+    fact-sized per-language sort — identical values, no dominant-
+    language straggler at corpus scale (guide §2.5)."""
+    from data_pipeline_mlops_spark.operators.skew import skewfree_rank
+
+    # slim + materialized once: the ranking reads the scored rows
+    # twice (histogram + probe) and the quality projection would
+    # re-derive from text per reference otherwise
+    scored = _materialize(
+        text.with_quality_score(_docs(spark, sf_dir), "text").select(
+            "doc_id", "lang", "quality_score"
+        )
     )
-    w_lang = Window.partitionBy("lang")
-    return scored.select(
+    ranked = skewfree_rank(
+        scored, part_col="lang", order_col="quality_score",
+        id_col="doc_id",
+    )
+    return ranked.select(
         "doc_id",
         "lang",
         "quality_score",
         (
-            F.row_number().over(w_rank)
-            > F.floor((F.count(F.lit(1)).over(w_lang) + 3) / F.lit(4))
+            F.col("__rank")
+            > F.floor((F.col("__n_part") + 3) / F.lit(4))
         ).alias("kept"),
     )
 

@@ -661,3 +661,55 @@ def test_all_tables_buckets_equal_per_table_builders(spark):
             ).collect()
         }
         assert per == {k: v for k, v in allt_s.items() if k[1] == t}
+
+
+def test_skewfree_rank_matches_direct_window(spark):
+    """skewfree_rank must equal row_number over (part | order, id) —
+    including tie groups, single-row partitions, and the cumsum form
+    used by the token-budget selection."""
+    from pyspark.sql import Window
+
+    from data_pipeline_mlops_spark.operators.skew import skewfree_rank
+
+    rows = []
+    # heavy stratum with many ties, light stratum, singleton stratum
+    for i in range(200):
+        rows.append(("en", float(i % 7), i))
+    for i in range(200, 230):
+        rows.append(("de", float(i % 3), i))
+    rows.append(("xx", 5.0, 999))
+    df = spark.createDataFrame(rows, "lang string, score double, doc_id long")
+
+    for desc in (False, True):
+        order = F.col("score").desc() if desc else F.col("score").asc()
+        w = Window.partitionBy("lang").orderBy(order, F.col("doc_id").asc())
+        direct = {
+            (r["lang"], r["doc_id"]): r["rk"]
+            for r in df.withColumn("rk", F.row_number().over(w)).collect()
+        }
+        out = skewfree_rank(
+            df, part_col="lang", order_col="score", id_col="doc_id",
+            descending=desc,
+        ).collect()
+        got = {(r["lang"], r["doc_id"]): r["__rank"] for r in out}
+        assert got == direct, f"descending={desc}"
+        npart = {r["lang"]: r["__n_part"] for r in out}
+        assert npart == {"en": 200, "de": 30, "xx": 1}
+
+    # cumsum form: integer order column, descending (token budget shape)
+    di = df.withColumn("n_tok", (F.col("score") * 3 + 1).cast("long"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_tok").desc(), F.col("doc_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    direct = {
+        (r["lang"], r["doc_id"]): r["cum"]
+        for r in di.withColumn("cum", F.sum("n_tok").over(w)).collect()
+    }
+    got = {
+        (r["lang"], r["doc_id"]): r["__cum"]
+        for r in skewfree_rank(
+            di, part_col="lang", order_col="n_tok", id_col="doc_id",
+            descending=True, with_cumsum=True,
+        ).collect()
+    }
+    assert got == direct
