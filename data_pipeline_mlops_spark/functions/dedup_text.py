@@ -110,6 +110,37 @@ def shingle_rows(
     ).select("__id", F.explode(_shingle_expr("__toks", n)).alias("shingle"))
 
 
+def _hashed_shingle_base(
+    df: DataFrame, *, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(__id, __sz, __shh) — the set size and the md5-60 INT64 hash of
+    each distinct shingle, materialized once (lazy localCheckpoint).
+
+    The n-gram pair builders only ever compare shingles for EQUALITY
+    (freq-cap groupBy + the pair self-join — the two dominant
+    exchanges), so they can shuffle an 8-byte key instead of the
+    ~20-40-byte shingle string: guide §2.3 "shuffle keys and metadata
+    instead of payloads" (~3x fewer join-shuffle bytes, and int64
+    grouping/join comparisons instead of string ones). ``__sz`` is
+    computed on the STRING set before hashing, so set sizes are
+    untouched. A 60-bit collision between distinct shingles in the
+    same corpus could overcount one pair intersection — ~(#distinct
+    shingles)^2 / 2^61, vanishing below ~10^8 distinct shingles and
+    the same accepted trade as the xxhash64 shingle collapse in
+    remove_repeated_passages; pair outputs verified bit-equal to the
+    string-keyed form at all test SFs (oracles replay the string
+    join)."""
+    return (
+        shingled(df, id_col=id_col, text_col=text_col, n=n)
+        .select(
+            "__id",
+            F.size("__sh").alias("__sz"),
+            F.transform("__sh", _md5_60).alias("__shh"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     *,
@@ -132,12 +163,12 @@ def ngram_jaccard_pairs(
     # the regexp-split + array build per reference (4 Generate subtrees
     # + 2 size passes in the before plan). Values unchanged (guide §1.2
     # step 1 / §2.3: compute the heavy projection once, reuse bytes).
-    base = shingled(
+    base = _hashed_shingle_base(
         df, id_col=id_col, text_col=text_col, n=n
-    ).localCheckpoint(eager=False)
-    sh = base.select("__id", F.explode("__sh").alias("shingle"))
-    # set sizes straight off the array expression: map-side, no shuffle
-    sizes = base.select("__id", F.size("__sh").alias("__sz"))
+    )
+    sh = base.select("__id", F.explode("__shh").alias("shingle"))
+    # set sizes straight off the materialized base: map-side, no shuffle
+    sizes = base.select("__id", "__sz")
     if max_shingle_freq is not None:
         keep = (
             sh.groupBy("shingle")
@@ -198,12 +229,14 @@ def containment_pairs(
     Output: id_a < id_b, inter/sz_a/sz_b (exact BIGINTs), containment
     (rounded 6dp).
     """
-    # same one-pass shingle materialization as ngram_jaccard_pairs
-    base = shingled(
+    # same one-pass hashed-shingle materialization as
+    # ngram_jaccard_pairs (8-byte join/group keys — see
+    # _hashed_shingle_base)
+    base = _hashed_shingle_base(
         df, id_col=id_col, text_col=text_col, n=n
-    ).localCheckpoint(eager=False)
-    sh = base.select("__id", F.explode("__sh").alias("shingle"))
-    sizes = base.select("__id", F.size("__sh").alias("__sz"))
+    )
+    sh = base.select("__id", F.explode("__shh").alias("shingle"))
+    sizes = base.select("__id", "__sz")
     if max_shingle_freq is not None:
         keep = (
             sh.groupBy("shingle")

@@ -94,7 +94,12 @@ def connected_components(
                     F.col("label"), F.coalesce("nbr_min", "label")
                 ).alias("label"),
             )
-            .localCheckpoint()  # also materializes for the two uses below
+            # LAZY checkpoint: the convergence count below is the
+            # materializing action, so each round runs ONE job (join +
+            # store + count) instead of two (eager store, then a second
+            # full pass over the stored labels just to count) — one
+            # fewer pass over the label set per round at any scale.
+            .localCheckpoint(eager=False)
         )
         changed = stepped.where(
             F.col("label") != F.col("old_label")
