@@ -49,9 +49,14 @@ def stratified_fixed_sample(
     keep the first n — a derandomized reservoir sample. Unlike the
     rate-based gate, adding data CAN rotate members in/out (the rank
     frontier moves); what is guaranteed is exact counts and
-    reproducibility for a given dataset. The shuffle is one window over
-    (stratum) — fine while strata are few; salt the stratum if one
-    stratum dominates."""
+    reproducibility for a given dataset. Skew posture: because the
+    rank filter sits directly above the window, Spark 4 plans a
+    `WindowGroupLimit ... Partial` BELOW the exchange (verified:
+    plans/r13/stratified_fixed_sample_windowgrouplimit.txt), so at
+    most n rows per stratum per map task are shuffled and the
+    reduce-side per-stratum sort is bounded by n x #map-tasks — a
+    dominant stratum cannot become a single-task straggler sort (the
+    map-side sort runs per input split, evenly)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(strata_col).orderBy(
