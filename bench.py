@@ -161,6 +161,12 @@ HEADLINE = R1_KEYS + [
     # corpus-wide sort).
     "ngram_containment_dups",
     "doc_ccnet_buckets",
+    # Round 14: proof-of-parallelism probe (VERDICT r13 #1) — a pure
+    # compute burn whose 8-vs-32-core ratio demonstrates the master
+    # honors $SPARK_GRAFT_CPUS (every real query at sf0.1 is too
+    # overhead-dominated to show it). Additive: no existing entry
+    # removed or renamed.
+    "cpu_scaling_probe",
 ]
 
 
@@ -235,10 +241,43 @@ def _semdedup_fast(spark, sf_dir):
     )
 
 
+def _cpu_scaling_probe(spark, sf_dir):
+    """Deliberately CPU-bound, embarrassingly-parallel probe so the
+    8-vs-32-core bench legs carry SIGNAL (VERDICT r13 #1: every real
+    query is dominated by fixed JVM/planning overhead at sf0.1, so all
+    60 low/high-core ratios sat at ~1 and the driver flagged
+    suspect_cpus_ignored). Reads the parquet fact (no synthetic
+    range()), round-robins it over 2x defaultParallelism partitions
+    (scale-adaptive — never a constant tuned to one core count), then
+    burns a fixed amount of hashing per row via an interpreted
+    higher-order aggregate: ~1.2G xxhash64 evaluations total, zero
+    shuffle after the repartition, one scalar output. Wall time is
+    ~pure executor compute, so t(8 cores)/t(32 cores) ~ 4 when the
+    master honors $SPARK_GRAFT_CPUS."""
+    from pyspark.sql import functions as F
+
+    sc = spark.sparkContext
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+        .repartition(2 * sc.defaultParallelism)
+    )
+    burn = F.aggregate(
+        F.sequence(F.lit(1), F.lit(1024)),
+        F.xxhash64("l_orderkey", "l_partkey", "l_suppkey"),
+        lambda acc, i: F.xxhash64(acc, i),
+    )
+    # shift before summing: raw xxhash64 longs overflow an ANSI SUM
+    return df.select(
+        F.shiftrightunsigned(burn, 40).alias("h")
+    ).agg(F.sum("h").alias("probe"))
+
+
 _EXTRA_FNS = {
     "minhash_lsh_fast": _minhash_fast,
     "embedding_near_dups_fast": _embedding_near_dups_fast,
     "doc_semdedup_fast": _semdedup_fast,
+    "cpu_scaling_probe": _cpu_scaling_probe,
 }
 
 
@@ -304,6 +343,39 @@ def _prev_round_artifact() -> str | None:
     return cands[-1] if cands else None
 
 
+def _perf_regressed_queries() -> list[str]:
+    """Headline queries the LAST driver PERF report marked 'regressed'
+    (>10% vs its previous round). VERDICT r13 #2: the drift gate only
+    fired at >1.3x, so the two 0.83-0.84x driver regressions shipped
+    with no isolated second opinion — auto-queue every driver-flagged
+    regression into the fresh-JVM isolated leg so the variance-vs-plan
+    question is answered in the same artifact."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def _round_no(p: str) -> int:
+        m = re.search(r"PERF_r(\d+)\.json$", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    cands = sorted(glob.glob(os.path.join(here, "PERF_r*.json")), key=_round_no)
+    if not cands:
+        return []
+    try:
+        with open(cands[-1]) as fh:
+            pq = json.load(fh).get("per_query", {})
+        return [
+            n
+            for n, d in pq.items()
+            if isinstance(d, dict)
+            and d.get("status") == "regressed"
+            and n in HEADLINE
+        ]
+    except (OSError, json.JSONDecodeError):
+        return []
+
+
 def main() -> None:
     import argparse
 
@@ -357,6 +429,14 @@ def main() -> None:
         )
 
     spark = get_spark(app_name="bench", cpus=cpus)
+    # proof-of-parallelism contract (VERDICT r13 #1): the one-line JSON
+    # carries the EFFECTIVE master / parallelism / shuffle-partition
+    # count so the driver can verify $SPARK_GRAFT_CPUS took effect
+    # instead of inferring it from per-query ratios that saturate at
+    # sf0.1. Captured from the live context, not the env var.
+    eff_master = spark.sparkContext.master
+    eff_parallelism = spark.sparkContext.defaultParallelism
+    eff_shuffle_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
@@ -518,7 +598,9 @@ def main() -> None:
     # the driver's tail window.
     r1_isolated_total = None
     mover_isolated: dict[str, float] | None = None
-    iso_queries = list(dict.fromkeys([*R1_KEYS, *movers]))
+    regressed_isolated: dict[str, float] | None = None
+    perf_regressed = _perf_regressed_queries()
+    iso_queries = list(dict.fromkeys([*R1_KEYS, *movers, *perf_regressed]))
     if (
         not missing
         and only is None
@@ -586,6 +668,9 @@ def main() -> None:
                 mover_isolated = {
                     k: iso[k]["min"] for k in movers if k in iso
                 } or None
+                regressed_isolated = {
+                    k: iso[k]["min"] for k in perf_regressed if k in iso
+                } or None
                 print(
                     f"# isolated r1 total: {r1_isolated_total}s "
                     f"(interleaved: {r1_total}s); detail: {iso_out}",
@@ -638,6 +723,14 @@ def main() -> None:
                     if mover_isolated
                     else {}
                 ),
+                **(
+                    {"perf_regressed_isolated_min": regressed_isolated}
+                    if regressed_isolated
+                    else {}
+                ),
+                "master": eff_master,
+                "default_parallelism": eff_parallelism,
+                "shuffle_partitions": eff_shuffle_parts,
                 "load_1m": [load_start, round(os.getloadavg()[0], 2)],
                 "sf": sf,
                 **({"partial_missing": missing} if missing else {}),

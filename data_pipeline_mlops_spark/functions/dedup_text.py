@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_pipeline_mlops_spark.functions.text import tokens
+from data_pipeline_mlops_spark.materialize import materialize
 
 
 MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
@@ -129,15 +130,22 @@ def _hashed_shingle_base(
     the same accepted trade as the xxhash64 shingle collapse in
     remove_repeated_passages; pair outputs verified bit-equal to the
     string-keyed form at all test SFs (oracles replay the string
-    join)."""
-    return (
-        shingled(df, id_col=id_col, text_col=text_col, n=n)
-        .select(
+    join). A collision between two distinct shingles of the SAME doc
+    (ADVICE r13) duplicates one key in ``__shh``, inflating that
+    doc's pair intersections by one (jaccard can read >1.0 for the
+    affected pair) — expected ~(shingles per doc)^2/2^61 per doc,
+    ~4e-3 docs per 10^10; an array_distinct guard would charge every
+    doc O(|shingles|) to remove that one-in-10^12 benign artifact, so
+    it is documented, not guarded (quantified table: EXECUTION.md
+    "Int64 shingle-key collision budget", incl. the 2x-int64 widening
+    recipe for 10^11+ distinct shingles)."""
+    return materialize(
+        shingled(df, id_col=id_col, text_col=text_col, n=n).select(
             "__id",
             F.size("__sh").alias("__sz"),
             F.transform("__sh", _md5_60).alias("__shh"),
-        )
-        .localCheckpoint(eager=False)
+        ),
+        corpus_sized=True,  # shingle arrays are payload-proportional
     )
 
 
@@ -414,15 +422,18 @@ def minhash_dedup(
     # rows keep the inline shingle_rows shape — exploding a
     # non-materialized aliased array is the measured-25x-slower plan).
     if verify_threshold is not None:
-        base = shingled(
-            df, id_col=id_col, text_col=text_col, n=shingle_n
-        ).localCheckpoint(eager=False)
+        base = materialize(
+            shingled(df, id_col=id_col, text_col=text_col, n=shingle_n),
+            corpus_sized=True,  # string shingle arrays ~ text bytes
+        )
         sh = base.select("__id", F.explode("__sh").alias("shingle"))
     else:
         sh = shingle_rows(df, id_col=id_col, text_col=text_col, n=shingle_n)
-    sigs = _signatures_from_rows(
-        sh, id_col=id_col, num_hashes=num_hashes, hash_method=hash_method,
-    ).localCheckpoint(eager=False)
+    sigs = materialize(  # bounded: num_hashes longs per doc
+        _signatures_from_rows(
+            sh, id_col=id_col, num_hashes=num_hashes, hash_method=hash_method,
+        )
+    )
     cands = lsh_candidate_pairs(
         sigs, id_col=id_col, bands=bands,
         rows_per_band=num_hashes // bands, hash_method=hash_method,

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_pipeline_mlops_spark.materialize import materialize
+
 
 def connected_components(
     vertices: DataFrame,
@@ -99,7 +101,7 @@ def connected_components(
             # store + count) instead of two (eager store, then a second
             # full pass over the stored labels just to count) — one
             # fewer pass over the label set per round at any scale.
-            .localCheckpoint(eager=False)
+            .transform(materialize)
         )
         changed = stepped.where(
             F.col("label") != F.col("old_label")
@@ -183,7 +185,7 @@ def pagerank(
     pr = v.crossJoin(F.broadcast(n_df)).select(
         "v",
         _div_round(str(scale), "N").cast("long").alias("prs"),
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     for _ in range(iters):
         contrib = (
             e.join(deg, "src")
@@ -211,7 +213,7 @@ def pagerank(
                 .cast("long")
                 .alias("prs"),
             )
-            .localCheckpoint(eager=False)
+            .transform(materialize)
         )
     return pr.select(
         "v", (F.col("prs").cast("double") / F.lit(float(scale))).alias("pr")
@@ -277,6 +279,6 @@ def label_propagation(
                 "v",
                 F.coalesce(F.col("__new"), F.col("label")).alias("label"),
             )
-            .localCheckpoint(eager=False)
+            .transform(materialize)
         )
     return labels

@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from data_pipeline_mlops_spark.materialize import materialize
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -1361,7 +1363,7 @@ def dhash_near_dup_pairs(
     # 8 bytes/row survive, the media bytes never re-enter the plan.
     fp = hashes.where(F.col(hash_col).isNotNull()).select(
         F.col(id_col).alias("__id"), F.col(hash_col).alias("__fp")
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
 
     def chunk(b: int) -> F.Column:
         start = b * width

@@ -18,6 +18,8 @@ import pandas as pd  # noqa: TC002 — pandas_udf resolves 'pd.Series'
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_pipeline_mlops_spark.materialize import materialize
+
 COS_SCALE = 4  # rank on rounded cosine + id tiebreak => deterministic
 
 
@@ -733,7 +735,7 @@ def cosine_near_dup_pairs(
         # (planes x tables projections per vector) computes once, not
         # twice — rows are ~24 bytes, so the block is tiny even at
         # corpus scale (same _materialize discipline as registry.py)
-        bucketed = bucketed.localCheckpoint(eager=False)
+        bucketed = bucketed.transform(materialize)
         left = bucketed.select(
             F.col(id_col).alias("id_a"), "table", "bucket"
         )

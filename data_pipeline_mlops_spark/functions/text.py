@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_pipeline_mlops_spark.materialize import materialize
+
 # small multilingual marker-word lists for the n-gram/stopword heuristic
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
@@ -521,7 +523,7 @@ def lm_quality_buckets(
         # (4 Generate nodes in the physical plan, measured ~2x the
         # query). Values unchanged — plan-shape only (guide §1.2 step 1:
         # don't compute things twice).
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     hist = scored.groupBy("lang", "score_key").agg(
         F.count(F.lit(1)).alias("__cnt")

@@ -62,6 +62,7 @@ def item_similarity(
     min_cooccurrence: int = 1,
     max_basket_size: int | None = None,
     touching_items: DataFrame | None = None,
+    pack_pair_keys: bool = False,
 ) -> DataFrame:
     """M5+M6: upper-triangle item-item cosine similarity.
 
@@ -87,6 +88,17 @@ def item_similarity(
     anchors' share of the fan-out (guide §2.3/§3.2: prune the big
     side before the exchange). The filter is two broadcast left
     joins + an IS NOT NULL OR — map-side, no extra shuffle.
+
+    ``pack_pair_keys`` (opt-in, values UNCHANGED) packs the ordered
+    pair into ONE int64 — ``(item_a << 32) | item_b`` — before the
+    pair-count aggregation, so the model's dominant exchange shuffles
+    an 8-byte key instead of two (guide §2.3: narrower types / pack
+    the key). Requires integral ids in ``[0, 2^32)``; the packing
+    expression raises on any out-of-range id instead of silently
+    colliding, and the unpacked columns are cast back to the source
+    dtype so the schema is untouched. For id spaces wider than 32
+    bits, dictionary-encode first (rank join against the item
+    dimension) — not needed for any catalog-sized id space.
     """
     if max_basket_size is not None:
         interactions = cap_basket_size(
@@ -95,13 +107,25 @@ def item_similarity(
             item_col=item_col,
             max_items=max_basket_size,
         )
-    a = interactions.select(
-        F.col(user_col).alias("__u"), F.col(item_col).alias("item_a")
+    # Both self-join sides carry the IDENTICAL projection (alias the
+    # item column only after the join): canonically-equal subtrees let
+    # the engine materialize ONE user-keyed exchange and read it from
+    # both sides (ReusedExchange) instead of shuffling the interactions
+    # twice under side-specific aliases (guide §2.4: two operations
+    # keyed the same way share one exchange). Same join, same filter —
+    # results identical.
+    l = interactions.select(
+        F.col(user_col).alias("__u"), F.col(item_col).alias("__it")
     )
-    b = interactions.select(
-        F.col(user_col).alias("__u"), F.col(item_col).alias("item_b")
+    pairs = (
+        l.alias("__l")
+        .join(l.alias("__r"), "__u")
+        .select(
+            F.col("__l.__it").alias("item_a"),
+            F.col("__r.__it").alias("item_b"),
+        )
+        .where(F.col("item_a") < F.col("item_b"))
     )
-    pairs = a.join(b, "__u").where(F.col("item_a") < F.col("item_b"))
     if touching_items is not None:
         touch = touching_items.select(
             F.col(touching_items.columns[0]).alias("__ti")
@@ -130,11 +154,39 @@ def item_similarity(
             .where(F.col("__ka").isNotNull() | F.col("__kb").isNotNull())
             .drop("__ka", "__kb")
         )
-    cooc = (
-        pairs.groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("cooccurrence"))
-        .where(F.col("cooccurrence") >= min_cooccurrence)
-    )
+    if pack_pair_keys:
+        item_type = dict(interactions.dtypes)[item_col]
+        la, lb = F.col("item_a").cast("long"), F.col("item_b").cast("long")
+        in_range = (
+            (la >= 0) & (la < F.lit(1 << 32)) & (lb >= 0) & (lb < F.lit(1 << 32))
+        )
+        pk = F.when(in_range, F.shiftleft(la, 32).bitwiseOR(lb)).otherwise(
+            F.raise_error(
+                F.lit("pack_pair_keys requires ids in [0, 2^32)")
+            ).cast("long")
+        )
+        cooc = (
+            pairs.select(pk.alias("__pk"))
+            .groupBy("__pk")
+            .agg(F.count(F.lit(1)).alias("cooccurrence"))
+            .where(F.col("cooccurrence") >= min_cooccurrence)
+            .select(
+                F.shiftrightunsigned("__pk", 32)
+                .cast(item_type)
+                .alias("item_a"),
+                F.col("__pk")
+                .bitwiseAND(F.lit((1 << 32) - 1))
+                .cast(item_type)
+                .alias("item_b"),
+                "cooccurrence",
+            )
+        )
+    else:
+        cooc = (
+            pairs.groupBy("item_a", "item_b")
+            .agg(F.count(F.lit(1)).alias("cooccurrence"))
+            .where(F.col("cooccurrence") >= min_cooccurrence)
+        )
     cnt = item_counts(interactions, item_col=item_col)
     cnt_a = cnt.select(F.col(item_col).alias("item_a"), F.col("cnt").alias("cnt_a"))
     cnt_b = cnt.select(F.col(item_col).alias("item_b"), F.col("cnt").alias("cnt_b"))

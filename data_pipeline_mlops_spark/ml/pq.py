@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_mlops_spark.functions.similarity import _to_double
+from data_pipeline_mlops_spark.materialize import materialize
 
 
 def _seg_len(dim: int, m: int) -> int:
@@ -331,7 +332,7 @@ def lloyd_codebooks(
                 *[F.slice("__v", i * seg_len + 1, seg_len) for i in range(m)]
             )
         ).alias("segment", "__sub"),
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
 
     dist2 = F.aggregate(
         F.zip_with("__sub", "centroid", lambda a, b: (a - b) * (a - b)),
@@ -381,6 +382,6 @@ def lloyd_codebooks(
                     "centroid"
                 ),
             )
-            .localCheckpoint(eager=False)
+            .transform(materialize)
         )
     return cb

@@ -78,6 +78,7 @@ def skewfree_rank(
     id_col: str,
     descending: bool = False,
     with_cumsum: bool = False,
+    tie_bucket=None,
 ) -> DataFrame:
     """`row_number() OVER (PARTITION BY part ORDER BY order, id)` —
     and optionally the running SUM of ``order_col`` over the same
@@ -105,24 +106,46 @@ def skewfree_rank(
     rows share the order value, so the tie contribution is
     ``order_value * tie_rank`` — exact for integer columns).
 
+    Step 3's bound is the DEGENERATE-TIE hazard (VERDICT r13): a score
+    distribution where one (part, order-value) pair owns most rows
+    (coarse integer quality scores, a default value) re-creates a
+    single large sort task. ``tie_bucket`` (opt-in) guards it: a
+    callable ``Column -> Column`` producing an ORDER-PRESERVING
+    coarsening of ``id_col`` (monotonic non-decreasing under the same
+    ordering — e.g. ``lambda c: F.shiftright(c, 20)`` for integer ids,
+    a fixed-width prefix for padded string ids). The histogram then
+    counts per (part, order-value, bucket) and the tie window
+    partitions by the same triple, so no sort task exceeds the id
+    span of one bucket (``2^k`` rows for a shiftright(k) bucket, ids
+    being unique) while rank/cumsum stay bit-identical — earlier
+    buckets of the same order value fold into the prefix exactly like
+    earlier order values. Size the bucket so the histogram stays
+    broadcastable: #buckets per tie group ~ id_range / 2^k; pick k so
+    value-space x bucket count stays far under fact size.
+
     Adds columns: ``__rank`` (long), ``__n_part`` (rows in the
     partition, long), and ``__cum`` (long) when requested.
-    ``part_col``/``order_col`` must be non-null (the histogram
-    re-attach is a null-unsafe equi-join).
+    ``part_col``/``order_col``/``id_col`` must be non-null (the
+    histogram re-attach is a null-unsafe equi-join).
     """
     from pyspark.sql import Window
 
     o = F.col(order_col).desc() if descending else F.col(order_col).asc()
-    hist = df.groupBy(part_col, order_col).agg(
+    tb: list[str] = []
+    if tie_bucket is not None:
+        df = df.withColumn("__tb", tie_bucket(F.col(id_col)))
+        tb = ["__tb"]
+    hist = df.groupBy(part_col, order_col, *tb).agg(
         F.count(F.lit(1)).alias("__cnt")
     )
-    w_h = Window.partitionBy(part_col).orderBy(o).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    w_h = Window.partitionBy(part_col).orderBy(
+        o, *[F.col(c).asc() for c in tb]
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_p = Window.partitionBy(part_col)
     cum_cols = [
         F.col(part_col),
         F.col(order_col),
+        *[F.col(c) for c in tb],
         (F.sum("__cnt").over(w_h) - F.col("__cnt")).alias("__before"),
         F.sum("__cnt").over(w_p).alias("__n_part"),
     ]
@@ -132,11 +155,11 @@ def skewfree_rank(
             (F.sum(contrib).over(w_h) - contrib).alias("__before_sum")
         )
     cuts = hist.select(*cum_cols)
-    w_tie = Window.partitionBy(part_col, order_col).orderBy(
+    w_tie = Window.partitionBy(part_col, order_col, *tb).orderBy(
         F.col(id_col).asc()
     )
     out = (
-        df.join(F.broadcast(cuts), [part_col, order_col])
+        df.join(F.broadcast(cuts), [part_col, order_col, *tb])
         .withColumn("__tie", F.row_number().over(w_tie))
         .withColumn(
             "__rank", F.col("__before") + F.col("__tie").cast("long")
@@ -148,4 +171,4 @@ def skewfree_rank(
             F.col("__before_sum")
             + F.col(order_col).cast("long") * F.col("__tie"),
         )
-    return out.drop("__before", "__before_sum", "__tie")
+    return out.drop("__before", "__before_sum", "__tie", *tb)

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from data_pipeline_mlops_spark.functions import dedup_text, text
 from data_pipeline_mlops_spark.functions.graph import connected_components
 from data_pipeline_mlops_spark.functions.packing import pack_greedy
+from data_pipeline_mlops_spark.materialize import materialize
 from data_pipeline_mlops_spark.operators.sample import stratified_sample
 from data_pipeline_mlops_spark.operators.skew import skewfree_rank
 from data_pipeline_mlops_spark.sources.tables import load_table
@@ -51,8 +52,10 @@ def prepare_corpus(
     # materialize the scored rows once: the skew-free ranking below
     # reads them twice (histogram build + probe side) and the quality
     # projection re-derives from text per reference otherwise
-    scored = text.with_quality_score(docs, "text").localCheckpoint(
-        eager=False
+    # corpus_sized: with_quality_score keeps every source column incl.
+    # text, so the block is payload-proportional (materialize.py policy)
+    scored = materialize(
+        text.with_quality_score(docs, "text"), corpus_sized=True
     )
 
     # Rank-based quartile drop WITHOUT a per-language fact-sized sort:

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_mlops_spark.functions.html import html_extract
+from data_pipeline_mlops_spark.materialize import materialize
 from data_pipeline_mlops_spark.functions.text import (
     with_lang_id,
     with_quality_score,
@@ -51,7 +52,10 @@ def extract_and_gate(
         # the gate read the materialized (id, text, counts) columns.
         # Values unchanged. Batch-only: streaming frames cannot
         # checkpoint, and the streaming ingest gates per micro-batch.
-        extracted = extracted.localCheckpoint(eager=False)
+        # corpus_sized: the extracted text is payload-proportional, so
+        # the spill-safe policy (materialize.py) routes it to reliable
+        # checkpoint / DISK_ONLY persist on clusters.
+        extracted = materialize(extracted, corpus_sized=True)
     scored = with_quality_score(with_lang_id(extracted, "text"), "text")
     return scored.where(
         (F.col("quality_score") >= min_quality)

@@ -119,16 +119,12 @@ def _materialize(df: DataFrame) -> DataFrame:
     names one: same values, same lineage cut, zero storage-memory
     footprint — the 100 TB deployment shape, where a long-lived
     driver is the norm. localCheckpoint remains only the zero-config
-    fallback for ad-hoc sessions."""
-    import os
+    fallback for ad-hoc sessions. Round 14: policy centralized in
+    data_pipeline_mlops_spark.materialize (adds the DISK_ONLY-persist
+    mode for corpus-sized frames; see that module's docstring)."""
+    from data_pipeline_mlops_spark.materialize import materialize
 
-    sc = df.sparkSession.sparkContext
-    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
-    if ckpt_dir and sc.getCheckpointDir() is None:
-        sc.setCheckpointDir(ckpt_dir)
-    if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=False)
-    return df.localCheckpoint(eager=False)
+    return materialize(df)
 
 
 # --------------------------------------------------------------------------
@@ -641,6 +637,11 @@ def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         user_col="customer_id",
         item_col="product_id",
         min_cooccurrence=3,
+        # r14: the pair-count exchange shuffles ONE packed int64 key
+        # instead of (item_a, item_b) — values bit-identical (pure
+        # key encoding; product ids are < 2^32 at every TPC-H SF the
+        # engine runs, and the expression raises on violation)
+        pack_pair_keys=True,
     ).select(
         F.col("item_a"),
         F.col("item_b"),
@@ -727,6 +728,7 @@ def q_item_similarity_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         user_col="customer_id",
         item_col="product_id",
         min_cooccurrence=3,
+        pack_pair_keys=True,
     ).select("item_a", "item_b", "cooccurrence", "cosine_sim")
 
 
@@ -737,6 +739,7 @@ def q_similar_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = cf.item_similarity(
         inter, user_col="customer_id", item_col="product_id",
         min_cooccurrence=1,
+        pack_pair_keys=True,
     )
     return cf.similar_items(sim, item=1, top_n=10)
 
@@ -789,6 +792,7 @@ def q_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
             inter, user_col="customer_id", item_col="product_id",
             min_cooccurrence=1,
             touching_items=purchases.select("product_id"),
+            pack_pair_keys=True,
         ).select("item_a", "item_b", "cosine_sim")
     )
     recs = cf.recommend(
@@ -870,6 +874,7 @@ def q_recommendations_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             inter, user_col="customer_id", item_col="product_id",
             min_cooccurrence=1,
             touching_items=purchases.select("product_id"),
+            pack_pair_keys=True,
         ).select("item_a", "item_b", "cosine_sim")
     )
     recs = cf.recommend(
@@ -1008,6 +1013,7 @@ def q_recommendations_served(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _materialize(_interactions(spark, sf_dir)),
                     user_col="customer_id", item_col="product_id",
                     min_cooccurrence=1,
+                    pack_pair_keys=True,
                 )
             )
             model_registry.save_version(
@@ -2399,6 +2405,7 @@ def q_cf_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         cf.item_similarity(
             train, user_col="customer_id", item_col="product_id",
             min_cooccurrence=1,
+            pack_pair_keys=True,
         )
     )
     recs = cf.recommend(
@@ -9375,6 +9382,7 @@ def q_item_similarity_basket_capped(
         item_col="product_id",
         min_cooccurrence=2,
         max_basket_size=20,
+        pack_pair_keys=True,
     ).select("item_a", "item_b", "cooccurrence", "cosine_sim")
 
 

@@ -6,6 +6,14 @@ and the pair self-join shuffle 8-byte longs instead of ~20-40-byte
 3-gram strings. Also cross-checks the pair sets are identical at this
 SF (hash collisions would be the only divergence source).
 
+HISTORICAL ARTIFACT (ADVICE r13): this script measured the
+pre-f90cdc0 HEAD, when dedup_text.ngram_jaccard_pairs was still
+string-keyed. Since f90cdc0 the library function IS the int64-hashed
+implementation, so re-running this script compares int64 vs int64 —
+the timing A/B and the symmetric-diff cross-check are vacuous against
+current HEAD. Kept unchanged as the record of the original decision;
+the committed numbers live in OPTIMIZATION_r13.md §12.
+
 Usage: python scripts/ab_int_shingle.py [--sf /root/testdata/sf0.1] [--runs 5]
 """
 

@@ -1,5 +1,5 @@
 """Capture `.explain("formatted")` for every bench headliner into
-plans/r13/<query>_<tag>.txt (tag = before/after), plus a one-line
+plans/<round>/<query>_<tag>.txt (tag = before/after), plus a one-line
 plan-shape summary (Exchange count, join strategies, Python eval
 nodes) per query on stderr.
 
@@ -50,7 +50,7 @@ def main() -> None:
         names = [n.strip() for n in args.only.split(",") if n.strip()]
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    outdir = os.path.join(here, "plans", "r13")
+    outdir = os.path.join(here, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"))
     os.makedirs(outdir, exist_ok=True)
 
     spark = get_spark(app_name="capture-plans", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))

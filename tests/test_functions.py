@@ -713,3 +713,82 @@ def test_skewfree_rank_matches_direct_window(spark):
         ).collect()
     }
     assert got == direct
+
+
+def test_materialize_persist_disk_mode(spark, monkeypatch):
+    """SPARK_GRAFT_MATERIALIZE=persist_disk routes corpus-sized frames
+    to a DISK_ONLY persist (lineage kept — recompute-recoverable, no
+    storage-pool memory) while bounded frames stay on localCheckpoint;
+    values identical in every mode."""
+    import pytest
+
+    from data_pipeline_mlops_spark.materialize import materialize
+
+    if spark.sparkContext.getCheckpointDir() is not None:
+        pytest.skip("session checkpoint dir pinned; reliable mode wins")
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    base = sorted(map(tuple, df.collect()))
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "persist_disk")
+    out = materialize(df, corpus_sized=True)
+    assert sorted(map(tuple, out.collect())) == base
+    lvl = out.storageLevel
+    assert lvl.useDisk and not lvl.useMemory  # DISK_ONLY
+    out.unpersist(True)
+    bounded = materialize(df)  # not corpus-sized: localCheckpoint path
+    assert sorted(map(tuple, bounded.collect())) == base
+    assert not bounded.storageLevel.useDisk
+
+
+def test_skewfree_rank_tie_bucket_matches_direct_window(spark):
+    """The degenerate-tie guard (tie_bucket, VERDICT r13 #4): an
+    order-preserving coarsening of id subdivides each tie group into
+    bounded sort partitions while rank/cumsum stay bit-identical to
+    the direct window — including a planted one-score-dominates
+    stratum, bucket boundaries inside and across tie groups, and the
+    cumsum form."""
+    from pyspark.sql import Window
+
+    from data_pipeline_mlops_spark.operators.skew import skewfree_rank
+
+    rows = []
+    # degenerate stratum: 90% of rows share ONE score value
+    for i in range(300):
+        rows.append(("en", 1.0 if i < 270 else float(i % 5 + 2), i))
+    for i in range(300, 340):
+        rows.append(("de", float(i % 3), i))
+    rows.append(("xx", 5.0, 999))
+    df = spark.createDataFrame(rows, "lang string, score double, doc_id long")
+    bucket = lambda c: F.shiftright(c, 4)  # noqa: E731 — 16-id buckets
+
+    for desc in (False, True):
+        order = F.col("score").desc() if desc else F.col("score").asc()
+        w = Window.partitionBy("lang").orderBy(order, F.col("doc_id").asc())
+        direct = {
+            (r["lang"], r["doc_id"]): r["rk"]
+            for r in df.withColumn("rk", F.row_number().over(w)).collect()
+        }
+        out = skewfree_rank(
+            df, part_col="lang", order_col="score", id_col="doc_id",
+            descending=desc, tie_bucket=bucket,
+        )
+        got = {(r["lang"], r["doc_id"]): r["__rank"] for r in out.collect()}
+        assert got == direct, f"descending={desc}"
+        assert "__tb" not in out.columns  # helper column dropped
+
+    # cumsum form under the guard
+    di = df.withColumn("n_tok", (F.col("score") * 3 + 1).cast("long"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_tok").desc(), F.col("doc_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    direct = {
+        (r["lang"], r["doc_id"]): r["cum"]
+        for r in di.withColumn("cum", F.sum("n_tok").over(w)).collect()
+    }
+    got = {
+        (r["lang"], r["doc_id"]): r["__cum"]
+        for r in skewfree_rank(
+            di, part_col="lang", order_col="n_tok", id_col="doc_id",
+            descending=True, with_cumsum=True, tie_bucket=bucket,
+        ).collect()
+    }
+    assert got == direct

@@ -440,6 +440,41 @@ def test_item_similarity_max_basket_size_bounded_pairs(spark):
     assert capped.count() == 10 * 9 // 2
 
 
+def test_item_similarity_pack_pair_keys_identical(spark):
+    """`pack_pair_keys` shuffles one packed int64 instead of two id
+    columns — a pure key-encoding change, so every output row (ids,
+    cooccurrence, cosine) and the schema must be bit-identical to the
+    unpacked build; out-of-range ids must raise, not collide."""
+    from data_pipeline_mlops_spark.ml.cf import item_similarity
+
+    rows = [
+        ("u1", 1), ("u1", 2), ("u1", 3),
+        ("u2", 1), ("u2", 2), ("u2", 2**32 - 1),
+        ("u3", 2), ("u3", 3), ("u3", 0),
+    ]
+    df = spark.createDataFrame(rows, "u string, item long")
+    plain = item_similarity(df, user_col="u", item_col="item")
+    packed = item_similarity(
+        df, user_col="u", item_col="item", pack_pair_keys=True
+    )
+    assert packed.schema == plain.schema
+    key = lambda r: (r["item_a"], r["item_b"])  # noqa: E731
+    assert sorted(packed.collect(), key=key) == sorted(
+        plain.collect(), key=key
+    )
+
+    # ids at/above 2^32 must fail loudly instead of silently colliding
+    import pytest
+
+    bad = spark.createDataFrame(
+        [("u1", 2**32), ("u1", 5)], "u string, item long"
+    )
+    with pytest.raises(Exception, match="pack_pair_keys"):
+        item_similarity(
+            bad, user_col="u", item_col="item", pack_pair_keys=True
+        ).collect()
+
+
 def test_item_similarity_touching_items_is_pure_pruning(spark):
     """The round-13 pair-build prune: with ``touching_items`` the
     surviving rows must be BIT-IDENTICAL to the full build filtered
