@@ -114,8 +114,8 @@ def shingle_rows(
 def _hashed_shingle_base(
     df: DataFrame, *, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """(__id, __sz, __shh) — the set size and the md5-60 INT64 hash of
-    each distinct shingle, materialized once (lazy localCheckpoint).
+    """(__id, __sz, __shh) — the set size and the xxhash64 INT64 hash
+    of each distinct shingle, materialized once.
 
     The n-gram pair builders only ever compare shingles for EQUALITY
     (freq-cap groupBy + the pair self-join — the two dominant
@@ -124,26 +124,29 @@ def _hashed_shingle_base(
     instead of payloads" (~3x fewer join-shuffle bytes, and int64
     grouping/join comparisons instead of string ones). ``__sz`` is
     computed on the STRING set before hashing, so set sizes are
-    untouched. A 60-bit collision between distinct shingles in the
-    same corpus could overcount one pair intersection — ~(#distinct
-    shingles)^2 / 2^61, vanishing below ~10^8 distinct shingles and
-    the same accepted trade as the xxhash64 shingle collapse in
-    remove_repeated_passages; pair outputs verified bit-equal to the
-    string-keyed form at all test SFs (oracles replay the string
-    join). A collision between two distinct shingles of the SAME doc
-    (ADVICE r13) duplicates one key in ``__shh``, inflating that
-    doc's pair intersections by one (jaccard can read >1.0 for the
-    affected pair) — expected ~(shingles per doc)^2/2^61 per doc,
-    ~4e-3 docs per 10^10; an array_distinct guard would charge every
-    doc O(|shingles|) to remove that one-in-10^12 benign artifact, so
-    it is documented, not guarded (quantified table: EXECUTION.md
-    "Int64 shingle-key collision budget", incl. the 2x-int64 widening
-    recipe for 10^11+ distinct shingles)."""
+    untouched. r14 (ADVICE r13): the key is xxhash64, not the md5-60
+    twin the r13 version shipped — ~14% cheaper per base build (md5
+    is MessageDigest + hex + base conversion inside an interpreted
+    HOF lambda) and a 2^64 space (16x fewer collisions); no oracle
+    parity is needed for the key because the registry oracles replay
+    the STRING join — pair outputs verified bit-equal to the
+    string-keyed form at all test SFs. A collision between distinct
+    shingles could overcount one pair intersection — ~(#distinct
+    shingles)^2 / 2^65, the same accepted trade as the xxhash64
+    shingle collapse in remove_repeated_passages. A collision between
+    two distinct shingles of the SAME doc duplicates one key in
+    ``__shh``, inflating that doc's pair intersections by one
+    (jaccard can read >1.0 for the affected pair) — expected
+    ~(shingles per doc)^2/2^65 per doc; an array_distinct guard would
+    charge every doc O(|shingles|) to remove that one-in-10^13 benign
+    artifact, so it is documented, not guarded (quantified table:
+    EXECUTION.md "Int64 shingle-key collision budget", incl. the
+    2x-int64 widening recipe for 10^11+ distinct shingles)."""
     return materialize(
         shingled(df, id_col=id_col, text_col=text_col, n=n).select(
             "__id",
             F.size("__sh").alias("__sz"),
-            F.transform("__sh", _md5_60).alias("__shh"),
+            F.transform("__sh", lambda c: F.xxhash64(c)).alias("__shh"),
         ),
         corpus_sized=True,  # shingle arrays are payload-proportional
     )

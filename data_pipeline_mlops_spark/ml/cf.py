@@ -107,13 +107,14 @@ def item_similarity(
             item_col=item_col,
             max_items=max_basket_size,
         )
-    # Both self-join sides carry the IDENTICAL projection (alias the
-    # item column only after the join): canonically-equal subtrees let
-    # the engine materialize ONE user-keyed exchange and read it from
-    # both sides (ReusedExchange) instead of shuffling the interactions
-    # twice under side-specific aliases (guide §2.4: two operations
-    # keyed the same way share one exchange). Same join, same filter —
-    # results identical.
+    # Both self-join sides carry the IDENTICAL projection (item column
+    # aliased only after the join), so the single materialized
+    # user-keyed exchange + ReusedExchange is visible in the STATIC
+    # plan shape, not only after AQE canonicalization (verified: the
+    # runtime plan reuses the exchange in both the old side-aliased
+    # and this shape — canonicalization ignores aliases — so this is
+    # plan clarity, not a measured win; guide §2.4). Same join, same
+    # filter — results identical.
     l = interactions.select(
         F.col(user_col).alias("__u"), F.col(item_col).alias("__it")
     )

@@ -70,6 +70,82 @@ def salted_join(
     return out
 
 
+def rangepart_rank(
+    df: DataFrame,
+    *,
+    part_col: str,
+    order_col: str,
+    id_col: str,
+    with_order_rank: bool = False,
+) -> DataFrame:
+    """Global ``row_number``/``rank`` over
+    ``(PARTITION BY part ORDER BY order, id)`` with NO per-part
+    fact-sized sort — the two-phase shape for CONTINUOUS order
+    columns, where :func:`skewfree_rank`'s (part, order-value)
+    histogram would itself be fact-sized (VERDICT r13 #8).
+
+    1. ONE balanced range exchange on (part, order, id): the range
+       partitioner splits by sampled quantiles of the FULL key, so a
+       dominant part value spreads over many partitions instead of
+       landing in one sort task. The partition id is pinned by
+       materializing the frame once (both the offset aggregation and
+       the probe side must see the same assignment).
+    2. Per-(range-partition, part) row counts → prefix offsets per
+       part (a window over the partition-count-sized segment table,
+       broadcast back).
+    3. Local ``row_number`` within (range-partition, part) — the
+       window's hash exchange is bounded by the range split, never by
+       a part's share of the data. Global ``__rn`` = offset + local
+       position. Because the full ordering key (order, id) is unique,
+       ``__rn`` IS ``rank()``/``row_number()`` of a window ordered by
+       (order, id) — the common case. ``with_order_rank`` additionally
+       emits ``__rank`` for the ORDER-VALUE-ONLY peer definition
+       (`rank() OVER (... ORDER BY order)` — ties share the minimum
+       row number) via a (part, order)-keyed min aggregation+join —
+       balanced fine-grained keys, not a window.
+
+    The produced values are invariant to where the sampled range
+    boundaries land (offsets absorb the split), so the output is
+    deterministic even though the boundary sampling is not. Adds
+    ``__rn`` (long), ``__n_part`` (long), and ``__rank`` (long, only
+    with ``with_order_rank``); ``part_col``/``order_col``/``id_col``
+    must be non-null and (part, order, id) unique per row (id a
+    tiebreaking key).
+    """
+    from pyspark.sql import Window
+
+    from data_pipeline_mlops_spark.materialize import materialize
+
+    rb = materialize(
+        df.repartitionByRange(
+            F.col(part_col).asc(), F.col(order_col).asc(), F.col(id_col).asc()
+        ).withColumn("__pid", F.spark_partition_id()),
+        corpus_sized=True,
+    )
+    seg = rb.groupBy("__pid", part_col).agg(F.count(F.lit(1)).alias("__c"))
+    w_off = Window.partitionBy(part_col).orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offs = seg.select(
+        "__pid",
+        F.col(part_col),
+        (F.sum("__c").over(w_off) - F.col("__c")).alias("__off"),
+        F.sum("__c").over(Window.partitionBy(part_col)).alias("__n_part"),
+    )
+    w_loc = Window.partitionBy("__pid", part_col).orderBy(
+        F.col(order_col).asc(), F.col(id_col).asc()
+    )
+    out = rb.join(F.broadcast(offs), ["__pid", part_col]).withColumn(
+        "__rn", F.col("__off") + F.row_number().over(w_loc)
+    )
+    if with_order_rank:
+        tie = out.groupBy(part_col, order_col).agg(
+            F.min("__rn").alias("__rank")
+        )
+        out = out.join(tie, [part_col, order_col])
+    return out.drop("__pid", "__off")
+
+
 def skewfree_rank(
     df: DataFrame,
     *,

@@ -69,6 +69,10 @@ def prepare_corpus(
     ranked = skewfree_rank(
         scored, part_col="lang", order_col="quality_score",
         id_col="doc_id",
+        # r14 degenerate-tie guard (VERDICT r13 #4): 2^20-id buckets
+        # bound the tie-group sort even when one rounded score value
+        # dominates a language; values identical (SKEW_RANK_DEMO_r14)
+        tie_bucket=lambda c: F.shiftright(c, 20),
     )
     kept = (
         ranked.where(

@@ -1289,6 +1289,11 @@ def q_doc_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = skewfree_rank(
         d, part_col="lang", order_col="n_tokens", id_col="doc_id",
         descending=True, with_cumsum=True,
+        # r14 degenerate-tie guard: n_tokens is a coarse INTEGER, so a
+        # hot (lang, token-count) pair is plausible at corpus scale;
+        # id-range buckets of 2^20 bound every tie sort task (values
+        # identical — ids < 2^20 at fixture scale, bucket = 0 for all)
+        tie_bucket=lambda c: F.shiftright(c, 20),
     )
     return (
         ranked.where(F.col("__cum") <= budget)
@@ -2133,17 +2138,31 @@ _DRIVER_WINDOW: list[str] = [
     # term_postings / doc_phrase_search rotate out to make room
     # (retrieval tier, driver-hashed rotations 6-7, oracle unchanged)
     "ngram_containment_dups", "doc_ccnet_buckets",
-    # carried from rotation 7 (r12 birth-round entries kept one more
-    # round; the uncapped graph trio rotated out — its changed
-    # MATERIALIZED oracles were driver-probed in r12)
-    "item_pagerank_capped", "item_communities_capped",
-    "item_triangles_capped", "kmv_audience_overlap",
+    # round-14 rotation (rotation 9): every query whose EXECUTION PATH
+    # changed this round gets hash-probed — the r13 §12/§13 consumers
+    # VERDICT r13 #9 named (doc_dedup_decisions, dup_cluster_keep_best,
+    # doc_dup_components_minhash: int64 shingle keys + CC edge-touched
+    # iteration landed with only 2/9 consumers in the r13 window), plus
+    # the r14 changes: packed CF pair keys (recommendations_capped —
+    # item_similarity/recommendations/_served already in the core),
+    # xxhash64 shingle keys (ngram_jaccard_dups; _containment/_capped
+    # consumers in-window above), the two-phase range rank
+    # (event_percentiles) and the degenerate-tie guard
+    # (doc_quality_filter; corpus_pipeline carries the other guarded
+    # site below, doc_token_budget_selection covered by the same
+    # operator + oracles). Out: the capped graph trio (hashed
+    # rotations 7-8, oracle + path unchanged), kmv_audience_overlap,
+    # event_lttb_downsample, doc_pack_stats/_ffd/_curriculum (packing
+    # recipes hashed rotations 6-8, unchanged).
+    "doc_dedup_decisions", "dup_cluster_keep_best",
+    "doc_dup_components_minhash", "recommendations_capped",
+    "ngram_jaccard_dups", "event_percentiles", "doc_quality_filter",
+    "doc_token_budget_selection",
     "doc_gopher_rules", "order_value_quantile_sketch",
     # carried from rotation 6 (oracle text unchanged; keep the
     # recently-changed recipes under the driver one more round)
-    "event_lttb_m4", "event_lttb_downsample", "corpus_pipeline",
-    "doc_pack_sequences", "doc_pack_stats", "doc_pack_ffd",
-    "doc_pack_curriculum", "doc_bm25_search", "doc_hybrid_search",
+    "event_lttb_m4", "corpus_pipeline",
+    "doc_pack_sequences", "doc_bm25_search", "doc_hybrid_search",
     # warehouse-join bench headliners (promoted r11; keep plan+value
     # gated together one more round)
     "bucketed_order_revenue", "customer_rolling_features",
@@ -2579,19 +2598,41 @@ QUERIES["cube_revenue"] = QuerySpec(q_cube_revenue, ORACLE_CUBE_REVENUE)
 def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-family window functions: percent_rank + ntile quartiles of
     event values within each event type (unique ordering => both
-    deterministic)."""
-    from pyspark.sql import Window
+    deterministic).
+
+    r14 (VERDICT r13 #8): computed via the two-phase range-partitioned
+    rank (operators/skew.py::rangepart_rank) instead of a direct
+    per-event-type window — `value` is semi-continuous (~49k distinct
+    per 100k rows at sf0.1), so the skewfree_rank histogram recipe is
+    inapplicable and the direct window put each event type's whole
+    stratum in ONE sort task. The window orders by (value, event_id)
+    — a UNIQUE key — so rank() == row_number() and percent_rank =
+    (__rn-1)/(n-1) (0 when n=1, Spark's own special case); ntile
+    replays Spark's bucket arithmetic (first n%k buckets get one
+    extra row) from the global row number — bit-identical values,
+    pinned by the oracle hash and tests/test_operators.py::
+    test_rangepart_rank_matches_direct_window."""
+    from data_pipeline_mlops_spark.operators.skew import rangepart_rank
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("value").asc(), F.col("event_id").asc()
+    rk = rangepart_rank(
+        ev.select("event_id", "event_type", "value"),
+        part_col="event_type", order_col="value", id_col="event_id",
     )
-    return ev.select(
+    n, rn = F.col("__n_part"), F.col("__rn")
+    pct = F.when(n > 1, (rn - 1) / (n - 1)).otherwise(F.lit(0.0))
+    # Spark NTile(k): base size n div k, first n%k buckets get +1 row
+    bs, rem = F.shiftright(n, 2), n.bitwiseAND(F.lit(3))
+    thresh = rem * (bs + 1)
+    quartile = F.when(
+        rn <= thresh, F.floor((rn + bs) / (bs + 1))
+    ).otherwise(rem + F.floor((rn - thresh + bs - 1) / bs))
+    return rk.select(
         "event_id",
         "event_type",
         "value",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.round(pct, 6).alias("pct_rank"),
+        quartile.cast("int").alias("quartile"),
     )
 
 
@@ -4953,6 +4994,10 @@ def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = skewfree_rank(
         scored, part_col="lang", order_col="quality_score",
         id_col="doc_id",
+        # r14 degenerate-tie guard (VERDICT r13 #4): rounded scores
+        # collide on degenerate docs (e.g. score exactly 1.0 classes);
+        # 2^20-id buckets bound the tie sort, values identical
+        tie_bucket=lambda c: F.shiftright(c, 20),
     )
     return ranked.select(
         "doc_id",

@@ -15,8 +15,20 @@ timed runs each. The direct plan sorts the hot stratum's 90% of rows
 in a single task; the skew-free plan distributes it over the
 (stratum, score) tie groups.
 
+Round 14 adds ``--scenario degenerate`` (VERDICT r13 #4): the
+DEGENERATE-TIE shape — 90% of all rows share ONE (stratum, score)
+pair, e.g. a coarse integer quality score with a dominant default —
+where the r13 skewfree_rank's tie-group window itself re-creates a
+single giant sort task. Three arms there:
+
+  direct:    the per-stratum window (one 3.6M-row sort task)
+  skewfree:  histogram + tie groups, NO guard (one 3.6M-row TIE sort)
+  guarded:   skewfree_rank(tie_bucket=shiftright(id, 16)) — the tie
+             group splits into <=2^16-row id-range buckets, so no
+             sort task exceeds 65,536 rows
+
 Usage: python scripts/skew_rank_demo.py [--rows 4000000] [--runs 3]
-       [--out SKEW_RANK_DEMO_r13.json]
+       [--scenario bounded|degenerate] [--out SKEW_RANK_DEMO_r14.json]
 """
 
 from __future__ import annotations
@@ -36,6 +48,9 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=4_000_000)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--distinct-scores", type=int, default=20_000)
+    ap.add_argument(
+        "--scenario", choices=["bounded", "degenerate"], default="bounded"
+    )
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -50,17 +65,26 @@ def main() -> None:
 
     def base():
         m = F.pmod(F.col("id"), F.lit(100))
+        if args.scenario == "degenerate":
+            # ONE (stratum, score) pair owns 90% of all rows: hot
+            # stratum rows all score 0.0 (the coarse-default-score
+            # regime); cold strata keep a bounded score space
+            score = F.when(m < 90, F.lit(0.0)).otherwise(
+                F.pmod(F.xxhash64("id"), F.lit(1000)) / F.lit(100.0)
+            )
+        else:
+            # bounded order-value space (quality-score regime)
+            score = (
+                F.pmod(F.xxhash64("id"), F.lit(args.distinct_scores))
+                / F.lit(1000.0)
+            )
         return spark.range(args.rows).select(
             F.col("id"),
             # 90% hot stratum + 10 cold strata of 1% each
             F.when(m < 90, F.lit("hot"))
             .otherwise(F.concat(F.lit("cold_"), m.cast("string")))
             .alias("stratum"),
-            # bounded order-value space (quality-score regime)
-            (
-                F.pmod(F.xxhash64("id"), F.lit(args.distinct_scores))
-                / F.lit(1000.0)
-            ).alias("score"),
+            score.alias("score"),
         )
 
     def direct():
@@ -74,14 +98,23 @@ def main() -> None:
             base(), part_col="stratum", order_col="score", id_col="id"
         ).withColumnRenamed("__rank", "rk")
 
+    def guarded():
+        return skewfree_rank(
+            base(), part_col="stratum", order_col="score", id_col="id",
+            tie_bucket=lambda c: F.shiftright(c, 16),
+        ).withColumnRenamed("__rank", "rk")
+
     def release():
         jsc = spark.sparkContext._jsc.sc()
         it = jsc.getPersistentRDDs().values().iterator()
         while it.hasNext():
             it.next().unpersist(True)
 
+    arms = [("direct", direct), ("skewfree", skewfree)]
+    if args.scenario == "degenerate":
+        arms.append(("guarded", guarded))
     results: dict[str, dict] = {}
-    for name, fn in [("direct", direct), ("skewfree", skewfree)]:
+    for name, fn in arms:
         samples = []
         for i in range(args.runs + 1):  # first run cold, discarded
             release()
@@ -110,7 +143,29 @@ def main() -> None:
         for r in skewfree().where(F.pmod("id", 99991) == 0).collect()
     }
     assert d == s and len(d) > 0, "rank mismatch on sample"
+    if args.scenario == "degenerate":
+        g = {
+            r["id"]: r["rk"]
+            for r in guarded().where(F.pmod("id", 99991) == 0).collect()
+        }
+        assert d == g, "guarded rank mismatch on sample"
+    if args.scenario == "degenerate":
+        # the checkable "no single-task sort" claim: largest tie-window
+        # sort partition with vs without the id-range bucket guard
+        mx = lambda cols: (  # noqa: E731
+            base().groupBy(*cols).count().agg(F.max("count")).collect()[0][0]
+        )
+        payload_extra = {
+            "max_sort_group_unguarded": mx(["stratum", "score"]),
+            "max_sort_group_guarded": mx(
+                ["stratum", "score", F.shiftright("id", 16)]
+            ),
+        }
+    else:
+        payload_extra = {}
     payload = {
+        "scenario": args.scenario,
+        **payload_extra,
         "rows": args.rows,
         "distinct_scores": args.distinct_scores,
         "runs": args.runs,

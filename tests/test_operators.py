@@ -437,3 +437,59 @@ def test_asof_join_rejects_output_name_collision(spark):
             left, right, on="k", left_ts="ts", right_ts="ts",
             payload=["rid"], tiebreak="rid", payload_prefix="",
         )
+
+
+def test_rangepart_rank_matches_direct_window(spark):
+    """rangepart_rank's global __rn/__rank/__n_part must equal
+    row_number/rank of the direct per-part window — including a
+    dominant part, cross-partition tie groups, singleton parts, and
+    the derived percent_rank/ntile arithmetic q_event_percentiles
+    builds on top."""
+    from pyspark.sql import Window
+
+    from data_pipeline_mlops_spark.operators.skew import rangepart_rank
+
+    rows = []
+    for i in range(400):  # dominant part with heavy ties
+        rows.append(("hot", float(i % 25), i))
+    for i in range(400, 430):
+        rows.append(("cold", float(i % 3), i))
+    rows.append(("one", 9.0, 999))
+    df = spark.createDataFrame(rows, "et string, value double, id long")
+
+    w = Window.partitionBy("et").orderBy(F.col("value").asc(), F.col("id").asc())
+    w_val = Window.partitionBy("et").orderBy(F.col("value").asc())
+    direct = {
+        (r["et"], r["id"]): (r["rn"], r["rkv"], r["pct"], r["q"])
+        for r in df.select(
+            "et", "id",
+            # (value, id) is unique, so rank() over w == row_number()
+            F.row_number().over(w).alias("rn"),
+            # order-value-only peers: the __rank contract
+            F.rank().over(w_val).alias("rkv"),
+            F.round(F.percent_rank().over(w), 6).alias("pct"),
+            F.ntile(4).over(w).alias("q"),
+        ).collect()
+    }
+    rk = rangepart_rank(
+        df, part_col="et", order_col="value", id_col="id",
+        with_order_rank=True,
+    )
+    n, rn = F.col("__n_part"), F.col("__rn")
+    pct = F.when(n > 1, (rn - 1) / (n - 1)).otherwise(F.lit(0.0))
+    bs, rem = F.shiftright(n, 2), n.bitwiseAND(F.lit(3))
+    thresh = rem * (bs + 1)
+    q = F.when(rn <= thresh, F.floor((rn + bs) / (bs + 1))).otherwise(
+        rem + F.floor((rn - thresh + bs - 1) / bs)
+    )
+    got = {
+        (r["et"], r["id"]): (
+            r["__rn"], r["__rank"], r["pct"], r["q"]
+        )
+        for r in rk.select(
+            "et", "id", "__rn", "__rank",
+            F.round(pct, 6).alias("pct"),
+            q.cast("int").alias("q"),
+        ).collect()
+    }
+    assert got == direct
